@@ -1,0 +1,118 @@
+"""Engine configuration constants.
+
+The reference binds all operator constants from ``config.yaml`` at startup
+(reference ``src/preprocess.py:593-647``).  The engine replaces the YAML
+indirection with one frozen dataclass whose defaults follow the north-star
+spec (hue bands 0-10 / 156-180) and the reference's shipped values for
+everything the north star does not pin:
+
+- dual-band red HSV ranges        reference ``config.yaml:17-22``,
+                                  code defaults ``src/preprocess.py:620-625``
+- morphology 2x2 open (hardcoded) reference ``src/preprocess.py:389-391``;
+                                  north star adds close -> we do open+close
+- contour area ratios             reference ``src/preprocess.py:397-403``
+- quality gate thresholds         reference ``src/preprocess.py:94-130``,
+                                  ``config.yaml:238-242``
+- enhancement parameters          reference ``src/preprocess.py:33-92``,
+                                  ``config.yaml:249-263``
+- red enhancement passes 1/2      reference ``src/preprocess.py:183-333``
+- downscale cap 1280              reference ``src/ocr_engine.py:250-282``,
+                                  ``config.yaml:111``
+
+The config is a plain dataclass so the Spark driver can broadcast it (it is
+tiny) or simply close over it in the pandas UDF; all fields are immutable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # --- dual-band red mask (north star: H in [0,10] U [156,180]) ---
+    hue_band1: tuple[int, int] = (0, 10)
+    hue_band2: tuple[int, int] = (156, 180)
+    sat_min: int = 50
+    val_min: int = 50
+
+    # --- morphology (reference hardcodes 2x2 open x1; north star adds close)
+    morph_kernel: int = 2
+    morph_iterations: int = 1
+
+    # --- connected-component area filter (reference preprocess.py:397-403)
+    # ratio thresholds keyed by max(H, W): <1000 -> 2e-5, <2000 -> 5e-5,
+    # else 1e-4; area is the hole-filled component area (cv2 contourArea of
+    # the RETR_EXTERNAL outer contour).
+    area_ratio_small: float = 2e-5
+    area_ratio_mid: float = 5e-5
+    area_ratio_large: float = 1e-4
+    area_dim_small: int = 1000
+    area_dim_mid: int = 2000
+
+    # --- quality gate (reference preprocess.py:94-130) ---
+    # The reference enhances low-quality inputs (file < 200 KB OR max dim
+    # < 1200).  The north-star kernel chain does not include enhancement,
+    # so the engine defaults the gate OFF (thresholds 0 -> nothing is
+    # "low quality"); the reference's shipped thresholds remain available
+    # via EngineConfig(size_threshold_kb=200, resolution_threshold=1200)
+    # and the operator (F1) is implemented + unit-tested either way.
+    size_threshold_kb: int = 0
+    resolution_threshold: int = 0
+
+    # --- enhancement (reference preprocess.py:33-92) ---
+    # NL-means is replaced by a deterministic 3x3 box-blur blend (documented
+    # substitute; the reference applies denoise only to low-quality inputs).
+    denoise_blend_orig: float = 0.7
+    contrast_alpha: float = 1.1
+    contrast_beta: float = 0.0
+    unsharp_sigma: float = 2.0
+    unsharp_ksize: int = 13  # cv2 derives 13 taps from sigma=2 for uint8
+    unsharp_strength: float = 1.5  # 1.5*img - 0.5*blur
+    unsharp_blend_orig: float = 0.6
+
+    # --- red enhancement pass 1 (reference preprocess.py:183-278) ---
+    red_hue_lo: int = 20   # "red hue" predicate: h < 20 or h > 160
+    red_hue_hi: int = 160
+    sat_boost: float = 2.3
+    val_boost: float = 1.55
+    clahe1_clip: float = 5.0
+    clahe1_grid: int = 3
+    gamma: float = 0.82
+    black_v_max: int = 48
+    black_s_max: int = 90
+    gray_s_max: int = 76   # 0.3 * 255 rounded down
+
+    # --- red enhancement pass 2 (reference preprocess.py:280-333) ---
+    clahe2_clip: float = 2.0
+    clahe2_grid: int = 8
+    sat_boost2: float = 1.2
+    val_boost2: float = 1.1
+    sharpen_amount: float = 0.3
+    sharpen_blend_orig: float = 0.7
+
+    # --- downscale cap (reference ocr_engine.py:250-282) ---
+    max_size: int = 1280
+
+    # --- template OCR ---
+    ocr_max_hamming: int = 6  # of 35 cells; worse -> glyph dropped
+
+    # --- seal layout (shared by datagen render and OCR decode) ---
+    seal_pad_units: int = 2
+    seal_gap_units: int = 1
+    cell_w: int = 5
+    cell_h: int = 7
+
+    # --- Spark-side knobs ---
+    arrow_max_records: int = 64  # images inflate ~10x decoded; keep batches small
+    salt_partitions: int = 0     # 0 = derive from spark.sql.shuffle.partitions
+
+    @property
+    def seal_units_h(self) -> int:
+        return self.cell_h + 2 * self.seal_pad_units
+
+    def seal_units_w(self, n_glyphs: int) -> int:
+        return 2 * self.seal_pad_units + n_glyphs * self.cell_w + (n_glyphs - 1) * self.seal_gap_units
+
+
+DEFAULT_CONFIG = EngineConfig()

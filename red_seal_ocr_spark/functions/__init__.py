@@ -1,0 +1,1 @@
+"""Scalar/batch kernel functions (pure numpy, deterministic)."""

@@ -1,0 +1,84 @@
+"""Fixed 5x7 glyph bitmap alphabet for seal rendering and template OCR.
+
+The reference recognizes seal text with a PaddleOCR neural model
+(``src/ocr_engine.py:578-632``).  No neural runtime exists in this
+environment, so the engine's OCR stage (SURVEY.md F10) is a deterministic
+template decoder over this fixed alphabet: the datagen renders seal glyphs
+from these bitmaps, and the kernel decodes crops by minimum-Hamming
+template matching.  The model swap-in point is
+``red_seal_ocr_spark.functions.ocr.decode_cells``.
+
+Bitmaps are the classic 5x7 dot-matrix font; self-consistency (render and
+decode share this table) and pairwise distinctness are what matters, both
+unit-tested.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_RAW = {
+    "A": [".###.", "#...#", "#...#", "#####", "#...#", "#...#", "#...#"],
+    "B": ["####.", "#...#", "#...#", "####.", "#...#", "#...#", "####."],
+    "C": [".###.", "#...#", "#....", "#....", "#....", "#...#", ".###."],
+    "D": ["####.", "#...#", "#...#", "#...#", "#...#", "#...#", "####."],
+    "E": ["#####", "#....", "#....", "####.", "#....", "#....", "#####"],
+    "F": ["#####", "#....", "#....", "####.", "#....", "#....", "#...."],
+    "G": [".###.", "#...#", "#....", "#.###", "#...#", "#...#", ".###."],
+    "H": ["#...#", "#...#", "#...#", "#####", "#...#", "#...#", "#...#"],
+    "I": [".###.", "..#..", "..#..", "..#..", "..#..", "..#..", ".###."],
+    "J": ["..###", "...#.", "...#.", "...#.", "...#.", "#..#.", ".##.."],
+    "K": ["#...#", "#..#.", "#.#..", "##...", "#.#..", "#..#.", "#...#"],
+    "L": ["#....", "#....", "#....", "#....", "#....", "#....", "#####"],
+    "M": ["#...#", "##.##", "#.#.#", "#.#.#", "#...#", "#...#", "#...#"],
+    "N": ["#...#", "##..#", "#.#.#", "#..##", "#...#", "#...#", "#...#"],
+    "O": [".###.", "#...#", "#...#", "#...#", "#...#", "#...#", ".###."],
+    "P": ["####.", "#...#", "#...#", "####.", "#....", "#....", "#...."],
+    "Q": [".###.", "#...#", "#...#", "#...#", "#.#.#", "#..#.", ".##.#"],
+    "R": ["####.", "#...#", "#...#", "####.", "#.#..", "#..#.", "#...#"],
+    "S": [".####", "#....", "#....", ".###.", "....#", "....#", "####."],
+    "T": ["#####", "..#..", "..#..", "..#..", "..#..", "..#..", "..#.."],
+    "U": ["#...#", "#...#", "#...#", "#...#", "#...#", "#...#", ".###."],
+    "V": ["#...#", "#...#", "#...#", "#...#", "#...#", ".#.#.", "..#.."],
+    "W": ["#...#", "#...#", "#...#", "#.#.#", "#.#.#", "##.##", "#...#"],
+    "X": ["#...#", "#...#", ".#.#.", "..#..", ".#.#.", "#...#", "#...#"],
+    "Y": ["#...#", "#...#", ".#.#.", "..#..", "..#..", "..#..", "..#.."],
+    "Z": ["#####", "....#", "...#.", "..#..", ".#...", "#....", "#####"],
+    "0": [".###.", "#...#", "#..##", "#.#.#", "##..#", "#...#", ".###."],
+    "1": ["..#..", ".##..", "..#..", "..#..", "..#..", "..#..", ".###."],
+    "2": [".###.", "#...#", "....#", "...#.", "..#..", ".#...", "#####"],
+    "3": ["#####", "...#.", "..#..", "...#.", "....#", "#...#", ".###."],
+    "4": ["...#.", "..##.", ".#.#.", "#..#.", "#####", "...#.", "...#."],
+    "5": ["#####", "#....", "####.", "....#", "....#", "#...#", ".###."],
+    "6": ["..##.", ".#...", "#....", "####.", "#...#", "#...#", ".###."],
+    "7": ["#####", "....#", "...#.", "..#..", ".#...", ".#...", ".#..."],
+    "8": [".###.", "#...#", "#...#", ".###.", "#...#", "#...#", ".###."],
+    "9": [".###.", "#...#", "#...#", ".####", "....#", "...#.", ".##.."],
+}
+
+ALPHABET: str = "".join(sorted(_RAW))
+
+
+def _to_bitmap(rows: list[str]) -> np.ndarray:
+    return np.array([[c == "#" for c in row] for row in rows], dtype=bool)
+
+
+# (n_glyphs, 7, 5) bool stack, indexed in ALPHABET order.
+TEMPLATES: np.ndarray = np.stack([_to_bitmap(_RAW[ch]) for ch in ALPHABET])
+
+
+def glyph_bitmap(ch: str) -> np.ndarray:
+    """7x5 bool bitmap for a single character."""
+    return TEMPLATES[ALPHABET.index(ch)]
+
+
+def render_text(text: str, gap: int = 1) -> np.ndarray:
+    """Render ``text`` as a 7 x (6n-1) bool bitmap (True = glyph stroke)."""
+    if not text:
+        return np.zeros((7, 0), dtype=bool)
+    cols = []
+    for i, ch in enumerate(text):
+        if i:
+            cols.append(np.zeros((7, gap), dtype=bool))
+        cols.append(glyph_bitmap(ch))
+    return np.concatenate(cols, axis=1)

@@ -1,0 +1,164 @@
+"""The media-span extraction kernel (reference ``_recognize_core``).
+
+One pure function, :func:`process_image`, reproduces the reference's fixed
+per-record operator chain (``src/ocr_engine.py:284-450``; SURVEY.md 2.3):
+
+    quality gate (P1) -> [enhance F1 if low quality] -> HSV (F2)
+    -> dual-band red mask (F3) -> morph open+close (F4)
+    -> component localization + area filter (F5) -> empty-mask fallback (F6)
+    -> whiteout non-red (F7) -> red enhancement passes (F8a/F8b)
+    -> downscale cap (F9) -> per-component normalized crop + template OCR
+       (F10/F11) -> bbox rescale (F12) -> text concat (F13)
+
+plus the input-stats probe (F15) surfaced as metrics.  The batch wrapper
+:func:`extract_texts_batch` is what the Spark pandas UDF calls: it loops
+images inside one Arrow batch (images are variable-size, so cross-image
+vectorization is impossible; all per-image math is vectorized numpy — no
+per-pixel Python, satisfying the no-per-row-Python invariant).
+
+Fault isolation follows the reference (``main.py:132-137``): a bad image
+never kills the batch — the north rule maps it to "media span passes
+through unchanged + failure counted in lineage".
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+from .imageops import (
+    enhance_image,
+    enhance_red_pass1,
+    enhance_red_pass2,
+    filled_components,
+    morph_close,
+    morph_open,
+    paint_runs,
+    red_mask,
+    resize_area,
+    rgb_to_hsv_cv,
+)
+from .ocr import decode_seal
+from .png import PngError, decode_png
+
+OK = 0
+DECODE_ERROR = 1
+
+
+@dataclass
+class ImageResult:
+    text: str | None  # None on failure
+    status: int
+    n_components: int = 0
+    red_pixels: int = 0
+    mean: float = 0.0
+    std: float = 0.0
+
+
+def is_low_quality(n_bytes: int, h: int, w: int, cfg: EngineConfig) -> bool:
+    """Quality gate (reference ``src/preprocess.py:94-130``): small file OR
+    low resolution."""
+    return n_bytes < cfg.size_threshold_kb * 1024 or max(h, w) < cfg.resolution_threshold
+
+
+def _area_ratio(h: int, w: int, cfg: EngineConfig) -> float:
+    m = max(h, w)
+    if m < cfg.area_dim_small:
+        return cfg.area_ratio_small
+    if m < cfg.area_dim_mid:
+        return cfg.area_ratio_mid
+    return cfg.area_ratio_large
+
+
+def process_image(content: bytes | None, cfg: EngineConfig = DEFAULT_CONFIG) -> ImageResult:
+    """Run the full extraction chain on one encoded image."""
+    if not isinstance(content, (bytes, bytearray, memoryview)) or len(content) == 0:
+        return ImageResult(None, DECODE_ERROR)
+    try:
+        img = decode_png(bytes(content))
+    except PngError:
+        return ImageResult(None, DECODE_ERROR)
+    h, w = img.shape[:2]
+
+    # F1: enhancement only for low-quality inputs
+    if is_low_quality(len(content), h, w, cfg):
+        img = enhance_image(img, cfg)
+
+    # F2/F3: HSV + dual-band red mask
+    hsv = rgb_to_hsv_cv(img)
+    mask0 = red_mask(hsv, cfg.hue_band1, cfg.hue_band2, cfg.sat_min, cfg.val_min)
+
+    # F4: morphological open + close (north-star denoising)
+    m = morph_close(morph_open(mask0, cfg.morph_iterations), cfg.morph_iterations)
+
+    # F5: component localization + area filter (filled areas, RETR_EXTERNAL)
+    run_sets, stats = filled_components(m)
+    min_area = _area_ratio(h, w, cfg) * h * w
+    kept = [i for i, st in enumerate(stats) if st["area"] >= min_area]
+    # F6: empty-mask fallback — revert to the unfiltered component set
+    if not kept:
+        kept = list(range(len(stats)))
+    if not kept:
+        # no red at all: empty extraction, still a success
+        return ImageResult("", OK, 0, 0, float(img.mean()), float(img.std()))
+
+    # F7/F8/F10-F13 are seal-local: everything outside the filtered mask is
+    # whited out (F7), so the enhancement passes and OCR only ever see the
+    # kept components' bounding boxes — the engine therefore computes them
+    # crop-local (same semantics, reference pass 2 already works on the
+    # extracted masked region, ``src/preprocess.py:280-333``; cost drops
+    # from O(H*W) to O(sum of seal areas)).
+    texts = []
+    red_px = 0
+    for i in kept:  # deterministic (y0, x0) order from filled_components
+        st = stats[i]
+        y0, x0, y1, x1 = st["y0"], st["x0"], st["y1"], st["x1"]
+        comp_mask = paint_runs((y1 - y0, x1 - x0), run_sets[i], origin=(y0, x0))
+        red_px += st["area"]
+        crop = np.where(comp_mask[..., None], img[y0:y1, x0:x1], np.uint8(255))
+        # F8a/F8b: red enhancement passes under the mask
+        crop = enhance_red_pass1(crop, comp_mask, cfg)
+        crop = enhance_red_pass2(crop, comp_mask, cfg)
+        # F9 note: the reference's 1280-px downscale cap (X1) bounds the
+        # cost of neural OCR on the full frame.  The engine's OCR stage is
+        # decode_seal's area-resample of the crop to the canonical 11-unit
+        # grid — already a fixed-size normalization (the "perspective-
+        # normalized crop"), so resampling straight from the full-res crop
+        # is both cheaper and sharper than resizing RGB first; resize_area
+        # keeps INTER_AREA parity for the standalone downscale operator.
+        # F10/F11: normalized crop -> glyph-presence mask -> template OCR
+        crop_hsv = rgb_to_hsv_cv(crop)
+        crop_red = red_mask(crop_hsv, cfg.hue_band1, cfg.hue_band2,
+                            cfg.sat_min, cfg.val_min)
+        text = decode_seal(~crop_red, cfg)
+        if text.strip():  # P4: drop blank results
+            texts.append(text)
+    return ImageResult(
+        "".join(texts),  # F13 text concat
+        OK,
+        len(kept),
+        red_px,
+        float(img.mean()),  # F15 input-stats probe
+        float(img.std()),
+    )
+
+
+def extract_texts_batch(
+    contents, cfg: EngineConfig = DEFAULT_CONFIG
+) -> tuple[list, list, list]:
+    """Batch wrapper for Arrow batches: bytes iterable -> (texts, ok, n_comp).
+
+    ``texts[i]`` is None when decode failed (the span passes through
+    unchanged); otherwise the concatenated seal text for that media span.
+    """
+    texts: list = []
+    oks: list = []
+    ncomp: list = []
+    for content in contents:
+        r = process_image(content, cfg)
+        texts.append(r.text)
+        oks.append(r.status == OK)
+        ncomp.append(r.n_components)
+    return texts, oks, ncomp

@@ -1,0 +1,77 @@
+"""Deterministic template OCR over the fixed glyph alphabet.
+
+Replaces the reference's PaddleOCR inference stage (SURVEY.md F10,
+``src/ocr_engine.py:578-632``): no neural runtime exists in this
+environment, so seal text is decoded by minimum-Hamming template matching
+against the shared 5x7 glyph bitmaps.  The seal layout is the one the
+datagen renders (red plate, glyphs knocked out in white):
+
+    pad(2u) | glyph(5u) gap(1u) glyph(5u) ... | pad(2u)     height = 11u
+
+where ``u`` is the per-seal integer render scale.  The decoder infers
+``u`` from the crop height, area-resamples the glyph-presence mask to the
+unit grid (exact box-mean for integer ratios, faithful to INTER_AREA for
+fractional post-downscale ratios), and reads each 5x7 cell.
+
+This is the model swap-in point: a real OCR model would replace
+:func:`decode_seal` with batched inference on the crop (reference keeps
+the same boundary at ``_run_paddle_ocr``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .glyphs import ALPHABET, TEMPLATES
+from .imageops import resize_area
+
+# flattened templates for vectorized Hamming distance: (n_glyphs, 35)
+_FLAT_TEMPLATES = TEMPLATES.reshape(TEMPLATES.shape[0], -1)
+
+
+def decode_cells(cells: np.ndarray, max_hamming: int) -> str:
+    """Decode a (n, 7, 5) bool stack of glyph cells -> string.
+
+    Vectorized: one (n, n_glyphs) Hamming distance matrix; the argmin per
+    row is the decoded glyph, rows whose best distance exceeds
+    ``max_hamming`` are dropped (reference analog: blank-text filter,
+    SURVEY.md P4).
+    """
+    if cells.shape[0] == 0:
+        return ""
+    flat = cells.reshape(cells.shape[0], -1)
+    dist = np.count_nonzero(flat[:, None, :] != _FLAT_TEMPLATES[None, :, :], axis=2)
+    best = dist.argmin(axis=1)
+    best_d = dist[np.arange(len(best)), best]
+    return "".join(ALPHABET[b] for b, d in zip(best, best_d) if d <= max_hamming)
+
+
+def decode_seal(glyph_mask: np.ndarray, cfg) -> str:
+    """Decode one seal crop.
+
+    ``glyph_mask`` is the crop-local float/bool array where truthy means
+    "glyph stroke present" (non-red inside the seal plate).  Returns the
+    decoded text, or '' when the crop does not parse as a seal (wrong
+    proportions — e.g. a distractor shape surviving the area filter).
+    """
+    h, w = glyph_mask.shape
+    units_h = cfg.seal_units_h  # 11
+    if h < units_h or w < units_h:
+        return ""
+    scale = h / units_h
+    units_w = int(round(w / scale))
+    stride = cfg.cell_w + cfg.seal_gap_units  # 6
+    if units_w < 2 * cfg.seal_pad_units + cfg.cell_w:
+        return ""
+    n_glyphs, rem = divmod(units_w - 2 * cfg.seal_pad_units + cfg.seal_gap_units, stride)
+    if rem != 0 or n_glyphs < 1:
+        return ""
+    grid = resize_area(glyph_mask.astype(np.float64), units_h, units_w) > 0.5
+    pad = cfg.seal_pad_units
+    cells = np.stack(
+        [
+            grid[pad : pad + cfg.cell_h, pad + i * stride : pad + i * stride + cfg.cell_w]
+            for i in range(n_glyphs)
+        ]
+    )
+    return decode_cells(cells, cfg.ocr_max_hamming)

@@ -1,0 +1,149 @@
+"""Minimal deterministic PNG codec (pure numpy + stdlib zlib).
+
+The reference decodes images with PIL/OpenCV (``src/preprocess.py:335-361``,
+``util/image_downloader.py:84-96``).  Neither library exists in this
+environment, so the engine carries its own small codec: 8-bit RGB (color
+type 2) and 8-bit grayscale (color type 0), no interlacing.  The encoder
+always emits filter 0 scanlines; the decoder understands all five standard
+filters so externally produced baseline PNGs also decode.
+
+Decode failures raise ``PngError`` — the kernel maps that to the
+per-item fault-isolation path (failure counted, span passed through
+unchanged; reference analog ``main.py:132-137``).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+class PngError(ValueError):
+    """Raised on malformed or unsupported PNG input."""
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Encode HxW (gray) or HxWx3 (RGB) uint8 array as PNG bytes."""
+    if img.dtype != np.uint8:
+        raise PngError(f"expected uint8, got {img.dtype}")
+    if img.ndim == 2:
+        color_type, channels = 0, 1
+    elif img.ndim == 3 and img.shape[2] == 3:
+        color_type, channels = 2, 3
+    else:
+        raise PngError(f"unsupported shape {img.shape}")
+    h, w = img.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    # filter byte 0 prepended to every scanline
+    raw = np.empty((h, 1 + w * channels), dtype=np.uint8)
+    raw[:, 0] = 0
+    raw[:, 1:] = img.reshape(h, w * channels)
+    idat = zlib.compress(raw.tobytes(), level=6)
+    return _SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def _unfilter(raw: np.ndarray, h: int, w: int, channels: int) -> np.ndarray:
+    """Undo per-scanline PNG filters. raw is h x (1 + w*channels)."""
+    stride = w * channels
+    bpp = channels
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ftype = int(raw[y, 0])
+        line = raw[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, dtype=np.int32)
+        if ftype == 0:
+            out[y] = line.astype(np.uint8)
+        elif ftype == 2:  # Up
+            out[y] = ((line + prev) & 0xFF).astype(np.uint8)
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if ftype == 1:
+                    cur[x] = (line[x] + a) & 0xFF
+                elif ftype == 3:
+                    cur[x] = (line[x] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = int(out[y - 1, x - bpp]) if (y > 0 and x >= bpp) else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = (line[x] + pred) & 0xFF
+            out[y] = cur.astype(np.uint8)
+        else:
+            raise PngError(f"unknown filter {ftype}")
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode PNG bytes to an HxWx3 uint8 RGB array (gray is broadcast)."""
+    if not isinstance(data, (bytes, bytearray)) or len(data) < 8:
+        raise PngError("too short")
+    if bytes(data[:8]) != _SIGNATURE:
+        raise PngError("bad signature")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    n = len(data)
+    while pos + 8 <= n:
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = bytes(data[pos + 4 : pos + 8])
+        payload_end = pos + 8 + length
+        if payload_end + 4 > n:
+            raise PngError("truncated chunk")
+        payload = bytes(data[pos + 8 : payload_end])
+        (crc,) = struct.unpack(">I", data[payload_end : payload_end + 4])
+        if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
+            raise PngError(f"bad crc in {tag!r}")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"IDAT":
+            idat.extend(payload)
+        elif tag == b"IEND":
+            break
+        pos = payload_end + 4
+    else:
+        raise PngError("missing IEND")
+    if ihdr is None:
+        raise PngError("missing IHDR")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise PngError("unsupported IHDR")
+    if color_type == 2:
+        channels = 3
+    elif color_type == 0:
+        channels = 1
+    else:
+        raise PngError(f"unsupported color type {color_type}")
+    if w <= 0 or h <= 0 or w * h > 64_000_000:
+        raise PngError("bad dimensions")
+    try:
+        decompressed = zlib.decompress(bytes(idat))
+    except zlib.error as exc:  # pragma: no cover - exercised via corrupt fixtures
+        raise PngError(f"zlib: {exc}") from exc
+    expected = h * (1 + w * channels)
+    if len(decompressed) != expected:
+        raise PngError("bad data length")
+    raw = np.frombuffer(decompressed, dtype=np.uint8).reshape(h, 1 + w * channels)
+    if np.all(raw[:, 0] == 0):  # fast path: our own encoder output
+        pixels = raw[:, 1:].copy()
+    else:
+        pixels = _unfilter(raw, h, w, channels)
+    img = pixels.reshape(h, w, channels)
+    if channels == 1:
+        img = np.repeat(img, 3, axis=2)
+    return img

@@ -1,0 +1,63 @@
+"""Single-process reference oracle (SURVEY.md section 5, test strategy #2).
+
+``reference_extract`` walks one document's spans exactly like the reference
+walks a batch (``api_server.py:567-630``: process each item, emit results
+in input order) using the SAME kernel module as the Spark pipeline.  The
+Spark pipeline's output must match this per document on the equality tuple
+``(kind, text, media_ref, order)`` — that is the north-rule invariant, and
+it validates the explode/join/shuffle/splice plumbing independently of the
+kernel math.
+"""
+
+from __future__ import annotations
+
+from .config import DEFAULT_CONFIG, EngineConfig
+from .functions.kernel import OK, process_image
+
+
+def reference_extract(
+    doc: dict,
+    media: dict[str, bytes],
+    cfg: EngineConfig = DEFAULT_CONFIG,
+) -> list[dict]:
+    """Extract one document -> output span list in original offset order.
+
+    Semantics (north rule):
+    - text spans pass through untouched;
+    - media spans whose bytes decode become text spans (kind='text',
+      text=concatenated seal text, media_ref preserved, offset preserved);
+    - media spans that fail (missing media row or decode error) pass
+      through unchanged.
+    """
+    out = []
+    for span in sorted(doc["spans"], key=lambda s: s["offset"]):
+        if span["kind"] != "media":
+            out.append(dict(span))
+            continue
+        content = media.get(span["media_ref"])
+        result = process_image(content, cfg) if content is not None else None
+        if result is None or result.status != OK:
+            out.append(dict(span))  # pass through unchanged + failure counted
+        else:
+            out.append(
+                {
+                    "kind": "text",
+                    "text": result.text,
+                    "media_ref": span["media_ref"],
+                    "offset": span["offset"],
+                }
+            )
+    return out
+
+
+def extract_failure_count(doc: dict, media: dict[str, bytes],
+                          cfg: EngineConfig = DEFAULT_CONFIG) -> int:
+    """Number of media spans that fail (lineage metric cross-check)."""
+    n = 0
+    for span in doc["spans"]:
+        if span["kind"] != "media":
+            continue
+        content = media.get(span["media_ref"])
+        if content is None or process_image(content, cfg).status != OK:
+            n += 1
+    return n

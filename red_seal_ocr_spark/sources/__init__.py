@@ -1,0 +1,1 @@
+"""Sources & sinks: synthetic interleaved-document generator, snapshot tables."""

@@ -1,0 +1,260 @@
+"""Deterministic synthetic interleaved-document generator (seed-keyed).
+
+The reference ships no sample data (``img/`` is gitignored), so fixtures
+are synthesized per FIXTURES.md section 1-2: documents of interleaved
+text/media spans (exactly the input_hint schema) plus a ``media`` side
+table of PNG bytes rendering red seal plates with knocked-out glyph text,
+black/gray/off-red distractors, sub-threshold specks, corrupt-byte cases
+and dangling refs.
+
+Everything is a *pure function of (seed, key)*: ``gen_document(i)`` and
+``render_media(ref)`` derive their RNG from a stable hash of the key, so
+the same table can be generated single-process (oracle/unit tests) or
+distributed through Spark over ``spark.range(n)`` — the scale-out story
+for synthesizing arbitrarily large inputs without moving data.
+
+``media_spec`` is the single source of truth for a media ref's scene
+(seal texts/scales/colors, placements, distractors, corrupt-bytes kind);
+``render_media`` rasterizes it and ``media_seal_texts`` reads expected
+texts from it, so the two can never diverge.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+from ..functions.glyphs import ALPHABET, glyph_bitmap, render_text
+from ..functions.png import encode_png
+
+# RGB colors verified (unit-tested) to land inside / outside the north-star
+# hue bands under rgb_to_hsv_cv.
+SEAL_REDS = [(220, 20, 30), (200, 30, 20), (180, 16, 16), (230, 40, 60), (255, 60, 40)]
+OFF_RED = (240, 140, 40)   # hue ~15: inside reference "red hue" but outside mask bands
+BLACK = (20, 20, 20)       # V < 48 -> interference-removal target
+GRAY = (150, 150, 150)     # S ~ 0 -> gray interference
+
+_WORDS = ["SEAL", "RED", "SPARK", "DOC", "SPAN", "TABLE", "QUERY", "BATCH",
+          "SHUFFLE", "KERNEL", "ARROW", "PANDAS", "SNAPSHOT", "LINEAGE"]
+
+
+def _rng(seed: int, key: str) -> np.random.Generator:
+    digest = hashlib.sha256(f"{seed}:{key}".encode()).digest()
+    return np.random.Generator(np.random.PCG64(int.from_bytes(digest[:8], "little")))
+
+
+# ---------------------------------------------------------------------------
+# media scene spec (pure; shared by render + expectations)
+# ---------------------------------------------------------------------------
+
+
+def _seal_dims(text: str, scale: int, cfg: EngineConfig) -> tuple[int, int]:
+    uh = cfg.cell_h + 2 * cfg.seal_pad_units
+    uw = 2 * cfg.seal_pad_units + len(text) * cfg.cell_w + (len(text) - 1) * cfg.seal_gap_units
+    return uh * scale, uw * scale
+
+
+def _place(rng: np.random.Generator, occupied: list, h: int, w: int,
+           bh: int, bw: int, margin: int = 4, tries: int = 25):
+    """Find a non-overlapping placement; None if it doesn't fit."""
+    if bh + 2 * margin >= h or bw + 2 * margin >= w:
+        return None
+    for _ in range(tries):
+        y = int(rng.integers(margin, h - bh - margin))
+        x = int(rng.integers(margin, w - bw - margin))
+        box = (y - margin, x - margin, y + bh + margin, x + bw + margin)
+        if all(box[2] <= o[0] or box[0] >= o[2] or box[3] <= o[1] or box[1] >= o[3]
+               for o in occupied):
+            occupied.append(box)
+            return y, x
+    return None
+
+
+def media_spec(media_ref: str, seed: int = 42,
+               cfg: EngineConfig = DEFAULT_CONFIG) -> dict:
+    """Full deterministic scene description for one media ref.
+
+    Returns ``{corrupt: int|None, h, w, seals: [(text, scale, rgb, y, x)],
+    black: [...], gray: [...], offred: [...], specks: [...]}`` where the
+    seal list contains only seals that actually placed.
+    """
+    rng = _rng(seed, f"media:{media_ref}")
+    if rng.random() < 0.03:
+        return {"corrupt": int(rng.integers(0, 3))}
+    n_seals = int(rng.integers(1, 4))
+    seal_reqs = []
+    for _ in range(n_seals):
+        n_chars = int(rng.integers(3, 9))
+        text = "".join(ALPHABET[int(rng.integers(0, len(ALPHABET)))] for _ in range(n_chars))
+        scale = int(rng.integers(3, 7))
+        red = SEAL_REDS[int(rng.integers(0, len(SEAL_REDS)))]
+        seal_reqs.append((text, scale, red))
+    h = int(rng.integers(400, 1401))
+    w = int(rng.integers(400, 1401))
+    occupied: list = []
+    seals = []
+    for text, scale, red in seal_reqs:
+        bh, bw = _seal_dims(text, scale, cfg)
+        pos = _place(rng, occupied, h, w, bh, bw)
+        if pos is not None:
+            seals.append((text, scale, red, pos[0], pos[1]))
+    black = []
+    for _ in range(int(rng.integers(1, 4))):
+        word = _WORDS[int(rng.integers(0, len(_WORDS)))]
+        bh, bw = 7 * 2, (6 * len(word) - 1) * 2
+        pos = _place(rng, occupied, h, w, bh, bw)
+        if pos is not None:
+            black.append((word, pos[0], pos[1]))
+    gray = []
+    for _ in range(int(rng.integers(1, 3))):
+        bh, bw = 3, int(rng.integers(60, 200))
+        pos = _place(rng, occupied, h, w, bh, bw)
+        if pos is not None:
+            gray.append((pos[0], pos[1], bh, bw))
+    offred = []
+    for _ in range(int(rng.integers(0, 3))):
+        bh, bw = int(rng.integers(20, 60)), int(rng.integers(20, 60))
+        pos = _place(rng, occupied, h, w, bh, bw)
+        if pos is not None:
+            offred.append((pos[0], pos[1], bh, bw))
+    specks = []
+    for _ in range(int(rng.integers(3, 10))):
+        y = int(rng.integers(2, h - 2))
+        x = int(rng.integers(2, w - 2))
+        if all(y < o[0] or y >= o[2] or x < o[1] or x >= o[3] for o in occupied):
+            specks.append((y, x))
+    return {"corrupt": None, "h": h, "w": w, "seals": seals, "black": black,
+            "gray": gray, "offred": offred, "specks": specks}
+
+
+# ---------------------------------------------------------------------------
+# rasterization
+# ---------------------------------------------------------------------------
+
+
+def render_seal_block(text: str, scale: int, rgb: tuple, cfg: EngineConfig) -> np.ndarray:
+    """Render one seal: red plate with ``text`` knocked out in white.
+
+    Plate is ``11u x (6n+3)u`` at integer scale ``u`` (layout shared with
+    the OCR decoder in ``functions/ocr.py``).
+    """
+    pad, cw, ch, gap = cfg.seal_pad_units, cfg.cell_w, cfg.cell_h, cfg.seal_gap_units
+    n = len(text)
+    uh = ch + 2 * pad
+    uw = 2 * pad + n * cw + (n - 1) * gap
+    unit = np.zeros((uh, uw), dtype=bool)  # True = knocked out (white)
+    for i, c in enumerate(text):
+        x = pad + i * (cw + gap)
+        unit[pad : pad + ch, x : x + cw] = glyph_bitmap(c)
+    big = np.repeat(np.repeat(unit, scale, axis=0), scale, axis=1)
+    block = np.empty(big.shape + (3,), dtype=np.uint8)
+    block[...] = np.array(rgb, dtype=np.uint8)
+    block[big] = 255
+    return block
+
+
+def render_text_block(text: str, scale: int, rgb: tuple) -> np.ndarray:
+    """Glyph strokes in ``rgb`` on a white background (distractor text)."""
+    unit = render_text(text)
+    big = np.repeat(np.repeat(unit, scale, axis=0), scale, axis=1)
+    block = np.full(big.shape + (3,), 255, dtype=np.uint8)
+    block[big] = np.array(rgb, dtype=np.uint8)
+    return block
+
+
+def render_media(media_ref: str, seed: int = 42,
+                 cfg: EngineConfig = DEFAULT_CONFIG) -> bytes:
+    """Deterministically rasterize the PNG bytes for one media ref.
+
+    ~3%% of refs yield corrupt bytes (empty / garbage / truncated PNG) to
+    exercise the decode-failure path (FIXTURES.md section 2).
+    """
+    spec = media_spec(media_ref, seed, cfg)
+    if spec["corrupt"] is not None:
+        kind = spec["corrupt"]
+        if kind == 0:
+            return b""
+        if kind == 1:
+            return bytes(_rng(seed, f"garbage:{media_ref}").integers(0, 256, size=64,
+                                                                     dtype=np.uint8))
+        good = render_media(media_ref + ":inner", seed, cfg)
+        return good[: max(16, len(good) // 2)]
+    h, w = spec["h"], spec["w"]
+    canvas = np.full((h, w, 3), 255, dtype=np.uint8)
+    for text, scale, red, y, x in spec["seals"]:
+        block = render_seal_block(text, scale, red, cfg)
+        canvas[y : y + block.shape[0], x : x + block.shape[1]] = block
+    for word, y, x in spec["black"]:
+        blk = render_text_block(word, 2, BLACK)
+        canvas[y : y + blk.shape[0], x : x + blk.shape[1]] = blk
+    for y, x, bh, bw in spec["gray"]:
+        canvas[y : y + bh, x : x + bw] = np.array(GRAY, dtype=np.uint8)
+    for y, x, bh, bw in spec["offred"]:
+        canvas[y : y + bh, x : x + bw] = np.array(OFF_RED, dtype=np.uint8)
+    for y, x in spec["specks"]:
+        canvas[y, x] = np.array(SEAL_REDS[0], dtype=np.uint8)
+    return encode_png(canvas)
+
+
+def media_seal_texts(media_ref: str, seed: int = 42,
+                     cfg: EngineConfig = DEFAULT_CONFIG) -> list[str] | None:
+    """Ground-truth seal texts in reading order (y, x); None = corrupt bytes."""
+    spec = media_spec(media_ref, seed, cfg)
+    if spec["corrupt"] is not None:
+        return None
+    return [s[0] for s in sorted(spec["seals"], key=lambda s: (s[3], s[4]))]
+
+
+def media_is_dangling(media_ref: str, seed: int = 42) -> bool:
+    """~2%% of refs have no media row (join-miss handling, FIXTURES.md)."""
+    return _rng(seed, f"dangling:{media_ref}").random() < 0.02
+
+
+# ---------------------------------------------------------------------------
+# document generation
+# ---------------------------------------------------------------------------
+
+
+def gen_document(doc_idx: int, seed: int = 42) -> dict:
+    """One interleaved document: dict(doc_id, spans=[{kind,text,media_ref,offset}])."""
+    rng = _rng(seed, f"doc:{doc_idx}")
+    doc_id = f"doc-{doc_idx:08d}"
+    heavy = rng.random() < 0.02  # skew knob: media-heavy documents
+    if heavy:
+        n_spans = int(rng.integers(20, 41))
+        media_p = 0.85
+    else:
+        n_spans = int(rng.integers(1, 13))
+        media_p = 0.30
+    spans = []
+    media_count = 0
+    for off in range(n_spans):
+        if rng.random() < media_p:
+            media_ref = f"m-{doc_idx:08d}-{media_count:02d}"
+            media_count += 1
+            spans.append({"kind": "media", "text": None, "media_ref": media_ref,
+                          "offset": off})
+        else:
+            n_words = int(rng.integers(2, 7))
+            text = " ".join(_WORDS[int(rng.integers(0, len(_WORDS)))]
+                            for _ in range(n_words))
+            spans.append({"kind": "text", "text": text, "media_ref": None,
+                          "offset": off})
+    return {"doc_id": doc_id, "spans": spans}
+
+
+def doc_media_refs(doc: dict) -> list[str]:
+    return [s["media_ref"] for s in doc["spans"] if s["kind"] == "media"]
+
+
+def build_local(n_docs: int, seed: int = 42, cfg: EngineConfig = DEFAULT_CONFIG):
+    """Single-process tables for unit tests: (docs, media dict ref->bytes)."""
+    docs = [gen_document(i, seed) for i in range(n_docs)]
+    media: dict[str, bytes] = {}
+    for d in docs:
+        for ref in doc_media_refs(d):
+            if not media_is_dangling(ref, seed):
+                media[ref] = render_media(ref, seed, cfg)
+    return docs, media

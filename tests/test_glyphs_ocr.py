@@ -1,0 +1,65 @@
+"""Glyph alphabet + template OCR tests (engine F10/F11 replacement)."""
+
+import numpy as np
+import pytest
+
+from red_seal_ocr_spark.config import DEFAULT_CONFIG as CFG
+from red_seal_ocr_spark.functions.glyphs import ALPHABET, TEMPLATES, glyph_bitmap, render_text
+from red_seal_ocr_spark.functions.ocr import decode_cells, decode_seal
+from red_seal_ocr_spark.sources.datagen import SEAL_REDS, render_seal_block
+
+
+def test_templates_pairwise_distinct():
+    flat = TEMPLATES.reshape(len(ALPHABET), -1).astype(int)
+    dist = np.abs(flat[:, None, :] - flat[None, :, :]).sum(axis=2)
+    np.fill_diagonal(dist, 99)
+    assert dist.min() >= 2, f"closest glyph pair distance {dist.min()}"
+
+
+def test_decode_cells_exact():
+    cells = np.stack([glyph_bitmap(c) for c in "SPARK42"])
+    assert decode_cells(cells, CFG.ocr_max_hamming) == "SPARK42"
+
+
+def test_decode_cells_tolerates_noise():
+    cells = np.stack([glyph_bitmap(c) for c in "RED"]).copy()
+    cells[0, 0, 0] ^= True  # flip one pixel
+    assert decode_cells(cells, CFG.ocr_max_hamming) == "RED"
+
+
+def test_decode_cells_drops_garbage():
+    garbage = np.zeros((1, 7, 5), dtype=bool)
+    garbage[0] = np.random.default_rng(0).random((7, 5)) > 0.5
+    out = decode_cells(garbage, 0)
+    assert out == ""
+
+
+def test_render_text_shape():
+    assert render_text("AB").shape == (7, 11)
+    assert render_text("").shape == (7, 0)
+
+
+@pytest.mark.parametrize("scale", [3, 4, 5, 6])
+def test_seal_render_decode_roundtrip(scale):
+    """Seal block -> glyph mask -> decode recovers the text at any scale."""
+    text = "SEAL7X"
+    block = render_seal_block(text, scale, SEAL_REDS[0], CFG)
+    glyph_mask = (block == 255).all(axis=-1)  # knocked-out pixels
+    assert decode_seal(glyph_mask, CFG) == text
+
+
+def test_decode_seal_rejects_wrong_proportions():
+    assert decode_seal(np.zeros((40, 41), dtype=bool), CFG) == ""
+    assert decode_seal(np.zeros((5, 5), dtype=bool), CFG) == ""
+
+
+def test_decode_seal_fractional_scale():
+    """Decoding survives non-integer scales (post-downscale projection)."""
+    from red_seal_ocr_spark.functions.imageops import resize_area
+
+    text = "W0RLD"
+    block = render_seal_block(text, 5, SEAL_REDS[1], CFG)
+    glyph = (block == 255).all(axis=-1).astype(float)
+    h, w = glyph.shape
+    shrunk = resize_area(glyph, int(h * 0.73), int(w * 0.73)) > 0.5
+    assert decode_seal(shrunk, CFG) == text

@@ -1,0 +1,69 @@
+"""Golden span fixtures: drift guard for the oracle (SURVEY.md test #3).
+
+The frozen JSON pins the expected output span sequence
+``(kind, text, media_ref, offset)`` for 20 seed-42 documents.  Any change
+to kernel constants, datagen, or splice semantics that alters output fails
+here first.
+"""
+
+import json
+from pathlib import Path
+
+import pytest
+
+from red_seal_ocr_spark.oracle import extract_failure_count, reference_extract
+from red_seal_ocr_spark.sources.datagen import build_local
+
+GOLDEN = json.loads((Path(__file__).parent / "golden" / "spans_seed42.json").read_text())
+
+
+@pytest.fixture(scope="module")
+def tables():
+    return build_local(20, seed=42)
+
+
+def test_golden_span_equality(tables):
+    docs, media = tables
+    assert len(docs) == len(GOLDEN)
+    for doc in docs:
+        want = GOLDEN[doc["doc_id"]]["spans"]
+        got = [
+            [s["kind"], s["text"], s["media_ref"], s["offset"]]
+            for s in reference_extract(doc, media)
+        ]
+        assert got == want, f"span drift in {doc['doc_id']}"
+
+
+def test_golden_failure_counts(tables):
+    docs, media = tables
+    for doc in docs:
+        assert extract_failure_count(doc, media) == GOLDEN[doc["doc_id"]]["failures"]
+
+
+def test_failed_media_spans_pass_through(tables):
+    """North rule: a failed media span appears unchanged in the output."""
+    docs, media = tables
+    seen = 0
+    for doc in docs:
+        out = reference_extract(doc, media)
+        for inp, o in zip(sorted(doc["spans"], key=lambda s: s["offset"]), out):
+            if inp["kind"] == "media" and o["kind"] == "media":
+                assert o == inp
+                seen += 1
+    assert seen >= 1  # fixtures include at least one failure
+
+
+def test_offsets_preserved_and_ordered(tables):
+    docs, media = tables
+    for doc in docs:
+        out = reference_extract(doc, media)
+        assert [s["offset"] for s in out] == sorted(s["offset"] for s in doc["spans"])
+
+
+def test_text_spans_untouched(tables):
+    docs, media = tables
+    for doc in docs:
+        out = {s["offset"]: s for s in reference_extract(doc, media)}
+        for s in doc["spans"]:
+            if s["kind"] == "text":
+                assert out[s["offset"]] == s
