@@ -3,8 +3,7 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 """
 
 from __future__ import annotations
@@ -15,24 +14,38 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the red-seal extraction pipeline.
+
+    BASELINE.json's input_hint mandates an interleaved-span table
+    (doc_id, spans<kind,text,media_ref,offset>) which the driver testdata
+    does not carry, so per the round instructions the input is synthesized
+    deterministically (seed 42) at small scale; media bytes render
+    executor-side as a pure function of media_ref (no data movement).
+    Returns the extracted documents: spliced span sequences + per-doc
+    metrics.
+    """
+    from red_seal_ocr_spark.operators.extract import extract_documents
+    from red_seal_ocr_spark.sources.spark_tables import documents_df, media_df
+
+    n_docs = 24
+    docs = documents_df(spark, n_docs)
+    media = media_df(spark, n_docs)
+    return extract_documents(spark, docs, media)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md section 2.
 
     Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
     """
-    return {}
+    from red_seal_ocr_spark.plans.queries import SPARK_QUERIES
+
+    return dict(SPARK_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per queries() key (omitted keys get the
+    weaker rows-only check; used for genuinely non-SQL-expressible ops)."""
+    from red_seal_ocr_spark.plans.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

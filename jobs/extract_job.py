@@ -1,0 +1,67 @@
+"""spark-submit entry point for the extraction pipeline.
+
+Usage (north rule ship path)::
+
+    python jobs/make_pyfiles.py                      # build dist/engine.zip
+    spark-submit --py-files dist/engine.zip jobs/extract_job.py \
+        --output /tmp/seal_out --n-docs 200 [--docs <parquet>] [--media <parquet>]
+
+Without ``--docs/--media`` the job synthesizes the deterministic seed-42
+interleaved table executor-side (BASELINE input_hint shape).  Reruns after
+a failure resume from the last committed snapshot automatically.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--output", required=True, help="output snapshot table dir")
+    ap.add_argument("--docs", help="parquet path of an input documents table")
+    ap.add_argument("--media", help="parquet path of the media side table")
+    ap.add_argument("--n-docs", type=int, default=100, help="synthesize N docs when no --docs")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--run-id", default=None)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from red_seal_ocr_spark.operators.extract import run_extract
+    from red_seal_ocr_spark.session import get_spark
+    from red_seal_ocr_spark.sources.spark_tables import documents_df, media_df
+
+    spark = get_spark("red-seal-extract", master=args.master)
+    try:
+        if args.docs:
+            docs = spark.read.parquet(args.docs)
+            media = spark.read.parquet(args.media)
+            input_snapshot = args.docs
+        else:
+            docs = documents_df(spark, args.n_docs, args.seed)
+            media = media_df(spark, args.n_docs, args.seed)
+            input_snapshot = f"synthetic:seed={args.seed}:n={args.n_docs}"
+
+        t0 = time.time()
+        manifest = run_extract(
+            spark, docs, media, args.output,
+            run_id=args.run_id, input_snapshot_id=input_snapshot,
+        )
+        elapsed = time.time() - t0
+        from red_seal_ocr_spark.sources.snapshot import read_table
+
+        out = read_table(spark, args.output)
+        n = out.count() if out is not None else 0
+        print(
+            f"committed snapshot {manifest['snapshot_id']} run={manifest['run_id']} "
+            f"docs_total={n} elapsed={elapsed:.1f}s"
+        )
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,22 @@
+"""Build dist/engine.zip for ``spark-submit --py-files`` (north rule ship path)."""
+
+from __future__ import annotations
+
+import zipfile
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+def build(out: Path | None = None) -> Path:
+    out = out or ROOT / "dist" / "engine.zip"
+    out.parent.mkdir(parents=True, exist_ok=True)
+    pkg = ROOT / "red_seal_ocr_spark"
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        for f in sorted(pkg.rglob("*.py")):
+            z.write(f, f.relative_to(ROOT))
+    return out
+
+
+if __name__ == "__main__":
+    print(build())

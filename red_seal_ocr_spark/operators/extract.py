@@ -1,0 +1,226 @@
+"""The Spark extraction pipeline (flagship; SURVEY.md section 3.4).
+
+Plan shape (all public DataFrame API, no RDDs, no custom Catalyst rules):
+
+    read documents snapshot
+      -> anti-join committed doc_ids              (resume, section 2.4)
+      -> explode spans                            (P2 routing)
+      -> split kind=='media' / else               (pass-through projection)
+      -> left join media bytes on media_ref       (S3 replacement)
+      -> repartition by xxhash64(doc_id, offset)  (explicit span-level
+         salting: media-heavy documents are sprayed across partitions, so
+         one hot doc can never pin a partition — SURVEY.md section 4 item 1;
+         also guards the broadcast-join case where the join would otherwise
+         preserve the scan's doc-clustered partitioning)
+      -> mapInPandas(kernel)                      (F1-F13, Arrow batches)
+      -> unionByName text spans                   (splice, join-free)
+      -> groupBy(doc_id).agg(sort_array(collect_list(...)))   (A3/O2)
+      -> write data + lineage, atomic snapshot commit
+
+Scale notes (100 TB / 10^12 docs):
+- the only shuffles are the media join (keyed on media_ref — unique per
+  span, so inherently balanced), the salt repartition, and the final
+  doc_id re-aggregation; AQE handles post-filter partition coalescing.
+- the kernel is the bottleneck by design: everything around it is
+  column-pruned (the media path never reads span text; the text path
+  never touches bytes).
+- failed media spans pass through unchanged and are counted per partition
+  in the lineage table (north rule failure semantics).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+from ..sources.snapshot import commit_snapshot, list_run_files, read_table
+
+KERNEL_OUT_SCHEMA = (
+    "doc_id string, offset int, media_ref string, text string, "
+    "ok boolean, failure_kind string, n_components int"
+)
+
+SPAN_STRUCT = "struct<kind:string,text:string,media_ref:string,offset:int>"
+
+
+def _kernel_udf(cfg: EngineConfig):
+    """mapInPandas kernel: one Arrow batch of media spans -> extracted rows.
+
+    Batched numpy inside (no per-row Python in the Spark sense: the loop
+    over variable-size images is the vectorization boundary, every pixel
+    op is numpy).  Worker-side state (glyph templates) lives at module
+    level and is reused across batches via spark.python.worker.reuse —
+    the executor-side analog of the reference's OCR pool (SURVEY.md X5).
+    """
+
+    def run(batches):
+        import pandas as pd
+
+        from ..functions.kernel import OK, process_image
+
+        for b in batches:
+            texts, oks, fkinds, ncomps = [], [], [], []
+            for content in b["content"]:
+                if content is None:
+                    texts.append(None)
+                    oks.append(False)
+                    fkinds.append("missing_media")
+                    ncomps.append(0)
+                    continue
+                r = process_image(bytes(content), cfg)
+                ok = r.status == OK
+                texts.append(r.text if ok else None)
+                oks.append(ok)
+                fkinds.append(None if ok else "decode_error")
+                ncomps.append(r.n_components)
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"],
+                    "offset": b["offset"],
+                    "media_ref": b["media_ref"],
+                    "text": texts,
+                    "ok": oks,
+                    "failure_kind": fkinds,
+                    "n_components": ncomps,
+                }
+            )
+
+    return run
+
+
+def extract_documents(
+    spark: SparkSession,
+    docs: DataFrame,
+    media: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Pure transform: documents + media -> extracted documents.
+
+    Output schema: ``doc_id, spans (input shape, spliced), n_spans,
+    n_media, n_failures`` — per-doc metric columns feed the lineage
+    aggregation after the write (no recompute, SURVEY.md section 4).
+    """
+    exploded = docs.select("doc_id", F.explode("spans").alias("span")).select(
+        "doc_id", "span.kind", "span.text", "span.media_ref", "span.offset"
+    )
+
+    # pass-through path: non-media spans are never shuffled through the
+    # kernel; column pruning keeps bytes out of this branch entirely
+    text_spans = exploded.filter(F.col("kind") != "media").select(
+        "doc_id",
+        F.struct("kind", "text", "media_ref", "offset").alias("span"),
+        F.lit(0).alias("is_media"),
+        F.lit(0).alias("is_failure"),
+    )
+
+    media_spans = exploded.filter(F.col("kind") == "media").select(
+        "doc_id", "offset", "media_ref"
+    )
+    joined = media_spans.join(media, on="media_ref", how="left")
+
+    # explicit skew handling: salt by span identity, not doc_id
+    salt_n = cfg.salt_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    salted = joined.repartition(salt_n, F.xxhash64("doc_id", "offset"))
+
+    extracted = salted.mapInPandas(_kernel_udf(cfg), schema=KERNEL_OUT_SCHEMA)
+
+    media_out = extracted.select(
+        "doc_id",
+        F.struct(
+            F.when(F.col("ok"), F.lit("text")).otherwise(F.lit("media")).alias("kind"),
+            F.when(F.col("ok"), F.col("text")).otherwise(F.lit(None).cast("string")).alias("text"),
+            F.col("media_ref"),
+            F.col("offset"),
+        ).alias("span"),
+        F.lit(1).alias("is_media"),
+        F.when(F.col("ok"), F.lit(0)).otherwise(F.lit(1)).alias("is_failure"),
+    )
+
+    all_spans = text_spans.unionByName(media_out)
+
+    # A3/O2: reassemble per document in original offset order; sort_array
+    # orders by the struct's leading field, so offset goes first and the
+    # final transform restores the input_hint field order.
+    return all_spans.groupBy("doc_id").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct("span.offset", "span.kind", "span.text", "span.media_ref")
+                )
+            ),
+            lambda x: F.struct(
+                x["kind"].alias("kind"),
+                x["text"].alias("text"),
+                x["media_ref"].alias("media_ref"),
+                x["offset"].alias("offset"),
+            ),
+        ).alias("spans"),
+        F.count("*").alias("n_spans"),
+        F.sum("is_media").alias("n_media"),
+        F.sum("is_failure").alias("n_failures"),
+    )
+
+
+def run_extract(
+    spark: SparkSession,
+    docs: DataFrame,
+    media: DataFrame,
+    table_dir: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    run_id: str | None = None,
+    input_snapshot_id: str = "adhoc",
+) -> dict:
+    """Checkpointed run: process only uncommitted docs, commit atomically.
+
+    Returns the published snapshot manifest.  Crash-safe: data/lineage
+    files land under run-scoped directories first; the table only ever
+    references them once ``_current`` flips (atomic rename).  A rerun
+    after any failure anti-joins the committed doc_ids and processes just
+    the remainder (north rule: resumable from checkpoint).
+    """
+    run_id = run_id or uuid.uuid4().hex[:12]
+    committed = read_table(spark, table_dir)
+    remaining = docs
+    if committed is not None:
+        remaining = docs.join(committed.select("doc_id"), on="doc_id", how="left_anti")
+
+    result = extract_documents(spark, remaining, media, cfg)
+    data_dir = f"{table_dir}/data/run-{run_id}"
+    result.write.parquet(data_dir)
+    data_files = list_run_files(data_dir)
+
+    lineage_files: list[str] = []
+    if data_files:
+        # per-partition lineage from the files just written (column-pruned
+        # read of the metric columns only; zero recompute of the kernel)
+        lineage = (
+            spark.read.parquet(*data_files)
+            .groupBy(F.input_file_name().alias("partition_file"))
+            .agg(
+                F.count("*").alias("docs"),
+                F.sum("n_media").alias("media_spans"),
+                F.sum("n_failures").alias("failures"),
+            )
+            .select(
+                F.lit(run_id).alias("run_id"),
+                F.lit(input_snapshot_id).alias("input_snapshot_id"),
+                "partition_file",
+                "docs",
+                "media_spans",
+                "failures",
+            )
+        )
+        lineage_dir = f"{table_dir}/_lineage/run-{run_id}"
+        lineage.write.parquet(lineage_dir)
+        lineage_files = list_run_files(lineage_dir)
+
+    return commit_snapshot(
+        table_dir,
+        data_files,
+        lineage_files,
+        run_id,
+        extra={"input_snapshot_id": input_snapshot_id},
+    )

@@ -1,0 +1,1 @@
+"""Declarative query plans: the driver-contract query set and oracles."""

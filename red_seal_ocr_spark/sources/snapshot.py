@@ -1,0 +1,93 @@
+"""Iceberg-style snapshot tables: manifest + atomic pointer commit.
+
+No Iceberg catalog jar is assumed in-sandbox (SURVEY.md section 1.3), so
+the engine carries the minimal semantics the north rule needs:
+
+- a table directory holds immutable parquet data files under ``data/``;
+- a snapshot manifest (JSON) lists exactly the data files visible in that
+  snapshot plus lineage metadata;
+- ``_current`` is a one-line pointer file published via atomic
+  ``os.rename`` — readers see either the old or the new snapshot, never a
+  partial commit (the checkpoint/commit protocol of SURVEY.md section 4
+  item 3);
+- resume = read committed snapshot -> anti-join processed doc_ids.
+
+Layout::
+
+    table_dir/
+      data/run-<run_id>/part-*.parquet      (one subdir per producing run)
+      _lineage/run-<run_id>/part-*.parquet  (per-partition metrics rows)
+      _snapshots/snap-<n>.json
+      _current                              (contains "snap-<n>.json")
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from pathlib import Path
+
+
+def _snap_dir(table_dir: str) -> Path:
+    return Path(table_dir) / "_snapshots"
+
+
+def current_snapshot(table_dir: str) -> dict | None:
+    """Return the committed snapshot manifest, or None for an empty table."""
+    cur = Path(table_dir) / "_current"
+    if not cur.exists():
+        return None
+    name = cur.read_text().strip()
+    return json.loads((_snap_dir(table_dir) / name).read_text())
+
+
+def commit_snapshot(table_dir: str, data_files: list[str],
+                    lineage_files: list[str], run_id: str,
+                    extra: dict | None = None) -> dict:
+    """Publish a new snapshot = parent files + this run's files (atomic)."""
+    parent = current_snapshot(table_dir)
+    snap_id = (parent["snapshot_id"] + 1) if parent else 0
+    manifest = {
+        "snapshot_id": snap_id,
+        "parent_snapshot_id": parent["snapshot_id"] if parent else None,
+        "run_id": run_id,
+        "data_files": sorted((parent["data_files"] if parent else []) + list(data_files)),
+        "lineage_files": sorted(
+            (parent["lineage_files"] if parent else []) + list(lineage_files)
+        ),
+        **(extra or {}),
+    }
+    sd = _snap_dir(table_dir)
+    sd.mkdir(parents=True, exist_ok=True)
+    name = f"snap-{snap_id}.json"
+    (sd / name).write_text(json.dumps(manifest, indent=1))
+    tmp = Path(table_dir) / f"_current.tmp.{uuid.uuid4().hex}"
+    tmp.write_text(name)
+    os.rename(tmp, Path(table_dir) / "_current")  # atomic publish
+    return manifest
+
+
+def list_run_files(run_dir: str) -> list[str]:
+    """Parquet part files a Spark write produced under ``run_dir``."""
+    p = Path(run_dir)
+    if not p.exists():
+        return []
+    return sorted(str(f) for f in p.rglob("*.parquet") if f.is_file())
+
+
+def read_table(spark, table_dir: str, lineage: bool = False):
+    """DataFrame over exactly the committed snapshot's files (None if empty).
+
+    Reading the manifest's explicit file list (not the directory) is what
+    makes uncommitted/aborted run directories invisible — a failed run
+    leaves orphan files that the next successful commit simply never
+    references.
+    """
+    snap = current_snapshot(table_dir)
+    if snap is None:
+        return None
+    files = snap["lineage_files" if lineage else "data_files"]
+    if not files:
+        return None
+    return spark.read.parquet(*files)

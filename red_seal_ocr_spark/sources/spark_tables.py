@@ -1,0 +1,64 @@
+"""Distributed synthetic-table generation (documents + media DataFrames).
+
+Because datagen is a pure function of (seed, key), both tables materialize
+shuffle-free from ``spark.range(n)``: every executor renders its own
+partition of documents / media independently — this is how the engine
+synthesizes arbitrarily large interleaved tables (the 10^12-document-scale
+story) without a driver-side loop or any data movement.
+"""
+
+from __future__ import annotations
+
+from ..config import DEFAULT_CONFIG
+from .datagen import doc_media_refs, gen_document, media_is_dangling, render_media
+
+DOCUMENTS_SCHEMA = (
+    "doc_id string, "
+    "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+)
+MEDIA_SCHEMA = "media_ref string, content binary"
+
+
+def documents_df(spark, n_docs: int, seed: int = 42, partitions: int | None = None):
+    """Interleaved documents table (exactly input_hint) from spark.range."""
+    if partitions is None:
+        partitions = max(8, spark.sparkContext.defaultParallelism * 4)
+
+    def gen(batches):
+        import pandas as pd
+
+        for b in batches:
+            yield pd.DataFrame([gen_document(int(i), seed) for i in b["id"]])
+
+    return spark.range(n_docs, numPartitions=partitions).mapInPandas(
+        gen, schema=DOCUMENTS_SCHEMA
+    )
+
+
+def media_df(spark, n_docs: int, seed: int = 42, partitions: int | None = None,
+             cfg=DEFAULT_CONFIG):
+    """Media side table for the same n_docs, rendered where the doc lives.
+
+    Regenerates each document's media refs locally (pure function), so no
+    join/shuffle against the documents table is ever needed; dangling refs
+    (~2%) are skipped here exactly like FIXTURES.md specifies.
+    """
+    if partitions is None:
+        partitions = max(8, spark.sparkContext.defaultParallelism * 4)
+
+    def gen(batches):
+        import pandas as pd
+
+        for b in batches:
+            refs, blobs = [], []
+            for i in b["id"]:
+                for ref in doc_media_refs(gen_document(int(i), seed)):
+                    if media_is_dangling(ref, seed):
+                        continue
+                    refs.append(ref)
+                    blobs.append(render_media(ref, seed, cfg))
+            yield pd.DataFrame({"media_ref": refs, "content": blobs})
+
+    return spark.range(n_docs, numPartitions=partitions).mapInPandas(
+        gen, schema=MEDIA_SCHEMA
+    )

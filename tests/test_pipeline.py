@@ -1,0 +1,85 @@
+"""Spark pipeline tests: span equality vs oracle, splice plumbing, skew salt
+invariance (SURVEY.md section 5, test strategies #2 and #4)."""
+
+import pytest
+
+from red_seal_ocr_spark.config import EngineConfig
+from red_seal_ocr_spark.operators.extract import extract_documents
+from red_seal_ocr_spark.oracle import extract_failure_count, reference_extract
+from red_seal_ocr_spark.sources.datagen import build_local
+from red_seal_ocr_spark.sources.spark_tables import documents_df, media_df
+
+N_DOCS = 16
+
+
+@pytest.fixture(scope="module")
+def oracle_out():
+    docs, media = build_local(N_DOCS)
+    return (
+        {d["doc_id"]: reference_extract(d, media) for d in docs},
+        {d["doc_id"]: extract_failure_count(d, media) for d in docs},
+    )
+
+
+@pytest.fixture(scope="module")
+def spark_out(spark):
+    docs = documents_df(spark, N_DOCS)
+    media = media_df(spark, N_DOCS)
+    return {r["doc_id"]: r for r in extract_documents(spark, docs, media).collect()}
+
+
+def test_span_sequence_equality(oracle_out, spark_out):
+    """North-rule invariant: (kind, text, media_ref, order) per document."""
+    spans_want, _ = oracle_out
+    assert set(spark_out) == set(spans_want)
+    for doc_id, row in spark_out.items():
+        want = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                for s in spans_want[doc_id]]
+        got = [(s.kind, s.text, s.media_ref, s.offset) for s in row.spans]
+        assert got == want, doc_id
+
+
+def test_failure_counts_match_oracle(oracle_out, spark_out):
+    _, fails_want = oracle_out
+    for doc_id, row in spark_out.items():
+        assert row.n_failures == fails_want[doc_id], doc_id
+
+
+def test_metric_columns_consistent(spark_out):
+    for row in spark_out.values():
+        assert row.n_spans == len(row.spans)
+        assert row.n_media == sum(1 for s in row.spans if s.media_ref is not None)
+        assert row.n_failures == sum(1 for s in row.spans if s.kind == "media")
+
+
+def test_salt_partition_invariance(spark, oracle_out):
+    """Output is identical under degenerate and fine salting (SURVEY.md
+    hard-parts list: salting must not leak into grouping)."""
+    spans_want, _ = oracle_out
+    docs = documents_df(spark, 8)
+    media = media_df(spark, 8)
+    for salt_n in (1, 7):
+        out = extract_documents(
+            spark, docs, media, EngineConfig(salt_partitions=salt_n)
+        ).collect()
+        for row in out:
+            want = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                    for s in spans_want[row["doc_id"]]]
+            got = [(s.kind, s.text, s.media_ref, s.offset) for s in row.spans]
+            assert got == want, (salt_n, row["doc_id"])
+
+
+def test_dangling_media_ref_counts_as_failure(spark):
+    """A media span whose ref has no media row passes through + is counted."""
+    from red_seal_ocr_spark.sources.spark_tables import DOCUMENTS_SCHEMA, MEDIA_SCHEMA
+
+    docs = spark.createDataFrame(
+        [("d1", [{"kind": "media", "text": None, "media_ref": "nope", "offset": 0},
+                 {"kind": "text", "text": "hi", "media_ref": None, "offset": 1}])],
+        schema=DOCUMENTS_SCHEMA,
+    )
+    media = spark.createDataFrame([], schema=MEDIA_SCHEMA)
+    [row] = extract_documents(spark, docs, media).collect()
+    assert row.n_failures == 1
+    assert row.spans[0].kind == "media" and row.spans[0].media_ref == "nope"
+    assert row.spans[1].text == "hi"

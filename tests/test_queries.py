@@ -1,0 +1,84 @@
+"""Driver-contract cross-check: every oracled query must match DuckDB on
+the sf0.01 tables exactly (row count + schema + order-insensitive values),
+mimicking the driver's CORRECTNESS gate."""
+
+import math
+import os
+from pathlib import Path
+
+import duckdb
+import pytest
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+
+pytestmark = pytest.mark.skipif(
+    not Path(SF_DIR).exists(), reason="driver testdata not present"
+)
+
+
+def _canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.6f}"
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return str(v)
+
+
+def _rows_canon(rows, cols):
+    return sorted(tuple(_canon(r[c]) for c in sorted(cols)) for r in rows)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _oracle_pairs():
+    from red_seal_ocr_spark.plans.queries import ORACLE_SQL, SPARK_QUERIES
+
+    return [(k, SPARK_QUERIES[k], ORACLE_SQL[k]) for k in sorted(ORACLE_SQL)]
+
+
+@pytest.mark.parametrize("name,qfn,sql", _oracle_pairs(),
+                         ids=[k for k, _, _ in _oracle_pairs()])
+def test_query_matches_duckdb(spark, duck, name, qfn, sql):
+    sdf = qfn(spark, SF_DIR)
+    srows = [r.asDict() for r in sdf.collect()]
+    scols = sdf.columns
+    ddf = duck.execute(sql).fetch_df()
+    assert sorted(c.lower() for c in ddf.columns) == sorted(c.lower() for c in scols), (
+        f"{name}: column mismatch {sorted(ddf.columns)} vs {sorted(scols)}"
+    )
+    drows = ddf.to_dict("records")
+    assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
+    got = _rows_canon(srows, scols)
+    want = _rows_canon(drows, list(ddf.columns))
+    assert got == want, f"{name}: value mismatch\nspark: {got[:3]}\nduck:  {want[:3]}"
+
+
+def test_rows_only_queries_run(spark):
+    from red_seal_ocr_spark.plans.queries import ORACLE_SQL, SPARK_QUERIES
+
+    for name in sorted(set(SPARK_QUERIES) - set(ORACLE_SQL)):
+        df = SPARK_QUERIES[name](spark, SF_DIR)
+        assert df.count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry", Path(__file__).resolve().parent.parent / "__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    df = mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"doc_id", "spans"} <= set(df.columns)

@@ -1,0 +1,87 @@
+"""Checkpoint / resume / idempotence property tests (SURVEY.md test #4)."""
+
+import tempfile
+
+import pytest
+
+from red_seal_ocr_spark.operators.extract import run_extract
+from red_seal_ocr_spark.sources.snapshot import (
+    commit_snapshot,
+    current_snapshot,
+    read_table,
+)
+from red_seal_ocr_spark.sources.spark_tables import documents_df, media_df
+
+N = 12
+
+
+def test_partial_then_resume_then_idempotent(spark, tmp_path):
+    table = str(tmp_path / "out")
+    docs = documents_df(spark, N)
+    media = media_df(spark, N)
+
+    # simulated interrupted run: only half the input was committed
+    half = docs.filter(f"doc_id < 'doc-{N//2:08d}'")
+    m1 = run_extract(spark, half, media, table, run_id="r1")
+    assert m1["snapshot_id"] == 0
+    assert read_table(spark, table).count() == N // 2
+
+    # resume with the full input: processes only the remainder
+    m2 = run_extract(spark, docs, media, table, run_id="r2")
+    t = read_table(spark, table)
+    assert t.count() == N
+    assert t.select("doc_id").distinct().count() == N  # no double-processing
+
+    # full rerun is a no-op commit
+    run_extract(spark, docs, media, table, run_id="r3")
+    assert read_table(spark, table).count() == N
+
+    # lineage carries per-partition metrics for both producing runs
+    lin = read_table(spark, table, lineage=True)
+    rows = lin.collect()
+    assert {r.run_id for r in rows} == {"r1", "r2"}
+    assert sum(r.docs for r in rows) == N
+    assert all(r.partition_file for r in rows)
+
+
+def test_resumed_result_equals_single_run(spark, tmp_path):
+    """Kill-and-resume must yield byte-identical span sequences to one run."""
+    docs = documents_df(spark, 8)
+    media = media_df(spark, 8)
+
+    t_split = str(tmp_path / "split")
+    run_extract(spark, docs.filter("doc_id < 'doc-00000003'"), media, t_split, run_id="a")
+    run_extract(spark, docs, media, t_split, run_id="b")
+
+    t_single = str(tmp_path / "single")
+    run_extract(spark, docs, media, t_single, run_id="c")
+
+    def canon(table):
+        return sorted(
+            (r.doc_id, [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans])
+            for r in read_table(spark, table).collect()
+        )
+
+    assert canon(t_split) == canon(t_single)
+
+
+def test_aborted_run_files_invisible(spark, tmp_path):
+    """Files from a run that never committed are not readable via the table."""
+    table = str(tmp_path / "out")
+    docs = documents_df(spark, 4)
+    media = media_df(spark, 4)
+    run_extract(spark, docs, media, table, run_id="ok")
+    n = read_table(spark, table).count()
+    # orphan write (simulates a crash after write, before commit)
+    docs.limit(2).write.json(f"{table}/data/run-crashed")  # wrong format on purpose
+    assert read_table(spark, table).count() == n  # manifest ignores orphans
+
+
+def test_snapshot_pointer_atomicity(tmp_path):
+    table = str(tmp_path / "t")
+    m0 = commit_snapshot(table, ["f1"], [], "r0")
+    m1 = commit_snapshot(table, ["f2"], [], "r1")
+    cur = current_snapshot(table)
+    assert cur["snapshot_id"] == 1
+    assert cur["parent_snapshot_id"] == 0
+    assert set(cur["data_files"]) == {"f1", "f2"}
