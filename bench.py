@@ -1,0 +1,193 @@
+"""Benchmark harness (driver contract + scaling evidence).
+
+Default run::
+
+    python bench.py            # headline queries at $SPARK_GRAFT_SF_DIR
+                               # + flagship extraction throughput at
+                               # local[$SPARK_GRAFT_CPUS]
+
+prints ONE JSON line::
+
+    {"metric": "documents/sec ...", "value": <docs/sec>, "unit": "docs/sec",
+     "queries": {"q01_...": sec, ...}, "sf": 0.1, ...}
+
+Scaling evidence (north rule: throughput efficiency >= 0.8 from N to 4N
+executors, evidenced in-sandbox by local[8] vs local[32] on the same
+input)::
+
+    python bench.py --scaling  # also runs extraction at local[8] and
+                               # local[32], reports both + efficiency and
+                               # rewrites BENCH/BASELINE.md
+
+The extraction input (interleaved documents + media parquet) is
+materialized once per bench into a temp dir with a fixed file count, so
+both parallelism levels read the identical bytes and the timed section
+contains only the engine (read -> extract -> write).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "3000"))
+INPUT_FILES = 128  # scan parallelism >= 4x the largest core count
+
+
+def _sf_value(sf_dir: str) -> float:
+    name = Path(sf_dir).name
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def materialize_input(n_docs: int, base: str) -> tuple[str, str]:
+    """Write the synthesized interleaved tables once (not timed)."""
+    from red_seal_ocr_spark.session import get_spark
+    from red_seal_ocr_spark.sources.spark_tables import documents_df, media_df
+
+    docs_path = f"{base}/documents"
+    media_path = f"{base}/media"
+    spark = get_spark("bench-datagen", master=f"local[{CPUS}]")
+    try:
+        documents_df(spark, n_docs, partitions=INPUT_FILES).write.parquet(docs_path)
+        media_df(spark, n_docs, partitions=INPUT_FILES).write.parquet(media_path)
+    finally:
+        spark.stop()
+    return docs_path, media_path
+
+
+def time_extraction(master: str, docs_path: str, media_path: str, out_dir: str,
+                    repeats: int = 2) -> float:
+    """Best-of-N seconds for read -> extract -> write at the given master.
+
+    Best-of mitigates hypervisor neighbor noise (observed >2x swings on
+    identical runs in this sandbox); one warm session, N timed jobs.
+    """
+    from red_seal_ocr_spark.operators.extract import extract_documents
+    from red_seal_ocr_spark.session import get_spark
+
+    spark = get_spark("bench-extract", master=master, shuffle_partitions=INPUT_FILES)
+    try:
+        docs = spark.read.parquet(docs_path)
+        media = spark.read.parquet(media_path)
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.time()
+            extract_documents(spark, docs, media).write.mode("overwrite").parquet(out_dir)
+            best = min(best, time.time() - t0)
+        return best
+    finally:
+        spark.stop()
+
+
+def time_queries(sf_dir: str) -> dict[str, float]:
+    from red_seal_ocr_spark.plans.queries import SPARK_QUERIES
+    from red_seal_ocr_spark.session import get_spark
+
+    spark = get_spark("bench-queries", master=f"local[{CPUS}]")
+    times: dict[str, float] = {}
+    try:
+        for name, fn in sorted(SPARK_QUERIES.items()):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            times[name] = round(time.time() - t0, 3)
+    finally:
+        spark.stop()
+    return times
+
+
+def write_baseline_md(result: dict) -> None:
+    sc = result["scaling"]
+    md = f"""# BENCH — measured engine throughput & scaling
+
+Input: deterministic synthetic interleaved table (seed 42,
+{result['bench_docs']} documents, ~{result['media_spans']} media spans),
+materialized to parquet ({INPUT_FILES} files) before timing; the timed
+section is read -> extract -> write only.
+
+| parallelism | wall (s) | docs/sec |
+|---|---|---|
+| local[8]  (N)  | {sc['sec_local8']:.1f} | {sc['dps_local8']:.1f} |
+| local[32] (4N) | {sc['sec_local32']:.1f} | {sc['dps_local32']:.1f} |
+
+**Scaling efficiency (N -> 4N)** = (tput@32 / tput@8) / 4 =
+**{sc['efficiency']:.3f}** (target >= 0.8).
+
+Headline query timings at sf={result['sf']} are in the driver-recorded
+BENCH JSON (`python bench.py` stdout).
+"""
+    Path("BENCH").mkdir(exist_ok=True)
+    Path("BENCH/BASELINE.md").write_text(md)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true",
+                    help="run local[8] vs local[32] scaling evidence")
+    ap.add_argument("--skip-queries", action="store_true")
+    ap.add_argument("--docs", type=int, default=BENCH_DOCS)
+    args = ap.parse_args()
+
+    base = tempfile.mkdtemp(prefix="seal_bench_")
+    try:
+        docs_path, media_path = materialize_input(args.docs, base)
+
+        result: dict = {
+            "metric": ("documents/sec end-to-end extraction "
+                       "(interleaved span table, seed 42)"),
+            "unit": "docs/sec",
+            "sf": _sf_value(SF_DIR),
+            "bench_docs": args.docs,
+            "media_spans": None,
+        }
+
+        # flagship throughput at the default parallelism
+        sec_main = time_extraction(f"local[{CPUS}]", docs_path, media_path,
+                                   f"{base}/out_main")
+        result["value"] = round(args.docs / sec_main, 2)
+        result["extract_sec"] = round(sec_main, 2)
+
+        # media span count for context (cheap metadata read)
+        import duckdb
+
+        result["media_spans"] = duckdb.sql(
+            f"SELECT count(*) FROM '{media_path}/*.parquet'"
+        ).fetchone()[0]
+
+        if not args.skip_queries:
+            result["queries"] = time_queries(SF_DIR)
+
+        if args.scaling:
+            sec8 = time_extraction("local[8]", docs_path, media_path, f"{base}/out8")
+            sec32 = time_extraction("local[32]", docs_path, media_path, f"{base}/out32")
+            dps8, dps32 = args.docs / sec8, args.docs / sec32
+            result["scaling"] = {
+                "sec_local8": round(sec8, 2),
+                "sec_local32": round(sec32, 2),
+                "dps_local8": round(dps8, 2),
+                "dps_local32": round(dps32, 2),
+                "efficiency": round((dps32 / dps8) / 4.0, 4),
+            }
+            write_baseline_md(result)
+
+        print(json.dumps(result))
+        return 0
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

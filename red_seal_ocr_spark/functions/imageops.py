@@ -129,6 +129,112 @@ def red_mask(
     return in_h & (s >= sat_min) & (v >= val_min)
 
 
+_SCRATCH: dict[str, np.ndarray] = {}
+
+
+def _scratch(key: str, n: int) -> np.ndarray:
+    """Reusable uint8 worker-lifetime buffer (grown geometrically)."""
+    buf = _SCRATCH.get(key)
+    if buf is None or buf.size < n:
+        buf = np.empty(int(n * 1.25) + 64, dtype=np.uint8)
+        _SCRATCH[key] = buf
+    return buf[:n]
+
+
+def _scratch_bool(key: str, n: int) -> np.ndarray:
+    return _scratch(key, n).view(bool)
+
+
+_MIN_DELTA_LUTS: dict[int, np.ndarray] = {}
+
+
+def _min_delta_lut(sat_min: int) -> np.ndarray:
+    """Per-V smallest delta with floor(255*delta/v + 0.5) >= sat_min."""
+    lut = _MIN_DELTA_LUTS.get(sat_min)
+    if lut is None:
+        v = np.arange(256, dtype=np.float64)
+        d = np.arange(256, dtype=np.float64)
+        s = np.floor(255.0 * d[None, :] / np.maximum(v[:, None], 1e-9) + 0.5)
+        ok = s >= sat_min
+        lut = np.where(ok.any(axis=1), ok.argmax(axis=1), 255).astype(np.uint8)
+        lut[0] = 255  # v == 0 -> S == 0, never passes a positive sat_min
+        _MIN_DELTA_LUTS[sat_min] = lut
+    return lut
+
+
+def rgb_red_mask(
+    img: np.ndarray,
+    band1: tuple[int, int],
+    band2: tuple[int, int],
+    sat_min: int,
+    val_min: int,
+) -> np.ndarray:
+    """Fused RGB -> dual-band red mask, equal to
+    ``red_mask(rgb_to_hsv_cv(img), ...)`` (unit-tested) but without
+    materializing the HSV planes: hue is computed only on the few pixels
+    that already pass the S/V thresholds — on mostly-white documents that
+    is a tiny fraction of the image (F2+F3 fusion; the dominant full-image
+    cost in the kernel)."""
+    shape = img.shape[:-1]
+    n = int(np.prod(shape))
+    # channel planes may be strided views (PngImage.view()) — every op
+    # below is elementwise or a fancy gather, so no copy is ever forced
+    r8, g8, b8 = img[..., 0], img[..., 1], img[..., 2]
+    # Exact candidate screen: any pixel whose hue falls in the red bands
+    # (H in [0,10] U [156,180], i.e. degrees < 30 or > 312) has V == R, so
+    # the S/V thresholds reduce to tests on R and min(G,B) alone — no
+    # full-frame max/min over all three channels needed.  Worker-lifetime
+    # scratch buffers avoid large-ndarray churn (mmap page faults
+    # serialize across parallel workers; measured ~2x worse scaling).
+    mn_gb = np.minimum(g8, b8, out=_scratch("mn", n).reshape(shape))
+    # S >= sat_min  <=>  floor(255*delta/v + 0.5) >= sat_min
+    #               <=>  delta >= _min_delta_lut(sat_min)[v]  (all uint8)
+    delta8 = np.subtract(r8, np.minimum(mn_gb, r8, out=mn_gb),
+                         out=_scratch("dl", n).reshape(shape))
+    lut_d = np.take(_min_delta_lut(sat_min), r8, out=_scratch("lut", n).reshape(shape))
+    cand = np.greater_equal(delta8, lut_d, out=_scratch_bool("c1", n).reshape(shape))
+    cand &= np.greater_equal(r8, val_min, out=_scratch_bool("c2", n).reshape(shape))
+    cand &= np.greater_equal(r8, g8, out=_scratch_bool("c3", n).reshape(shape))
+    cand &= np.greater_equal(r8, b8, out=_scratch_bool("c4", n).reshape(shape))
+    out = np.zeros(shape, dtype=bool)
+    idx = np.flatnonzero(cand)
+    if idx.size:
+        pos = np.unravel_index(idx, shape)
+        r = r8[pos].astype(np.float32)
+        g = g8[pos].astype(np.float32)
+        b = b8[pos].astype(np.float32)
+        v = r  # candidates all have V == R
+        delta = delta8[pos].astype(np.float32)
+        s_ok = np.floor(255.0 * delta / np.maximum(v, 1e-9) + 0.5) >= sat_min
+        safe = np.maximum(delta, 1e-9)
+        h = np.where(
+            v == r,
+            60.0 * (g - b) / safe,
+            np.where(v == g, 120.0 + 60.0 * (b - r) / safe, 240.0 + 60.0 * (r - g) / safe),
+        )
+        h = np.where(h < 0, h + 360.0, h) / 2.0
+        h8 = np.floor(h + 0.5).astype(np.int32) % 180
+        in_h = ((h8 >= band1[0]) & (h8 <= band1[1])) | ((h8 >= band2[0]) & (h8 <= band2[1]))
+        # delta == 0 pixels have H=0: consistent with rgb_to_hsv_cv
+        out[pos] = s_ok & in_h
+    return out
+
+
+def uint8_stats(img: np.ndarray) -> tuple[float, float]:
+    """Mean/std of a uint8 array via one float32 pass + BLAS dot (the
+    numpy two-pass float64 std costs ~5x more; F15 input-stats probe —
+    a metric, never part of the span-equality surface)."""
+    x = img.reshape(-1).astype(np.float32)
+    n = x.size
+    if n == 0:
+        return 0.0, 0.0
+    s1 = float(x.sum(dtype=np.float64))
+    s2 = float(np.dot(x, x))
+    mean = s1 / n
+    var = max(s2 / n - mean * mean, 0.0)
+    return mean, var**0.5
+
+
 def erode2(mask: np.ndarray) -> np.ndarray:
     """Binary erosion with a 2x2 kernel, anchor (1,1), border=True (cv2-style)."""
     p = np.pad(mask, ((1, 0), (1, 0)), constant_values=True)
@@ -271,40 +377,27 @@ def filled_components(mask: np.ndarray):
     comp_runs, stats = connected_components(mask)
     if not comp_runs:
         return [], []
-    h, w = mask.shape
-    # holes = background components not touching the border
-    bg_runs, bg_stats = connected_components(~mask)
-    # map each hole to its enclosing fg component via the pixel left of the
-    # hole's first run (always foreground because runs are maximal);
-    # run->component lookup via a dict keyed on (row, col_start..) is
-    # avoided by painting labels only along hole-adjacent rows: cheaper to
-    # just build a per-row interval index of fg runs.
-    fg_by_row: dict[int, list[tuple[int, int, int]]] = {}
-    for idx, (rows, c0, c1) in enumerate(comp_runs):
-        for r, a, b in zip(rows.tolist(), c0.tolist(), c1.tolist()):
-            fg_by_row.setdefault(r, []).append((a, b, idx))
-    hole_runs_by_comp: dict[int, list] = {}
-    hole_area_by_comp: dict[int, int] = {}
-    for (rows, c0, c1), st in zip(bg_runs, bg_stats):
-        if st["y0"] == 0 or st["x0"] == 0 or st["y1"] == h or st["x1"] == w:
-            continue  # touches border -> true background, not a hole
-        r0, a0 = int(rows[0]), int(c0[0])
-        owner = -1
-        for a, b, idx in fg_by_row.get(r0, ()):
-            if a <= a0 - 1 < b:
-                owner = idx
-                break
-        if owner < 0:  # pragma: no cover - cannot happen for maximal runs
-            continue
-        hole_runs_by_comp.setdefault(owner, []).append((rows, c0, c1))
-        hole_area_by_comp[owner] = hole_area_by_comp.get(owner, 0) + int(np.sum(c1 - c0))
     run_sets = []
     out_stats = []
-    for idx, ((rows, c0, c1), st) in enumerate(zip(comp_runs, stats)):
-        rs = [(rows, c0, c1)] + hole_runs_by_comp.get(idx, [])
+    # hole filling is bbox-local: labeling the inverse of the *global*
+    # image would walk every background run of the document (O(image
+    # rows)); inverting only each component's crop keeps the cost
+    # proportional to seal area.  A local background component that does
+    # not touch the crop border is enclosed by this component -> hole.
+    for (rows, c0, c1), st in zip(comp_runs, stats):
+        y0, x0, y1, x1 = st["y0"], st["x0"], st["y1"], st["x1"]
+        ch, cw = y1 - y0, x1 - x0
+        local = paint_runs((ch, cw), [(rows, c0, c1)], origin=(y0, x0))
+        inv_runs, inv_stats = connected_components(~local)
+        hole_runs = [
+            (hr + y0, ha + x0, hb + x0)
+            for (hr, ha, hb), hst in zip(inv_runs, inv_stats)
+            if hst["y0"] > 0 and hst["x0"] > 0 and hst["y1"] < ch and hst["x1"] < cw
+        ]
+        hole_area = sum(int(np.sum(hb - ha)) for _, ha, hb in hole_runs)
         st = dict(st)
-        st["area"] = st["area"] + hole_area_by_comp.get(idx, 0)
-        run_sets.append(rs)
+        st["area"] = st["area"] + hole_area
+        run_sets.append([(rows, c0, c1)] + hole_runs)
         out_stats.append(st)
     return run_sets, out_stats
 

@@ -89,8 +89,59 @@ def _unfilter(raw: np.ndarray, h: int, w: int, channels: int) -> np.ndarray:
     return out
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """Decode PNG bytes to an HxWx3 uint8 RGB array (gray is broadcast)."""
+class PngImage:
+    """Lazily-materialized decoded PNG.
+
+    Holds the unfiltered scanline buffer (``h x (1 + w*channels)``, the
+    filter-byte column still in place) and materializes RGB pixels only
+    for requested regions.  The extraction kernel computes its red mask in
+    row tiles straight off this buffer and copies out only seal-sized
+    crops — the full HxWx3 image never exists, which roughly halves the
+    kernel's memory traffic (the scaling-efficiency bottleneck at high
+    core counts).
+    """
+
+    __slots__ = ("raw", "h", "w", "channels")
+
+    def __init__(self, raw: np.ndarray, h: int, w: int, channels: int) -> None:
+        self.raw = raw
+        self.h = h
+        self.w = w
+        self.channels = channels
+
+    def crop(self, y0: int, y1: int, x0: int, x1: int) -> np.ndarray:
+        """Contiguous (y1-y0, x1-x0, 3) uint8 RGB copy of a region."""
+        c = self.channels
+        block = self.raw[y0:y1, 1 + x0 * c : 1 + x1 * c]
+        out = np.ascontiguousarray(block).reshape(y1 - y0, x1 - x0, c)
+        if c == 1:
+            out = np.repeat(out, 3, axis=2)
+        return out
+
+    def view(self) -> np.ndarray:
+        """Zero-copy strided (h, w, 3) view over the scanline buffer.
+
+        Row stride skips the filter byte; grayscale broadcasts the single
+        channel with a 0 stride.  Read-only by construction — ufuncs read
+        it directly, so full-frame passes never copy the image.
+        """
+        c = self.channels
+        base = self.raw.reshape(-1)[1:]
+        ch_stride = 1 if c == 3 else 0
+        return np.lib.stride_tricks.as_strided(
+            base,
+            shape=(self.h, self.w, 3),
+            strides=(1 + self.w * c, c, ch_stride),
+            writeable=False,
+        )
+
+    def full(self) -> np.ndarray:
+        return self.crop(0, self.h, 0, self.w)
+
+
+def decode_png_lazy(data: bytes) -> PngImage:
+    """Decode PNG bytes to a :class:`PngImage` (pixels stay in the
+    scanline buffer until a region is requested)."""
     if not isinstance(data, (bytes, bytearray)) or len(data) < 8:
         raise PngError("too short")
     if bytes(data[:8]) != _SIGNATURE:
@@ -139,11 +190,13 @@ def decode_png(data: bytes) -> np.ndarray:
     if len(decompressed) != expected:
         raise PngError("bad data length")
     raw = np.frombuffer(decompressed, dtype=np.uint8).reshape(h, 1 + w * channels)
-    if np.all(raw[:, 0] == 0):  # fast path: our own encoder output
-        pixels = raw[:, 1:].copy()
-    else:
-        pixels = _unfilter(raw, h, w, channels)
-    img = pixels.reshape(h, w, channels)
-    if channels == 1:
-        img = np.repeat(img, 3, axis=2)
-    return img
+    if not np.all(raw[:, 0] == 0):
+        unfiltered = _unfilter(raw, h, w, channels)
+        raw = np.zeros((h, 1 + w * channels), dtype=np.uint8)
+        raw[:, 1:] = unfiltered
+    return PngImage(raw, h, w, channels)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode PNG bytes to an HxWx3 uint8 RGB array (gray is broadcast)."""
+    return decode_png_lazy(data).full()
