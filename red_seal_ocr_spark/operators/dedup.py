@@ -1,0 +1,210 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families over a text-document table (default: the driver's
+``documents`` table with ``doc_id, text``):
+
+- :func:`exact_dedup` — hash-groupBy on a normalized md5 fingerprint.
+- :func:`minhash_lsh_candidates` — shingle -> minhash signature -> LSH
+  band buckets -> bucket self-join.  All hashing stays JVM-side
+  (``xxhash64``), signatures live in array columns, and the candidate
+  join is an equi-join on (band, bucket) — the standard scalable shape:
+  no O(n^2) pair enumeration ever materializes.
+- :func:`simhash_buckets` — 64-bit SimHash from token hashes, compared by
+  Hamming distance within 16-bit band buckets.
+- :func:`ngram_jaccard_pairs` — exact token-set Jaccard for candidate
+  verification (bounded input; the verify stage after LSH).
+
+At 100 TB: every stage is a projection or an equi-join keyed by a hash —
+shuffles are on uniformly-distributed keys, map-side combines apply, and
+no stage collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_fingerprint(col: str = "text"):
+    """md5 of whitespace-normalized lowercase text (exact-dup key)."""
+    return F.md5(F.lower(F.regexp_replace(F.col(col), r"\s+", " ")))
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of exact duplicates: (fingerprint, n_dups, doc_ids)."""
+    return (
+        docs.select(F.col(id_col), normalized_fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_dups"), F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def _shingles(text_col: str, k: int):
+    """k-token shingles as an array column (lowercased, whitespace split)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # transform over positions: concat_ws of slice(toks, i, k)
+    n = F.size(toks) - F.lit(k - 1)
+    return F.when(n <= 0, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            )
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, signature array<bigint>) — minhash over k-token shingles.
+
+    Permutation family: xxhash64(shingle, seed=i) for i in 0..H-1; the
+    minimum per seed is the signature element.  Everything is built-in
+    JVM expressions (no Python in the hot path).
+    """
+    def salted(i: int):
+        # NB: must be a 1-arg lambda — F.transform interprets a 2-arg
+        # lambda as (element, index), which would silently replace the
+        # salt with the element position
+        return lambda s: F.xxhash64(s, F.lit(i))
+
+    sh = _shingles(text_col, shingle_k).alias("shingles")
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("shingles"), salted(i)))
+            for i in range(num_hashes)
+        ]
+    ).alias("signature")
+    return docs.select(F.col(id_col), sh).select(id_col, sig)
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH on minhash signatures.
+
+    rows/band = num_hashes/bands; a pair collides if any band's rows hash
+    equal.  Output: (a_id, b_id, n_bands) with a_id < b_id.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.select(F.col(id_col).alias("a_id"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("b_id"), "band", "bucket")
+    return (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+def simhash64(text_col: str = "text"):
+    """64-bit SimHash column from whitespace tokens (JVM-side only).
+
+    Classic construction: per bit, sum +-1 weighted by each token hash's
+    bit, take the sign.  Expressed as an aggregate over the token array
+    per bit via ``F.aggregate``.
+    """
+    toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit(i: int):
+        # sum over tokens of (bit_i(hash) ? 1 : -1) > 0 -> bit set
+        s = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, x: acc
+            + F.when(x.bitwiseAND(F.lit(1 << i if i < 63 else -(1 << 63))) != 0, 1).otherwise(-1),
+        )
+        return F.when(s > 0, F.lit(1 << i if i < 63 else -(1 << 63))).otherwise(F.lit(0))
+
+    out = F.lit(0)
+    for i in range(64):
+        out = out.bitwiseOR(bit(i))
+    return out
+
+
+def simhash_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: 4x16-bit band buckets (any identical
+    16-bit quarter -> candidate; guarantees recall for hamming <= 3), then
+    exact Hamming filter.  Output (a_id, b_id, hamming)."""
+    sh = docs.select(F.col(id_col), simhash64(text_col).alias("simhash"))
+    quarters = sh.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", q * 16).bitwiseAND(F.lit(0xFFFF)).cast("int")
+                    for q in range(4)
+                ]
+            )
+        ).alias("q", "qval"),
+    )
+    a = quarters.select(
+        F.col(id_col).alias("a_id"), F.col("simhash").alias("a_sh"), "q", "qval"
+    )
+    b = quarters.select(
+        F.col(id_col).alias("b_id"), F.col("simhash").alias("b_sh"), "q", "qval"
+    )
+    pairs = (
+        a.join(b, on=["q", "qval"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh"))).alias("hamming"))
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_jaccard_pct: int = 50,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard on a (bounded) candidate set; integer
+    percent output for deterministic comparison."""
+    t = docs.select(F.col(id_col), _shingles(text_col, shingle_k).alias("sh"))
+    a = t.select(F.col(id_col).alias("a_id"), F.col("sh").alias("a_sh"))
+    b = t.select(F.col(id_col).alias("b_id"), F.col("sh").alias("b_sh"))
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    union = F.size(F.array_union("a_sh", "b_sh"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            (F.lit(100) * inter / union).cast("int").alias("jaccard_pct"),
+        )
+        .filter(F.col("jaccard_pct") >= min_jaccard_pct)
+    )

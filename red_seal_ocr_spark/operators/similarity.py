@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns (array<float>).
+
+- :func:`cosine_topk` — exact brute-force top-k (the correctness
+  baseline; crossJoin + window).  Fine for moderate query sets; the
+  candidate side streams, queries broadcast.
+- :func:`lsh_topk` — random-hyperplane LSH: sign-bit signatures bucketed
+  in bands; candidates = bucket collisions; exact cosine re-rank inside
+  the candidate set.  The scale path: the crossJoin disappears, replaced
+  by an equi-join on (band, bucket) whose key distribution is uniform by
+  construction.
+
+Hyperplanes are seeded deterministically and shipped as literal arrays
+(a few KB) — they compile into the plan, no side channel needed.  All
+math runs in double precision via built-in higher-order functions
+(zip_with / aggregate): JVM-side, codegen'd, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dbl(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, rank, cos)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _dbl(F.col(vec_col)).alias("q_emb")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), _dbl(F.col(vec_col)).alias("c_emb")
+    )
+    sims = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("q_emb"), F.col("c_emb"))
+             / (_norm(F.col("q_emb")) * _norm(F.col("c_emb")))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int) -> list[list[float]]:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.standard_normal((n_bits, dim)).tolist()
+
+
+def lsh_signature(vec_col, planes: list[list[float]], bits_per_band: int = 4):
+    """Sign-bit signature as an array<int> of band values.
+
+    Narrow bands (default 4 bits) trade candidate-set size for recall:
+    collision probability per band is (1 - theta/pi)^bits, so fewer bits
+    keeps moderate-angle neighbors findable.
+    """
+    bits = [
+        F.when(
+            _dot(vec_col, F.array(*[F.lit(float(v)) for v in plane])) >= 0, F.lit(1)
+        ).otherwise(F.lit(0))
+        for plane in planes
+    ]
+    bands = []
+    for b0 in range(0, len(bits), bits_per_band):
+        band_val = F.lit(0)
+        for j, bit in enumerate(bits[b0 : b0 + bits_per_band]):
+            band_val = band_val + bit * F.lit(1 << j)
+        bands.append(band_val)
+    return F.array(*bands)
+
+
+def lsh_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 32,
+    dim: int = 64,
+    seed: int = 42,
+    bits_per_band: int = 4,
+) -> DataFrame:
+    """LSH-bucketed approximate cosine top-k (same output shape as
+    :func:`cosine_topk`; recall < 1 by design, measured in tests)."""
+    planes = _hyperplanes(dim, n_bits, seed)
+
+    def with_bands(df: DataFrame, prefix: str) -> DataFrame:
+        emb = _dbl(F.col(vec_col))
+        return df.select(
+            F.col(id_col).alias(f"{prefix}_id"), emb.alias(f"{prefix}_emb")
+        ).select(
+            f"{prefix}_id",
+            f"{prefix}_emb",
+            F.posexplode(
+                lsh_signature(F.col(f"{prefix}_emb"), planes, bits_per_band)
+            ).alias("band", "bucket"),
+        )
+
+    qb = with_bands(queries, "q")
+    cb = with_bands(candidates, "c")
+    cand_pairs = (
+        qb.join(cb, on=["band", "bucket"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "q_emb", "c_id", "c_emb")
+        .distinct()
+    )
+    sims = cand_pairs.select(
+        F.col("q_id").alias("query_id"),
+        F.col("c_id").alias("neighbor_id"),
+        (_dot(F.col("q_emb"), F.col("c_emb"))
+         / (_norm(F.col("q_emb")) * _norm(F.col("c_emb")))).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,142 @@
+"""Text-analysis operators for training-data pipelines.
+
+All JVM-side built-ins (regexp/array/higher-order functions) so every
+operator is SQL-mirrorable for the DuckDB oracle and codegen-fast at
+scale: language-ID (stopword-marker heuristic), quality scoring,
+token counting, document fingerprinting (normalized-hash and winnowing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# marker words per language (tiny, deterministic; the n-gram heuristic of
+# a lang-id stage distilled to a SQL-expressible scorer)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "los", "que", "de"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+
+def _marker_hits(text_col, words: list[str]):
+    """Count of whole-token marker occurrences (regexp_count, word-bounded
+    for latin scripts; plain containment count for CJK)."""
+    total = F.lit(0)
+    for wd in words:
+        if wd.isascii():
+            pat = r"(^|\s)" + wd + r"(\s|$)"
+            total = total + F.regexp_count(F.lower(text_col), F.lit(pat))
+        else:
+            total = total + (
+                (F.length(text_col) - F.length(F.replace(text_col, F.lit(wd), F.lit(""))))
+                / F.length(F.lit(wd))
+            ).cast("int")
+    return total
+
+
+def lang_scores(text_col):
+    """Struct of per-language marker-hit counts."""
+    return F.struct(
+        *[_marker_hits(text_col, w).alias(lang) for lang, w in sorted(LANG_MARKERS.items())]
+    )
+
+
+def predict_lang(text_col):
+    """argmax language with deterministic alphabetical tie-break; 'und'
+    (undetermined) when no marker hits at all."""
+    langs = sorted(LANG_MARKERS)
+    scores = lang_scores(text_col)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier alphabetical wins ties
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    return F.when(best <= 0, F.lit("und")).otherwise(pred)
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``pred_lang`` to the documents DataFrame."""
+    return docs.withColumn("pred_lang", predict_lang(F.col(text_col)))
+
+
+def token_count(text_col):
+    """Whitespace tokenizer count (empty text -> 0)."""
+    t = F.trim(text_col)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count(text_col):
+    """Sub-word-ish token count: split on whitespace AND on letter/digit
+    boundaries (a cheap BPE-flavored proxy: punctuation, numbers and case
+    transitions break tokens)."""
+    pieces = F.regexp_extract_all(
+        F.lower(text_col), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0)
+    )
+    return F.size(pieces)
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length/punctuation/stopword-ratio quality heuristics.
+
+    Adds integer-scaled columns (deterministic for oracle comparison):
+    ``n_tokens``, ``mean_token_len_x100``, ``stopword_pct``,
+    ``punct_pct``, ``quality_pct`` (composite 0..100).
+    """
+    toks = token_count(F.col(text_col))
+    chars = F.length(F.col(text_col))
+    mean_tok = F.floor(F.when(toks > 0, (chars * 100 / toks)).otherwise(F.lit(0))).cast("int")
+    stop_hits = _marker_hits(F.col(text_col), LANG_MARKERS["en"])
+    stop_pct = F.floor(F.when(toks > 0, stop_hits * 100 / toks).otherwise(F.lit(0))).cast("int")
+    punct = F.length(F.regexp_replace(F.col(text_col), r"[^.!?,;:]", ""))
+    punct_pct = F.floor(F.when(chars > 0, punct * 100 / chars).otherwise(F.lit(0))).cast("int")
+    # composite: long enough, some stopwords, sane token length
+    len_ok = F.when(toks >= 20, F.lit(40)).otherwise(toks * 2)
+    stop_ok = F.least(F.lit(30), stop_pct)
+    tok_ok = F.when((mean_tok >= 300) & (mean_tok <= 900), F.lit(30)).otherwise(F.lit(10))
+    return docs.select(
+        "*",
+        toks.alias("n_tokens"),
+        mean_tok.alias("mean_token_len_x100"),
+        stop_pct.alias("stopword_pct"),
+        punct_pct.alias("punct_pct"),
+        (len_ok + stop_ok + tok_ok).cast("int").alias("quality_pct"),
+    )
+
+
+def doc_fingerprint(text_col):
+    """Whole-document normalized fingerprint (md5 of squashed lowercase)."""
+    return F.md5(F.lower(F.regexp_replace(text_col, r"\s+", " ")))
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 shape).
+
+    k-gram token hashes -> sliding window of ``window`` -> keep each
+    window's minimum -> distinct.  Pure higher-order functions: the
+    rolling structure is a transform over positions, no UDF.
+    Output: (id, fingerprints array<bigint> sorted).
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n_sh = F.size(toks) - F.lit(k - 1)
+    kgram_hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_sh, F.lit(1))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))),
+    )
+    n_win = F.size(kgram_hashes) - F.lit(window - 1)
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_win, F.lit(1))),
+        lambda i: F.array_min(F.slice(kgram_hashes, i, window)),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.sort_array(F.array_distinct(mins)).alias("fingerprints"),
+    )

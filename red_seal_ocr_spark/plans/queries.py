@@ -357,6 +357,8 @@ def q20_extract_flagship(spark, sf):
     ).orderBy("doc_id")
 
 
+from .queries2 import ORACLE_SQL_2, SPARK_QUERIES_2  # noqa: E402
+
 SPARK_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -378,6 +380,7 @@ SPARK_QUERIES = {
     "q18_ann_cosine_topk": q18_ann_cosine_topk,
     "q19_ngram_overlap_pairs": q19_ngram_overlap_pairs,
     "q20_extract_flagship": q20_extract_flagship,
+    **SPARK_QUERIES_2,
 }
 
 ORACLE_SQL = {
@@ -549,4 +552,5 @@ ORACLE_SQL = {
         ORDER BY a_id, b_id
     """,
     # q20_extract_flagship: non-SQL-expressible (image kernel) -> rows-only
+    **ORACLE_SQL_2,
 }

@@ -1,0 +1,392 @@
+"""Second wave of driver-contract queries: training-data operators
+(lang-id, quality, dedup, ANN), OLAP surface (rollup, set ops, JSON,
+date parts, scalar subqueries), and batch sessionization.
+
+Oracle SQL for the lang-id/quality queries is *generated* from the same
+marker tables the Spark operators use, so the two sides cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.textops import LANG_MARKERS, language_id, quality_score
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# text analysis with generated oracles
+# ---------------------------------------------------------------------------
+
+
+def q21_lang_id(spark, sf):
+    """Language-ID distribution (marker-word heuristic, SURVEY training-data
+    tier); the oracle mirrors the scorer word-for-word."""
+    d = _t(spark, sf, "documents")
+    return (
+        language_id(d)
+        .groupBy("pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("pred_lang")
+    )
+
+
+def _sql_marker_hits(words: list[str]) -> str:
+    parts = []
+    for wd in words:
+        if wd.isascii():
+            pat = r"(^|\s)" + wd + r"(\s|$)"
+            parts.append(f"len(regexp_extract_all(lower(text), '{pat}'))")
+        else:
+            parts.append(
+                f"CAST((length(text) - length(replace(text, '{wd}', '')))"
+                f" / length('{wd}') AS INT)"
+            )
+    return " + ".join(parts)
+
+
+def _q21_oracle() -> str:
+    langs = sorted(LANG_MARKERS)
+    scores = ",\n               ".join(
+        f"({_sql_marker_hits(LANG_MARKERS[lang])}) AS s_{lang}" for lang in langs
+    )
+    best = "GREATEST(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = "CASE WHEN " + best + " <= 0 THEN 'und' " + " ".join(
+        f"WHEN s_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+        WITH scored AS (
+            SELECT {scores}
+            FROM documents
+        )
+        SELECT {case} AS pred_lang, COUNT(*) AS n_docs
+        FROM scored
+        GROUP BY 1
+        ORDER BY pred_lang
+    """
+
+
+def q22_quality_scores(spark, sf):
+    """Quality-scoring heuristics aggregated per source."""
+    d = _t(spark, sf, "documents")
+    return (
+        quality_score(d)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("quality_pct"), 4).alias("avg_quality"),
+            F.round(F.avg("stopword_pct"), 4).alias("avg_stopword_pct"),
+            F.round(F.avg("punct_pct"), 4).alias("avg_punct_pct"),
+        )
+        .orderBy("source")
+    )
+
+
+def _q22_oracle() -> str:
+    stop_hits = _sql_marker_hits(LANG_MARKERS["en"])
+    return f"""
+        WITH q AS (
+            SELECT source,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks,
+                   length(text) AS chars,
+                   ({stop_hits}) AS stop_hits,
+                   length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS punct
+            FROM documents
+        ), scored AS (
+            SELECT source,
+                   CASE WHEN toks > 0 THEN CAST(FLOOR(chars * 100 / toks) AS INT) ELSE 0 END
+                       AS mean_tok,
+                   CASE WHEN toks > 0 THEN CAST(FLOOR(stop_hits * 100 / toks) AS INT) ELSE 0 END
+                       AS stopword_pct,
+                   CASE WHEN chars > 0 THEN CAST(FLOOR(punct * 100 / chars) AS INT) ELSE 0 END
+                       AS punct_pct,
+                   toks
+            FROM q
+        )
+        SELECT source, COUNT(*) AS n_docs,
+               ROUND(AVG(
+                   (CASE WHEN toks >= 20 THEN 40 ELSE toks * 2 END)
+                   + LEAST(30, stopword_pct)
+                   + (CASE WHEN mean_tok BETWEEN 300 AND 900 THEN 30 ELSE 10 END)
+               ), 4) AS avg_quality,
+               ROUND(AVG(stopword_pct), 4) AS avg_stopword_pct,
+               ROUND(AVG(punct_pct), 4) AS avg_punct_pct
+        FROM scored
+        GROUP BY source
+        ORDER BY source
+    """
+
+
+# ---------------------------------------------------------------------------
+# dedup / similarity operators (hash-based -> rows-only checks)
+# ---------------------------------------------------------------------------
+
+
+def q23_minhash_lsh(spark, sf):
+    """MinHash+LSH near-dup candidates over documents (rows-only: the
+    xxhash64 permutation family has no DuckDB equivalent)."""
+    from ..operators.dedup import minhash_lsh_candidates
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return minhash_lsh_candidates(d).orderBy("a_id", "b_id")
+
+
+def q24_simhash(spark, sf):
+    """SimHash values + band buckets (rows-only; deterministic)."""
+    from ..operators.dedup import simhash64
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    return d.select("doc_id", simhash64("text").alias("simhash")).orderBy("doc_id")
+
+
+def q25_winnowing(spark, sf):
+    """Winnowing fingerprint counts per doc (rows-only; deterministic)."""
+    from ..operators.textops import winnowing_fingerprints
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    return winnowing_fingerprints(d).select(
+        "doc_id", F.size("fingerprints").alias("n_fingerprints")
+    ).orderBy("doc_id")
+
+
+def q26_lsh_ann_recall(spark, sf):
+    """LSH ANN vs exact top-k recall per query (rows-only self-check;
+    integer outputs)."""
+    from ..operators.similarity import cosine_topk, lsh_topk
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(q, e, k=10).select("query_id", "neighbor_id")
+    approx = lsh_topk(q, e, k=10).select(
+        F.col("query_id").alias("a_query_id"), F.col("neighbor_id").alias("a_neighbor_id")
+    )
+    hits = exact.join(
+        approx,
+        (exact.query_id == approx.a_query_id)
+        & (exact.neighbor_id == approx.a_neighbor_id),
+        "left",
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg(
+            F.count("*").alias("k"),
+            F.sum(F.when(F.col("a_neighbor_id").isNotNull(), 1).otherwise(0)).alias("hits"),
+        )
+        .select("query_id", "k", "hits")
+        .orderBy("query_id")
+    )
+
+
+def q27_multimodal_meta(spark, sf):
+    """Multimodal plumbing over self-synthesized media (rows-only):
+    image metadata + decode-failure accounting."""
+    from ..operators.multimodal import image_metadata
+    from ..sources.spark_tables import media_df
+
+    media = media_df(spark, 16)
+    meta = image_metadata(media)
+    return meta.select(
+        "media_ref", "ok", "width", "height",
+        F.round(F.col("red_ratio") * 10000).cast("int").alias("red_ratio_bps"),
+    ).orderBy("media_ref")
+
+
+# ---------------------------------------------------------------------------
+# OLAP surface: rollup, set ops, JSON, date parts, scalar subquery
+# ---------------------------------------------------------------------------
+
+
+def q28_rollup(spark, sf):
+    """GROUP BY ROLLUP (priority x status) with ALL markers."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("n_orders"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+        )
+        .orderBy("priority", "status")
+    )
+
+
+def q29_set_ops(spark, sf):
+    """INTERSECT / EXCEPT of customer vs supplier nation keys."""
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    both = c.intersect(s).select("nationkey", F.lit("both").alias("src"))
+    only_c = c.subtract(s).select("nationkey", F.lit("customer_only").alias("src"))
+    return both.unionByName(only_c).orderBy("src", "nationkey")
+
+
+def q30_date_parts(spark, sf):
+    """Calendar decomposition of the event stream (date functions)."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.year("ts").alias("y"),
+            F.month("ts").alias("m"),
+            F.dayofmonth("ts").alias("d"),
+        )
+        .agg(F.count("*").alias("n_events"), F.countDistinct("user_id").alias("n_users"))
+        .orderBy("y", "m", "d")
+    )
+
+
+def q31_json_extract(spark, sf):
+    """JSON prop extraction from the events props column."""
+    e = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q32_scalar_subquery(spark, sf):
+    """Orders above the global average price, per priority (scalar subquery
+    shape; expressed with a cross-joined aggregate in DataFrame form)."""
+    o = _t(spark, sf, "orders")
+    avg_price = o.agg(F.avg("o_totalprice").alias("avg_price"))
+    return (
+        o.crossJoin(F.broadcast(avg_price))
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_above_avg"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q33_sessionize_batch(spark, sf):
+    """Gap-based sessionization in batch form (lag + cumulative sum
+    windows) — the batch twin of streaming/events.sessionize."""
+    e = _t(spark, sf, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_min = 30
+    new_sess = (
+        F.when(
+            F.col("ts")
+            > F.lag("ts").over(w_user) + F.expr(f"INTERVAL {gap_min} MINUTES"),
+            1,
+        )
+        .otherwise(0)
+    )
+    with_sess = e.withColumn("new_sess", new_sess).withColumn(
+        "session_no", F.sum("new_sess").over(
+            w_user.rowsBetween(Window.unboundedPreceding, 0)
+        )
+    )
+    return (
+        with_sess.groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SPARK_QUERIES_2 = {
+    "q21_lang_id": q21_lang_id,
+    "q22_quality_scores": q22_quality_scores,
+    "q23_minhash_lsh": q23_minhash_lsh,
+    "q24_simhash": q24_simhash,
+    "q25_winnowing": q25_winnowing,
+    "q26_lsh_ann_recall": q26_lsh_ann_recall,
+    "q27_multimodal_meta": q27_multimodal_meta,
+    "q28_rollup": q28_rollup,
+    "q29_set_ops": q29_set_ops,
+    "q30_date_parts": q30_date_parts,
+    "q31_json_extract": q31_json_extract,
+    "q32_scalar_subquery": q32_scalar_subquery,
+    "q33_sessionize_batch": q33_sessionize_batch,
+}
+
+ORACLE_SQL_2 = {
+    "q21_lang_id": _q21_oracle(),
+    "q22_quality_scores": _q22_oracle(),
+    "q28_rollup": """
+        SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+               COALESCE(o_orderstatus, 'ALL') AS status,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        ORDER BY priority, status
+    """,
+    "q29_set_ops": """
+        SELECT nationkey, 'both' AS src FROM
+            (SELECT c_nationkey AS nationkey FROM customer
+             INTERSECT
+             SELECT s_nationkey FROM supplier)
+        UNION ALL
+        SELECT nationkey, 'customer_only' AS src FROM
+            (SELECT c_nationkey AS nationkey FROM customer
+             EXCEPT
+             SELECT s_nationkey FROM supplier)
+        ORDER BY src, nationkey
+    """,
+    "q30_date_parts": """
+        SELECT date_part('year', ts) AS y, date_part('month', ts) AS m,
+               date_part('day', ts) AS d,
+               COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY 1, 2, 3
+        ORDER BY y, m, d
+    """,
+    "q31_json_extract": """
+        SELECT event_type, COUNT(*) AS n_events,
+               ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+               MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "q32_scalar_subquery": """
+        SELECT o_orderpriority, COUNT(*) AS n_above_avg
+        FROM orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "q33_sessionize_batch": """
+        WITH lagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN epoch(ts) - epoch(LAG(ts) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+        ), numbered AS (
+            SELECT user_id,
+                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_no
+            FROM lagged
+        ), sessions AS (
+            SELECT user_id, session_no, COUNT(*) AS n_events
+            FROM numbered
+            GROUP BY user_id, session_no
+        )
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(MAX(n_events) AS BIGINT) AS max_session_events
+        FROM sessions
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+}

@@ -24,6 +24,16 @@ def get_spark(app_name: str = "red-seal-ocr-spark", master: str | None = None,
     from pyspark.sql import SparkSession
 
     os.environ.setdefault("OMP_NUM_THREADS", "1")
+    # executor Python workers must import this package regardless of the
+    # driver's cwd: local-mode workers inherit the JVM's environment, so
+    # exporting PYTHONPATH before the session starts covers them; cluster
+    # deployments ship the package via spark-submit --py-files instead.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:

@@ -1,0 +1,144 @@
+"""Structured Streaming jobs over an events stream.
+
+The reference is request/response + batch (SURVEY.md 2.10) — no streaming
+operator is required for parity — but a web-scale ingestion tier needs
+the streaming shapes, so the engine ships them as first-class operators:
+
+- :func:`windowed_counts` — tumbling event-time window + watermark for
+  late data, the canonical readStream -> agg -> writeStream job.
+- :func:`sessionize` — custom stateful operator via
+  ``applyInPandasWithState``: gap-based sessionization with per-user
+  state and event-time timeout.
+- :func:`run_stream_once` — drives any of these over the parquet events
+  table with ``trigger(availableNow=True)`` into a memory sink, which is
+  how the tests exercise the real streaming engine deterministically
+  (no sockets, no sleeps).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+SESSION_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_events int, total_value double"
+)
+
+_STATE_SCHEMA = "last_ts timestamp, start_ts timestamp, n int, total double"
+
+
+def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over a directory of events parquet files."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(events_dir)
+    )
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window counts per event_type with a late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value") * 100).cast("bigint").alias("value_cents"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30,
+               watermark: str = "2 hours") -> DataFrame:
+    """Gap-based sessionization with applyInPandasWithState.
+
+    Sessions close when no event arrives within ``gap_minutes`` of the
+    last one (event time), enforced by a state timeout so sessions also
+    flush when the watermark passes.
+    """
+    import datetime as dt
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap = dt.timedelta(minutes=gap_minutes)
+
+    def fn(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            last_ts, start_ts, n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(user_id, start_ts, last_ts, n, total)],
+                columns=["user_id", "session_start", "session_end", "n_events",
+                         "total_value"],
+            )
+            return
+        rows = pd.concat(list(pdf_iter)).sort_values("ts")
+        out = []
+        if state.exists:
+            last_ts, start_ts, n, total = state.get
+        else:
+            last_ts = start_ts = None
+            n, total = 0, 0.0
+        for ts, value in zip(rows["ts"], rows["value"]):
+            ts = ts.to_pydatetime()
+            if last_ts is not None and ts - last_ts > gap:
+                out.append((user_id, start_ts, last_ts, n, total))
+                start_ts, n, total = ts, 0, 0.0
+            if start_ts is None:
+                start_ts = ts
+            last_ts = ts
+            n += 1
+            total += float(value)
+        state.update((last_ts, start_ts, n, total))
+        state.setTimeoutTimestamp(int(last_ts.timestamp() * 1000) + gap_minutes * 60_000)
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["user_id", "session_start", "session_end", "n_events",
+                         "total_value"],
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_stream_once(stream_df: DataFrame, query_name: str,
+                    output_mode: str = "append", timeout_sec: int = 120) -> DataFrame:
+    """Run a streaming DataFrame to completion with availableNow into a
+    memory sink; returns the sink contents as a batch DataFrame."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")

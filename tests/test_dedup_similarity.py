@@ -1,0 +1,113 @@
+"""Dedup + similarity operator tests (training-data pipeline tier)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog every single day"),
+        (2, "the quick brown fox jumps over the lazy dog every single day"),   # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat every single day"),   # near dup of 1
+        (4, "completely different text about spark dataframes and shuffles"),
+        (5, "Der schnelle braune Fuchs springt jeden Tag"),
+        (6, "THE  QUICK   brown fox jumps over the lazy dog every single day"),  # norm dup of 1
+        # long near-dups (SimHash needs token mass to be stable)
+        (7, " ".join(f"token{i}" for i in range(120))),
+        (8, " ".join(f"token{i}" for i in range(119)) + " tokenX"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dedup(docs):
+    from red_seal_ocr_spark.operators.dedup import exact_dedup
+
+    out = {tuple(r.doc_ids): r.n_dups for r in exact_dedup(docs).collect()}
+    assert out == {(1, 2, 6): 3}
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    from red_seal_ocr_spark.operators.dedup import minhash_lsh_candidates
+
+    pairs = {(r.a_id, r.b_id) for r in minhash_lsh_candidates(docs).collect()}
+    assert (1, 2) in pairs          # identical docs always collide
+    assert (1, 3) in pairs          # 1-token-different docs collide w.h.p.
+    assert (4, 5) not in pairs      # unrelated docs don't
+
+
+def test_minhash_signature_properties(docs):
+    from red_seal_ocr_spark.operators.dedup import minhash_signatures
+
+    sigs = {r.doc_id: r.signature for r in minhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[2]       # identical text -> identical signature
+    same = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    assert same >= 16               # near-dup -> most hashes agree
+    diff = sum(a == b for a, b in zip(sigs[1], sigs[4]))
+    assert diff <= 8
+
+
+def test_simhash_buckets(docs):
+    from red_seal_ocr_spark.operators.dedup import simhash_buckets
+
+    pairs = {(r.a_id, r.b_id): r.hamming for r in simhash_buckets(docs, max_hamming=8).collect()}
+    assert pairs.get((1, 2)) == 0       # identical -> hamming 0
+    assert (7, 8) in pairs              # 1-of-120 token change -> tiny hamming
+    assert pairs[(7, 8)] <= 8
+    assert (4, 5) not in pairs and (4, 7) not in pairs
+
+
+def test_ngram_jaccard(docs):
+    from red_seal_ocr_spark.operators.dedup import ngram_jaccard_pairs
+
+    out = {(r.a_id, r.b_id): r.jaccard_pct for r in ngram_jaccard_pairs(docs).collect()}
+    assert out[(1, 2)] == 100
+    assert 50 <= out[(1, 3)] < 100
+
+
+def test_cosine_topk_and_lsh_recall(spark):
+    import numpy as np
+
+    from red_seal_ocr_spark.operators.similarity import cosine_topk, lsh_topk
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    # clustered embeddings (realistic: random gaussians are near-orthogonal
+    # and adversarial for any LSH family) — 4 centers + small noise
+    centers = rng.standard_normal((4, 64))
+    base = (
+        centers[np.arange(40) % 4] + rng.standard_normal((40, 64)) * 0.3
+    ).astype("float32")
+    # make vec 1 a near-copy of vec 0
+    base[1] = base[0] + rng.standard_normal(64).astype("float32") * 0.01
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    queries = emb.filter("vec_id < 3")
+
+    exact = cosine_topk(queries, emb, k=5)
+    got = {(r.query_id, r.rank): r.neighbor_id for r in exact.collect()}
+    assert got[(0, 1)] == 1 and got[(1, 1)] == 0  # mutual nearest
+
+    approx = lsh_topk(queries, emb, k=5, n_bits=32, dim=64)
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx_sets = {}
+    for r in approx.collect():
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    # near-copy pair must survive LSH; overall recall sane
+    assert 1 in approx_sets.get(0, set())
+    recall = sum(
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ) / len(exact_sets)
+    assert recall >= 0.4, recall
+
+
+def test_winnowing_fingerprints(spark, docs):
+    from red_seal_ocr_spark.operators.textops import winnowing_fingerprints
+
+    fp = {r.doc_id: tuple(r.fingerprints) for r in winnowing_fingerprints(docs).collect()}
+    assert fp[1] == fp[2]                 # identical docs -> identical fp set
+    inter = set(fp[1]) & set(fp[3])
+    assert inter                           # near-dups share fingerprints
+    assert not (set(fp[1]) & set(fp[5]))   # unrelated share none

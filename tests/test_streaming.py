@@ -1,0 +1,87 @@
+"""Structured Streaming tests: windowed agg with watermark + stateful
+sessionization, driven deterministically with availableNow triggers."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet").repartition(6).write.mode(
+        "overwrite"
+    ).parquet(out)
+    return out
+
+
+def test_windowed_counts_matches_batch(spark, events_dir):
+    from red_seal_ocr_spark.streaming.events import (
+        read_events_stream,
+        run_stream_once,
+        windowed_counts,
+    )
+
+    stream = windowed_counts(read_events_stream(spark, events_dir))
+    got = run_stream_once(stream, "win_counts", output_mode="append")
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value") * 100).cast("bigint").alias("value_cents"),
+        )
+        .select(F.col("win.start").alias("window_start"), "event_type", "n_events",
+                "value_cents")
+    )
+    g = {(r.window_start, r.event_type): (r.n_events, r.value_cents) for r in got.collect()}
+    b = {(r.window_start, r.event_type): (r.n_events, r.value_cents) for r in batch.collect()}
+    # the final (open) watermark windows may be withheld in append mode;
+    # everything emitted must match the batch computation exactly
+    assert g, "stream produced no windows"
+    for key, val in g.items():
+        assert b[key] == val
+    assert len(g) >= len(b) * 0.8
+
+
+def test_sessionize_gap_semantics(spark, tmp_path):
+    from red_seal_ocr_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        read_events_stream,
+        run_stream_once,
+        sessionize,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    # user 1: two sessions separated by a 2-hour gap
+    for minutes in (0, 5, 10, 130, 135):
+        rows.append((eid, t0 + dt.timedelta(minutes=minutes), 1, "click", 1.0, "{}"))
+        eid += 1
+    # user 2: one session
+    for minutes in (0, 20):
+        rows.append((eid, t0 + dt.timedelta(minutes=minutes), 2, "view", 2.0, "{}"))
+        eid += 1
+    # a late straggler far in the future forces the watermark past user
+    # sessions so their final sessions flush via timeout
+    rows.append((eid, t0 + dt.timedelta(days=2), 99, "view", 0.0, "{}"))
+    src = str(tmp_path / "sess_events")
+    spark.createDataFrame(rows, EVENTS_SCHEMA).repartition(3).write.parquet(src)
+
+    stream = sessionize(read_events_stream(spark, src), gap_minutes=30)
+    got = run_stream_once(stream, "sessions", output_mode="append")
+    sessions = {
+        (r.user_id, r.session_start): (r.n_events, r.total_value, r.session_end)
+        for r in got.collect()
+    }
+    # user 1 first session: 3 events over 10 minutes
+    s1 = sessions[(1, t0)]
+    assert s1[0] == 3 and s1[1] == 3.0 and s1[2] == t0 + dt.timedelta(minutes=10)
+    # user 1 second session: flushed by the watermark timeout
+    s2 = sessions.get((1, t0 + dt.timedelta(minutes=130)))
+    assert s2 is not None and s2[0] == 2
+    # user 2 single session
+    s3 = sessions.get((2, t0))
+    assert s3 is not None and s3[0] == 2 and s3[1] == 4.0

@@ -1,0 +1,132 @@
+"""Text-analysis and multimodal operator tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_language_id_on_driver_docs(spark):
+    """The driver documents table's ``lang`` labels are synthetic (all
+    rows share one English-ish vocabulary), so accuracy vs the label is
+    meaningless; assert the operator runs over the real table, yields
+    only known codes, and is deterministic."""
+    from red_seal_ocr_spark.operators.textops import LANG_MARKERS, language_id
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = language_id(docs).select("doc_id", "pred_lang").collect()
+    assert len(out) == docs.count()
+    valid = set(LANG_MARKERS) | {"und"}
+    assert all(r.pred_lang in valid for r in out)
+    out2 = language_id(docs).select("doc_id", "pred_lang").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_language_id_basic(spark):
+    from red_seal_ocr_spark.operators.textops import language_id
+
+    rows = [
+        (1, "the cat and the dog went to the park"),
+        (2, "der Hund und die Katze das ist gut"),
+        (3, "le chat et les chiens la maison des amis"),
+        (4, "xyzzy plugh qwerty"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r.pred_lang for r in language_id(df).collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "fr" and out[4] == "und"
+
+
+def test_quality_score_columns(spark):
+    from red_seal_ocr_spark.operators.textops import quality_score
+
+    rows = [(1, "the quick brown fox, and the lazy dog went to the market."),
+            (2, "x"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in quality_score(df).collect()}
+    assert out[1].quality_pct > out[2].quality_pct
+    assert out[3].n_tokens == 0 and out[3].stopword_pct == 0
+    assert out[1].punct_pct > 0
+
+
+def test_token_counts(spark):
+    from red_seal_ocr_spark.operators.textops import bpe_ish_token_count, token_count
+
+    df = spark.createDataFrame([(1, "Hello world, 42 times!"), (2, "   ")],
+                               "id bigint, text string")
+    out = df.select(
+        token_count(F.col("text")).alias("ws"),
+        bpe_ish_token_count(F.col("text")).alias("bpe"),
+    ).collect()
+    assert out[0].ws == 4
+    assert out[0].bpe == 6  # hello / world / , / 42 / times / !
+    assert out[1].ws == 0
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    from red_seal_ocr_spark.sources.spark_tables import media_df
+
+    return media_df(spark, 6).cache()
+
+
+def test_image_metadata(spark, media):
+    from red_seal_ocr_spark.operators.multimodal import image_metadata
+
+    out = image_metadata(media).collect()
+    assert len(out) == media.count()
+    ok_rows = [r for r in out if r.ok]
+    assert ok_rows, "no decodable media"
+    for r in ok_rows:
+        assert 400 <= r.width <= 1400 and 400 <= r.height <= 1400
+        assert 0.0 <= r.red_ratio < 0.5
+        assert r.mean_r >= r.mean_b  # seals are red on white
+    bad = [r for r in out if not r.ok]
+    for r in bad:
+        assert r.width is None
+
+
+def test_image_thumbnails(spark, media):
+    from red_seal_ocr_spark.functions.png import decode_png
+    from red_seal_ocr_spark.operators.multimodal import image_thumbnails
+
+    out = [r for r in image_thumbnails(media, max_side=48).collect() if r.ok]
+    assert out
+    for r in out:
+        img = decode_png(bytes(r.thumb))
+        assert max(img.shape[:2]) <= 48
+
+
+def test_audio_metadata(spark):
+    from red_seal_ocr_spark.operators.multimodal import audio_metadata, make_fake_audio
+
+    rows = [(f"a{i}", make_fake_audio(f"a{i}")) for i in range(5)]
+    rows.append(("bad", b"not-audio"))
+    df = spark.createDataFrame(rows, "media_ref string, content binary")
+    out = {r.media_ref: r for r in audio_metadata(df).collect()}
+    assert sum(r.ok for r in out.values()) == 5
+    assert not out["bad"].ok
+    for i in range(5):
+        r = out[f"a{i}"]
+        assert r.sample_rate in (8000, 16000, 44100)
+        assert r.duration_ms == int(1000 * r.n_samples / r.sample_rate)
+        assert r.rms > 0
+
+
+def test_video_frame_sampling(spark):
+    from red_seal_ocr_spark.functions.png import decode_png
+    from red_seal_ocr_spark.operators.multimodal import make_fake_video, sample_video_frames
+
+    rows = [("v0", make_fake_video("v0", n_frames=6)), ("bad", b"junk")]
+    df = spark.createDataFrame(rows, "media_ref string, content binary")
+    out = sample_video_frames(df, every_nth=2).collect()
+    good = [r for r in out if r.ok]
+    assert [r.frame_idx for r in sorted(good, key=lambda r: r.frame_idx)] == [0, 2, 4]
+    for r in good:
+        assert decode_png(bytes(r.frame)).shape == (16, 16, 3)
+    assert any(not r.ok for r in out)
+
+
+def test_deterministic_fake_payloads():
+    from red_seal_ocr_spark.operators.multimodal import make_fake_audio, make_fake_video
+
+    assert make_fake_audio("x") == make_fake_audio("x")
+    assert make_fake_video("x") == make_fake_video("x")
+    assert make_fake_audio("x") != make_fake_audio("y")
