@@ -116,8 +116,30 @@ def extract_documents(
         F.lit(0).alias("is_failure"),
     )
 
-    media_spans = exploded.filter(F.col("kind") == "media").select(
-        "doc_id", "offset", "media_ref"
+    # media path: the union makes Catalyst scan the documents table twice
+    # (cheaper at scale than routing text spans through the salt shuffle +
+    # Arrow transfer).  This branch never needs span.text, but Generate
+    # blocks nested-schema pruning for struct-typed explodes — extracting
+    # the needed fields with GetArrayStructFields (arrays_zip of direct
+    # field paths) BEFORE the explode restores it: the scan's ReadSchema
+    # drops text (verified via .explain), which at 10^12-doc scale removes
+    # the dominant column from this branch's I/O.
+    slim = docs.select(
+        "doc_id",
+        F.arrays_zip(
+            F.col("spans.kind").alias("kind"),
+            F.col("spans.media_ref").alias("media_ref"),
+            F.col("spans.offset").alias("offset"),
+        ).alias("mspans"),
+    )
+    media_spans = (
+        slim.select("doc_id", F.explode("mspans").alias("span"))
+        .filter(F.col("span.kind") == "media")
+        .select(
+            "doc_id",
+            F.col("span.offset").alias("offset"),
+            F.col("span.media_ref").alias("media_ref"),
+        )
     )
     joined = media_spans.join(media, on="media_ref", how="left")
 
