@@ -14,7 +14,12 @@ a failure resume from the last committed snapshot automatically.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+# allow plain `python jobs/<job>.py` from any cwd (spark-submit --py-files
+# covers executors; this covers the driver process itself)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 
@@ -27,11 +32,16 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--master", default=None)
+    ap.add_argument("--config", default=None,
+                    help="JSON/YAML EngineConfig overrides (S5 parity)")
     args = ap.parse_args(argv)
 
+    from red_seal_ocr_spark.config import load_config
     from red_seal_ocr_spark.operators.extract import run_extract
     from red_seal_ocr_spark.session import get_spark
     from red_seal_ocr_spark.sources.spark_tables import documents_df, media_df
+
+    cfg = load_config(args.config)
 
     spark = get_spark("red-seal-extract", master=args.master)
     try:
@@ -46,7 +56,7 @@ def main(argv: list[str] | None = None) -> int:
 
         t0 = time.time()
         manifest = run_extract(
-            spark, docs, media, args.output,
+            spark, docs, media, args.output, cfg=cfg,
             run_id=args.run_id, input_snapshot_id=input_snapshot,
         )
         elapsed = time.time() - t0

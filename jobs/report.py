@@ -1,0 +1,96 @@
+"""Human-readable run report from a committed extraction table.
+
+The driver-side analog of the reference's text-report sink
+(``main.py:246-291`` writes ocr_results.txt with header stats and
+per-image blocks): here the queryable facts live in the output + lineage
+tables, and the report is a small driver-side summary over them
+(SURVEY.md K1 mapping — never a driver-side loop over documents).
+
+Usage::
+
+    python jobs/report.py --table /path/to/output_table [--sample 5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+# allow plain `python jobs/<job>.py` from any cwd (spark-submit --py-files
+# covers executors; this covers the driver process itself)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_report(spark, table_dir: str, sample: int = 5) -> str:
+    from pyspark.sql import functions as F
+
+    from red_seal_ocr_spark.sources.snapshot import current_snapshot, read_table
+
+    snap = current_snapshot(table_dir)
+    if snap is None:
+        return f"table {table_dir}: no committed snapshot"
+    out = read_table(spark, table_dir)
+    lin = read_table(spark, table_dir, lineage=True)
+    stats = out.agg(
+        F.count("*").alias("docs"),
+        F.sum("n_spans").alias("spans"),
+        F.sum("n_media").alias("media"),
+        F.sum("n_failures").alias("failures"),
+    ).first()
+    lines = [
+        "=" * 64,
+        "red-seal extraction report",
+        "=" * 64,
+        f"table:            {table_dir}",
+        f"snapshot:         {snap['snapshot_id']} (run {snap['run_id']})",
+        f"documents:        {stats['docs']}",
+        f"spans:            {stats['spans']}  (media: {stats['media']})",
+        f"media failures:   {stats['failures']}",
+    ]
+    if lin is not None:
+        lrows = lin.orderBy("run_id", "partition_file").collect()
+        lines.append(f"lineage rows:     {len(lrows)}")
+        lines.append("-" * 64)
+        lines.append("per-partition lineage:")
+        for r in lrows:
+            part = r.partition_file.rsplit("/", 1)[-1][:40]
+            lines.append(
+                f"  run={r.run_id:<12} {part:<42} docs={r.docs:<6} "
+                f"media={r.media_spans:<6} failures={r.failures}"
+            )
+    lines.append("-" * 64)
+    lines.append(f"sample extracted documents (first {sample} by doc_id):")
+    for r in out.orderBy("doc_id").limit(sample).collect():
+        lines.append(f"  {r.doc_id}  spans={r.n_spans} media={r.n_media} "
+                     f"failures={r.n_failures}")
+        for s in r.spans:
+            txt = (s.text or "")[:48]
+            lines.append(f"    [{s.offset:>3}] {s.kind:<6} {s.media_ref or '-':<18} {txt!r}")
+    lines.append("=" * 64)
+    return "\n".join(lines)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--table", required=True)
+    ap.add_argument("--sample", type=int, default=5)
+    ap.add_argument("--output", help="write the report to this file as well")
+    args = ap.parse_args(argv)
+
+    from red_seal_ocr_spark.session import get_spark
+
+    spark = get_spark("seal-report", master="local[4]")
+    try:
+        report = build_report(spark, args.table, args.sample)
+        print(report)
+        if args.output:
+            with open(args.output, "w") as f:
+                f.write(report + "\n")
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -116,3 +116,34 @@ class EngineConfig:
 
 
 DEFAULT_CONFIG = EngineConfig()
+
+
+def load_config(path: str | None = None, **overrides) -> EngineConfig:
+    """Config source (reference ``src/preprocess.py:593-647`` S5 parity):
+    YAML preferred when PyYAML is importable, JSON otherwise; hardcoded
+    defaults when no file is given.  Unknown keys are rejected (the
+    reference silently merges; failing fast is the deliberate change)."""
+    data: dict = {}
+    if path:
+        import json
+
+        text = open(path).read()
+        if path.endswith((".yaml", ".yml")):
+            try:
+                import yaml  # type: ignore
+
+                data = yaml.safe_load(text) or {}
+            except ImportError as exc:
+                raise RuntimeError("PyYAML not installed; use a JSON config") from exc
+        else:
+            data = json.loads(text)
+    data.update(overrides)
+    known = set(EngineConfig.__dataclass_fields__)
+    unknown = set(data) - known
+    if unknown:
+        raise ValueError(f"unknown config keys: {sorted(unknown)}")
+    # tuples arrive as lists from JSON/YAML
+    for key in ("hue_band1", "hue_band2"):
+        if key in data:
+            data[key] = tuple(data[key])
+    return EngineConfig(**data)

@@ -1,0 +1,65 @@
+"""Incremental (streaming) extraction: micro-batch -> snapshot commits.
+
+The batch pipeline (operators/extract.py) resumes by anti-joining
+committed doc_ids; the streaming variant goes further — new document
+files landing in a directory are discovered by a file-source stream and
+each micro-batch is extracted and committed as its own snapshot via
+``foreachBatch``.  Spark's streaming checkpoint tracks which input files
+were consumed; the snapshot manifest makes each batch's output atomic.
+Together a crash at any point resumes exactly-once at the file level
+(reprocessed partial batches overwrite nothing: uncommitted run files
+are invisible to readers — sources/snapshot.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+from ..operators.extract import run_extract
+from ..sources.spark_tables import DOCUMENTS_SCHEMA
+
+
+def read_documents_stream(spark: SparkSession, docs_dir: str,
+                          max_files: int = 8) -> DataFrame:
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(docs_dir)
+    )
+
+
+def run_extract_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    media: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    timeout_sec: int = 600,
+) -> None:
+    """Consume all currently-available document files (availableNow),
+    extracting + committing one snapshot per micro-batch."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        run_extract(
+            spark,
+            batch_df,
+            media,
+            table_dir,
+            cfg=cfg,
+            run_id=f"stream-{batch_id}",
+            input_snapshot_id=f"stream-batch-{batch_id}",
+        )
+
+    q = (
+        read_documents_stream(spark, docs_dir)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        q.stop()

@@ -1,0 +1,50 @@
+"""Streaming (incremental) extraction: files arrive -> snapshots commit;
+restart consumes only new files; output equals the batch pipeline."""
+
+import pytest
+
+from red_seal_ocr_spark.sources.snapshot import current_snapshot, read_table
+from red_seal_ocr_spark.sources.spark_tables import documents_df, media_df
+from red_seal_ocr_spark.streaming.extract_stream import run_extract_stream
+
+
+def _canon(spark, table):
+    return sorted(
+        (r.doc_id, [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans])
+        for r in read_table(spark, table).collect()
+    )
+
+
+def test_incremental_stream_extraction(spark, tmp_path):
+    docs_dir = str(tmp_path / "incoming")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    media = media_df(spark, 12).cache()
+    media.count()
+
+    # wave 1: first 6 docs land
+    documents_df(spark, 6).repartition(2).write.mode("append").parquet(docs_dir)
+    run_extract_stream(spark, docs_dir, media, table, ckpt)
+    n1 = read_table(spark, table).count()
+    assert n1 == 6
+    snap1 = current_snapshot(table)["snapshot_id"]
+
+    # wave 2: 6 more docs land; restart consumes only the new files
+    documents_df(spark, 12).filter("doc_id >= 'doc-00000006'").repartition(2) \
+        .write.mode("append").parquet(docs_dir)
+    run_extract_stream(spark, docs_dir, media, table, ckpt)
+    t = read_table(spark, table)
+    assert t.count() == 12
+    assert t.select("doc_id").distinct().count() == 12
+    assert current_snapshot(table)["snapshot_id"] > snap1
+
+    # equality with the batch pipeline over the same 12 docs
+    from red_seal_ocr_spark.operators.extract import run_extract
+
+    batch_table = str(tmp_path / "batch")
+    run_extract(spark, documents_df(spark, 12), media, batch_table, run_id="b")
+    assert _canon(spark, table) == _canon(spark, batch_table)
+
+    # idempotent restart with nothing new: no extra docs
+    run_extract_stream(spark, docs_dir, media, table, ckpt)
+    assert read_table(spark, table).count() == 12

@@ -1,0 +1,106 @@
+"""Hypothesis property tests for the kernel tier (SURVEY.md section 5 #4)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+from red_seal_ocr_spark.config import DEFAULT_CONFIG as CFG
+from red_seal_ocr_spark.functions.glyphs import ALPHABET
+from red_seal_ocr_spark.functions.imageops import (
+    connected_components,
+    dilate2,
+    erode2,
+    red_mask,
+    resize_area,
+    rgb_red_mask,
+    rgb_to_hsv_cv,
+)
+from red_seal_ocr_spark.functions.ocr import decode_seal
+from red_seal_ocr_spark.functions.png import decode_png, encode_png
+from red_seal_ocr_spark.sources.datagen import SEAL_REDS, render_seal_block
+
+rgb_images = arrays(
+    np.uint8,
+    st.tuples(st.integers(1, 40), st.integers(1, 40), st.just(3)),
+    elements=st.integers(0, 255),
+)
+
+masks = arrays(np.bool_, st.tuples(st.integers(1, 30), st.integers(1, 30)))
+
+
+@settings(max_examples=40, deadline=None)
+@given(rgb_images)
+def test_png_roundtrip_property(img):
+    assert (decode_png(encode_png(img)) == img).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(rgb_images)
+def test_fused_mask_equals_composed(img):
+    a = red_mask(rgb_to_hsv_cv(img), CFG.hue_band1, CFG.hue_band2, CFG.sat_min, CFG.val_min)
+    b = rgb_red_mask(img, CFG.hue_band1, CFG.hue_band2, CFG.sat_min, CFG.val_min)
+    assert (a == b).all()
+
+
+def _bfs_label_count(mask):
+    """Brute-force 8-connected component count (oracle for union-find)."""
+    seen = np.zeros_like(mask)
+    h, w = mask.shape
+    count = 0
+    for sy in range(h):
+        for sx in range(w):
+            if mask[sy, sx] and not seen[sy, sx]:
+                count += 1
+                stack = [(sy, sx)]
+                seen[sy, sx] = True
+                while stack:
+                    y, x = stack.pop()
+                    for dy in (-1, 0, 1):
+                        for dx in (-1, 0, 1):
+                            ny, nx = y + dy, x + dx
+                            if 0 <= ny < h and 0 <= nx < w and mask[ny, nx] and not seen[ny, nx]:
+                                seen[ny, nx] = True
+                                stack.append((ny, nx))
+    return count
+
+
+@settings(max_examples=30, deadline=None)
+@given(masks)
+def test_components_match_bfs(mask):
+    runs, stats = connected_components(mask)
+    assert len(stats) == _bfs_label_count(mask)
+    assert sum(st_["area"] for st_ in stats) == int(mask.sum())
+
+
+@settings(max_examples=30, deadline=None)
+@given(masks)
+def test_morphology_monotone(mask):
+    er, di = erode2(mask), dilate2(mask)
+    assert not (er & ~mask).any()        # erosion shrinks
+    assert not (mask & ~di).any()        # dilation grows
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    arrays(np.float64, st.tuples(st.integers(2, 25), st.integers(2, 25)),
+           elements=st.floats(0, 1)),
+    st.integers(1, 10),
+    st.integers(1, 10),
+)
+def test_resize_area_preserves_mean(img, oh, ow):
+    out = resize_area(img, min(oh, img.shape[0]), min(ow, img.shape[1]))
+    assert abs(out.mean() - img.mean()) < 1e-6
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.text(alphabet=ALPHABET, min_size=1, max_size=10),
+    st.integers(3, 6),
+    st.integers(0, len(SEAL_REDS) - 1),
+)
+def test_seal_roundtrip_property(text, scale, red_idx):
+    """Any text at any scale in any palette red decodes exactly."""
+    block = render_seal_block(text, scale, SEAL_REDS[red_idx], CFG)
+    glyph_mask = (block == 255).all(axis=-1)
+    assert decode_seal(glyph_mask, CFG) == text
