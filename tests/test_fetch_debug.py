@@ -1,0 +1,94 @@
+"""Fetch operator (S3/S4) + debug-image sink (K3) + skew-balance evidence."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _make_fake_fetcher():
+    """Deterministic fake, built inside a function so cloudpickle
+    serializes it by value (executors cannot import the tests module)."""
+
+    def fake_fetcher(url, connect_timeout, read_timeout, max_bytes):
+        if url.startswith("fake://ok/"):
+            n = int(url.rsplit("/", 1)[1])
+            if n > max_bytes:
+                raise ValueError(f"exceeds {max_bytes} byte cap")
+            return b"x" * n
+        if url.startswith("fake://timeout"):
+            raise TimeoutError("read timeout")
+        raise ConnectionError("refused")
+
+    return fake_fetcher
+
+
+def test_fetch_media_semantics(spark):
+    from red_seal_ocr_spark.sources.fetch import fetch_media
+
+    rows = [
+        ("m1", "fake://ok/1000"),
+        ("m2", "fake://ok/999999999"),   # over the cap
+        ("m3", "fake://timeout"),
+        ("m4", "fake://nope"),
+    ]
+    df = spark.createDataFrame(rows, "media_ref string, url string")
+    out = {r.media_ref: r for r in
+           fetch_media(df, fetcher=_make_fake_fetcher(), max_size_mb=1).collect()}
+    assert out["m1"].n_bytes == 1000 and out["m1"].error is None
+    assert out["m2"].content is None and "cap" in out["m2"].error
+    assert out["m3"].content is None and "TimeoutError" in out["m3"].error
+    assert out["m4"].content is None and "ConnectionError" in out["m4"].error
+
+
+def test_fetch_parallelism_repartitions(spark):
+    from red_seal_ocr_spark.sources.fetch import fetch_media
+
+    df = spark.createDataFrame(
+        [(f"m{i}", f"fake://ok/{i+1}") for i in range(20)],
+        "media_ref string, url string",
+    )
+    out = fetch_media(df, fetcher=_make_fake_fetcher(), parallelism=5)
+    assert out.rdd.getNumPartitions() == 5
+    assert out.filter("error is null").count() == 20
+
+
+def test_debug_image_sink(tmp_path):
+    from red_seal_ocr_spark.operators.debug import dump_debug_images
+    from red_seal_ocr_spark.sources.datagen import render_media
+
+    rows = [(f"m-{i:08d}-00", render_media(f"m-{i:08d}-00")) for i in range(3)]
+    rows.append(("corrupt", b"junk"))
+    stats = dump_debug_images(rows, str(tmp_path / "dbg"))
+    good = [s for s in stats if "error" not in s]
+    assert good, "no decodable sample"
+    for s in good:
+        assert s["red_ratio"] > 0
+        assert s["kept_components"]
+        for c in s["kept_components"]:
+            assert c["area"] > 0 and c["aspect"] > 0
+    assert any("error" in s for s in stats)
+    files = list((tmp_path / "dbg").iterdir())
+    names = {f.name for f in files}
+    assert "debug_stats.txt" in names
+    assert any(n.endswith(".mask.png") for n in names)
+    assert any(n.endswith(".filtered.png") for n in names)
+
+
+def test_span_salting_balances_heavy_docs(spark):
+    """Skew evidence: one media-heavy document's spans spread across
+    partitions under xxhash64(doc_id, offset), but pin a single partition
+    under hash(doc_id) — the exact scenario of SURVEY.md section 4 item 1."""
+    rows = [("heavy", i) for i in range(64)] + [(f"d{i}", 0) for i in range(16)]
+    df = spark.createDataFrame(rows, "doc_id string, offset int")
+
+    def partition_sizes(d):
+        return (
+            d.groupBy(F.spark_partition_id().alias("p"))
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+
+    by_doc = df.repartition(8, F.col("doc_id"))
+    by_span = df.repartition(8, F.xxhash64("doc_id", "offset"))
+    assert partition_sizes(by_doc) >= 64          # heavy doc pins one partition
+    assert partition_sizes(by_span) <= 64 * 0.5   # salted: spread out
