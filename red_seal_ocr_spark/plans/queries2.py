@@ -188,7 +188,7 @@ def q27_multimodal_meta(spark, sf):
     from ..operators.multimodal import image_metadata
     from ..sources.spark_tables import media_df
 
-    media = media_df(spark, 16)
+    media = media_df(spark, 16, partitions=16)
     meta = image_metadata(media)
     return meta.select(
         "media_ref", "ok", "width", "height",

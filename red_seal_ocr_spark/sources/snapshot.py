@@ -76,15 +76,32 @@ def list_run_files(run_dir: str) -> list[str]:
     return sorted(str(f) for f in p.rglob("*.parquet") if f.is_file())
 
 
-def read_table(spark, table_dir: str, lineage: bool = False):
-    """DataFrame over exactly the committed snapshot's files (None if empty).
+def read_snapshot(table_dir: str, snapshot_id: int) -> dict | None:
+    """Manifest of a specific historical snapshot (time travel)."""
+    p = _snap_dir(table_dir) / f"snap-{snapshot_id}.json"
+    if not p.exists():
+        return None
+    return json.loads(p.read_text())
 
+
+def read_table(spark, table_dir: str, lineage: bool = False,
+               snapshot_id: int | None = None):
+    """DataFrame over exactly one snapshot's files (None if empty).
+
+    Default is the committed (current) snapshot; pass ``snapshot_id`` to
+    time-travel to any earlier one — snapshots are immutable manifests,
+    so historical reads stay consistent even as new runs commit.
     Reading the manifest's explicit file list (not the directory) is what
     makes uncommitted/aborted run directories invisible — a failed run
     leaves orphan files that the next successful commit simply never
     references.
     """
-    snap = current_snapshot(table_dir)
+    if snapshot_id is None:
+        snap = current_snapshot(table_dir)
+    else:
+        snap = read_snapshot(table_dir, snapshot_id)
+        if snap is None:
+            raise ValueError(f"no snapshot {snapshot_id} in {table_dir}")
     if snap is None:
         return None
     files = snap["lineage_files" if lineage else "data_files"]

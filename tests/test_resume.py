@@ -85,3 +85,19 @@ def test_snapshot_pointer_atomicity(tmp_path):
     assert cur["snapshot_id"] == 1
     assert cur["parent_snapshot_id"] == 0
     assert set(cur["data_files"]) == {"f1", "f2"}
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    """Historical snapshots stay readable and immutable as runs commit."""
+    table = str(tmp_path / "tt")
+    docs = documents_df(spark, 8)
+    media = media_df(spark, 8)
+    run_extract(spark, docs.filter("doc_id < 'doc-00000004'"), media, table, run_id="t1")
+    run_extract(spark, docs, media, table, run_id="t2")
+    assert read_table(spark, table).count() == 8                      # current
+    assert read_table(spark, table, snapshot_id=0).count() == 4       # time travel
+    assert read_table(spark, table, snapshot_id=1).count() == 8
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no snapshot 9"):
+        read_table(spark, table, snapshot_id=9)
