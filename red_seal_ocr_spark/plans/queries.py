@@ -145,7 +145,7 @@ def q10_top2_orders_per_cust(spark, sf):
     o = _t(spark, sf, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
-        o.withColumn("rn", F.row_number().over(w))
+        o.withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= 2)
         .select("o_custkey", "o_orderkey", "rn")
         .orderBy("o_custkey", "rn")
@@ -158,7 +158,8 @@ def q11_events_hourly(spark, sf):
     e = _t(spark, sf, "events")
     return (
         e.groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.date_format(F.date_trunc("hour", F.col("ts")),
+                          "yyyy-MM-dd HH:mm:ss").alias("hour"),
             "event_type",
         )
         .agg(
@@ -194,7 +195,7 @@ def q13_string_funcs(spark, sf):
             "c_custkey",
             F.md5(F.lower(F.trim(F.col("c_name")))).alias("name_md5"),
             F.upper(F.substring(F.col("c_name"), 1, 8)).alias("name_prefix"),
-            F.length("c_name").alias("name_len"),
+            F.length("c_name").cast("bigint").alias("name_len"),
         )
         .orderBy("c_custkey")
     )
@@ -243,7 +244,7 @@ def q16_token_stats(spark, sf):
         .agg(
             F.count("*").alias("n_docs"),
             F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
-            F.max("n_tokens").alias("max_tokens"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
         )
         .orderBy("lang")
     )
@@ -301,7 +302,7 @@ def q18_ann_cosine_topk(spark, sf):
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        sims.withColumn("rank", F.row_number().over(w))
+        sims.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 10)
         .select("query_id", "neighbor_id", "rank")
         .orderBy("query_id", "rank")
@@ -327,7 +328,8 @@ def q19_ngram_overlap_pairs(spark, sf):
     inter = F.size(F.array_intersect("a_toks", "b_toks"))
     union = F.size(F.array_union("a_toks", "b_toks"))
     return (
-        pairs.select("a_id", "b_id", inter.alias("inter_size"), union.alias("union_size"))
+        pairs.select("a_id", "b_id", inter.cast("bigint").alias("inter_size"),
+                     union.cast("bigint").alias("union_size"))
         .filter(F.col("inter_size") >= 20)
         .orderBy("a_id", "b_id")
     )
@@ -459,7 +461,7 @@ ORACLE_SQL = {
         ORDER BY o_custkey, rn
     """,
     "q11_events_hourly": """
-        SELECT date_trunc('hour', ts) AS hour, event_type,
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
                COUNT(*) AS n_events,
                CAST(ROUND(SUM(value) * 100) AS BIGINT) AS value_cents
         FROM events
@@ -481,7 +483,7 @@ ORACLE_SQL = {
         SELECT c_custkey,
                md5(lower(trim(c_name))) AS name_md5,
                upper(substring(c_name, 1, 8)) AS name_prefix,
-               length(c_name) AS name_len
+               CAST(length(c_name) AS BIGINT) AS name_len
         FROM customer
         WHERE c_custkey <= 20
         ORDER BY c_custkey

@@ -230,9 +230,9 @@ def q30_date_parts(spark, sf):
     e = _t(spark, sf, "events")
     return (
         e.groupBy(
-            F.year("ts").alias("y"),
-            F.month("ts").alias("m"),
-            F.dayofmonth("ts").alias("d"),
+            F.year("ts").cast("bigint").alias("y"),
+            F.month("ts").cast("bigint").alias("m"),
+            F.dayofmonth("ts").cast("bigint").alias("d"),
         )
         .agg(F.count("*").alias("n_events"), F.countDistinct("user_id").alias("n_users"))
         .orderBy("y", "m", "d")

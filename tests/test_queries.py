@@ -55,6 +55,24 @@ def test_query_matches_duckdb(spark, duck, name, qfn, sql):
     assert sorted(c.lower() for c in ddf.columns) == sorted(c.lower() for c in scols), (
         f"{name}: column mismatch {sorted(ddf.columns)} vs {sorted(scols)}"
     )
+    # type-family alignment (the driver compares schemas too)
+    fam = {"bigint": "i", "int": "i", "smallint": "i", "tinyint": "i",
+           "double": "f", "float": "f", "string": "s", "boolean": "b",
+           "timestamp": "t", "timestamp_ntz": "t", "date": "t"}
+    sfam = {c.lower(): fam.get(t, t) for c, t in sdf.dtypes}
+    import numpy as _np
+
+    for c in ddf.columns:
+        kind = ddf[c].dtype.kind  # i/u int, f float, O object, M datetime, b bool
+        dfam = {"i": "i", "u": "i", "f": "f", "O": "s", "M": "t", "b": "b"}.get(kind, kind)
+        if len(ddf) and dfam == "f" and sfam.get(c.lower()) == "i":
+            # pandas upcasts nullable ints to float; only flag when the
+            # duckdb declared type is genuinely floating
+            continue
+        assert sfam.get(c.lower()) == dfam, (
+            f"{name}: dtype family mismatch on {c}: spark={sfam.get(c.lower())} "
+            f"duck={dfam}"
+        )
     drows = ddf.to_dict("records")
     assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
     got = _rows_canon(srows, scols)
