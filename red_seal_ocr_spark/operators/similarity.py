@@ -90,6 +90,80 @@ def lsh_signature(vec_col, planes: list[list[float]], bits_per_band: int = 4):
     return F.array(*bands)
 
 
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 8,
+    n_probe: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: KMeans-partitioned search.
+
+    Train ``n_lists`` centroids (MLlib KMeans, seeded), assign every
+    candidate to its nearest list, and search each query only in its
+    ``n_probe`` nearest lists — the classic IVF recall/cost dial.  The
+    candidate join is an equi-join on the list id, so at scale this is a
+    shuffle keyed by centroid assignment instead of a crossJoin; list
+    sizes are balanced by KMeans itself (plus AQE skew handling).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    cand = candidates.select(
+        F.col(id_col).alias("c_id"), _dbl(F.col(vec_col)).alias("c_emb")
+    )
+    qry = queries.select(
+        F.col(id_col).alias("q_id"), _dbl(F.col(vec_col)).alias("q_emb")
+    )
+    train = cand.select(array_to_vector("c_emb").alias("features"))
+    km = KMeans(k=n_lists, seed=seed, maxIter=10).fit(train)
+    centers = [c.tolist() for c in km.clusterCenters()]
+
+    def nearest_lists(emb_col, n: int):
+        """Array of the n nearest list ids by squared L2 (plan-literal
+        centroids, same trick as the LSH hyperplanes)."""
+        dists = [
+            F.aggregate(
+                F.zip_with(
+                    emb_col,
+                    F.array(*[F.lit(float(v)) for v in center]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias(f"d{i}")
+            for i, center in enumerate(centers)
+        ]
+        pairs = F.array(
+            *[F.struct(d.alias("d"), F.lit(i).alias("i")) for i, d in enumerate(dists)]
+        )
+        return F.slice(F.array_sort(pairs), 1, n)["i"]
+
+    cand_assigned = cand.select(
+        "c_id", "c_emb", nearest_lists(F.col("c_emb"), 1)[0].alias("list_id")
+    )
+    qry_probed = qry.select(
+        "q_id", "q_emb", F.explode(nearest_lists(F.col("q_emb"), n_probe)).alias("list_id")
+    )
+    sims = (
+        qry_probed.join(cand_assigned, on="list_id")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            (_dot(F.col("q_emb"), F.col("c_emb"))
+             / (_norm(F.col("q_emb")) * _norm(F.col("c_emb")))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return sims.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rank") <= k
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     candidates: DataFrame,

@@ -44,28 +44,55 @@ def current_snapshot(table_dir: str) -> dict | None:
 
 def commit_snapshot(table_dir: str, data_files: list[str],
                     lineage_files: list[str], run_id: str,
-                    extra: dict | None = None) -> dict:
-    """Publish a new snapshot = parent files + this run's files (atomic)."""
-    parent = current_snapshot(table_dir)
-    snap_id = (parent["snapshot_id"] + 1) if parent else 0
-    manifest = {
-        "snapshot_id": snap_id,
-        "parent_snapshot_id": parent["snapshot_id"] if parent else None,
-        "run_id": run_id,
-        "data_files": sorted((parent["data_files"] if parent else []) + list(data_files)),
-        "lineage_files": sorted(
-            (parent["lineage_files"] if parent else []) + list(lineage_files)
-        ),
-        **(extra or {}),
-    }
-    sd = _snap_dir(table_dir)
-    sd.mkdir(parents=True, exist_ok=True)
-    name = f"snap-{snap_id}.json"
-    (sd / name).write_text(json.dumps(manifest, indent=1))
-    tmp = Path(table_dir) / f"_current.tmp.{uuid.uuid4().hex}"
-    tmp.write_text(name)
-    os.rename(tmp, Path(table_dir) / "_current")  # atomic publish
-    return manifest
+                    extra: dict | None = None,
+                    lock_timeout_sec: float = 60.0) -> dict:
+    """Publish a new snapshot = parent files + this run's files (atomic).
+
+    Concurrent committers are serialized by an mkdir lock (atomic on
+    POSIX): each commit reads the parent *inside* the critical section, so
+    two simultaneous runs both land (no lost update) — the pointer rename
+    stays atomic for readers.  On an object store this would be a
+    conditional-put / swap-if-parent instead.
+    """
+    import time
+
+    table = Path(table_dir)
+    table.mkdir(parents=True, exist_ok=True)
+    lock = table / "_commit.lock"
+    deadline = time.time() + lock_timeout_sec
+    while True:
+        try:
+            os.mkdir(lock)
+            break
+        except FileExistsError:
+            if time.time() > deadline:
+                raise TimeoutError(f"commit lock held too long: {lock}") from None
+            time.sleep(0.05)
+    try:
+        parent = current_snapshot(table_dir)
+        snap_id = (parent["snapshot_id"] + 1) if parent else 0
+        manifest = {
+            "snapshot_id": snap_id,
+            "parent_snapshot_id": parent["snapshot_id"] if parent else None,
+            "run_id": run_id,
+            "data_files": sorted(
+                (parent["data_files"] if parent else []) + list(data_files)
+            ),
+            "lineage_files": sorted(
+                (parent["lineage_files"] if parent else []) + list(lineage_files)
+            ),
+            **(extra or {}),
+        }
+        sd = _snap_dir(table_dir)
+        sd.mkdir(parents=True, exist_ok=True)
+        name = f"snap-{snap_id}.json"
+        (sd / name).write_text(json.dumps(manifest, indent=1))
+        tmp = table / f"_current.tmp.{uuid.uuid4().hex}"
+        tmp.write_text(name)
+        os.rename(tmp, table / "_current")  # atomic publish
+        return manifest
+    finally:
+        os.rmdir(lock)
 
 
 def list_run_files(run_dir: str) -> list[str]:

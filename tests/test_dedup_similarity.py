@@ -111,3 +111,32 @@ def test_winnowing_fingerprints(spark, docs):
     inter = set(fp[1]) & set(fp[3])
     assert inter                           # near-dups share fingerprints
     assert not (set(fp[1]) & set(fp[5]))   # unrelated share none
+
+
+def test_ivf_topk_recall(spark):
+    import numpy as np
+
+    from red_seal_ocr_spark.operators.similarity import cosine_topk, ivf_topk
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    centers = rng.standard_normal((4, 64))
+    base = (centers[np.arange(60) % 4] + rng.standard_normal((60, 64)) * 0.2).astype("float32")
+    rows = [(i, [float(x) for x in base[i]]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    queries = emb.filter("vec_id < 4")
+
+    exact = {}
+    for r in cosine_topk(queries, emb, k=5).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = {}
+    for r in ivf_topk(queries, emb, k=5, n_lists=4, n_probe=2).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recall = sum(len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact) / len(exact)
+    # with clustered data + 2-probe, IVF should recover most true neighbors
+    assert recall >= 0.8, recall
+
+    # determinism: same seed, same result
+    a2 = {}
+    for r in ivf_topk(queries, emb, k=5, n_lists=4, n_probe=2).collect():
+        a2.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert a2 == approx

@@ -101,3 +101,27 @@ def test_snapshot_time_travel(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="no snapshot 9"):
         read_table(spark, table, snapshot_id=9)
+
+
+def test_concurrent_commits_no_lost_update(tmp_path):
+    """Two committers racing: both snapshots land (mkdir lock serializes)."""
+    import threading
+
+    table = str(tmp_path / "race")
+    errors = []
+
+    def commit(i):
+        try:
+            commit_snapshot(table, [f"file-{i}"], [], f"run-{i}")
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    threads = [threading.Thread(target=commit, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    cur = current_snapshot(table)
+    assert cur["snapshot_id"] == 7
+    assert set(cur["data_files"]) == {f"file-{i}" for i in range(8)}
