@@ -182,6 +182,34 @@ def q26_lsh_ann_recall(spark, sf):
     )
 
 
+def q34_ivf_ann_recall(spark, sf):
+    """IVF (KMeans inverted-file) ANN vs exact top-k recall (rows-only;
+    deterministic via seeded KMeans)."""
+    from ..operators.similarity import cosine_topk, ivf_topk
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(q, e, k=10).select("query_id", "neighbor_id")
+    approx = ivf_topk(q, e, k=10, n_lists=8, n_probe=2).select(
+        F.col("query_id").alias("a_query_id"), F.col("neighbor_id").alias("a_neighbor_id")
+    )
+    hits = exact.join(
+        approx,
+        (exact.query_id == approx.a_query_id)
+        & (exact.neighbor_id == approx.a_neighbor_id),
+        "left",
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg(
+            F.count("*").alias("k"),
+            F.sum(F.when(F.col("a_neighbor_id").isNotNull(), 1).otherwise(0)).alias("hits"),
+        )
+        .select("query_id", "k", "hits")
+        .orderBy("query_id")
+    )
+
+
 def q27_multimodal_meta(spark, sf):
     """Multimodal plumbing over self-synthesized media (rows-only):
     image metadata + decode-failure accounting."""
@@ -318,6 +346,7 @@ SPARK_QUERIES_2 = {
     "q31_json_extract": q31_json_extract,
     "q32_scalar_subquery": q32_scalar_subquery,
     "q33_sessionize_batch": q33_sessionize_batch,
+    "q34_ivf_ann_recall": q34_ivf_ann_recall,
 }
 
 ORACLE_SQL_2 = {

@@ -1,0 +1,54 @@
+"""Bucketed co-located join evidence (SURVEY.md X-table / scale notes).
+
+At 100 TB the media-bytes join dominates shuffle volume; pre-bucketing
+both sides by the join key lets Spark plan a shuffle-free sort-merge
+join.  This test materializes bucketed tables and asserts the physical
+plan contains no Exchange above either scan, then checks the join result
+matches the unbucketed plan.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    # session warehouse is fixed at session start; create a scratch db
+    spark.sql("CREATE DATABASE IF NOT EXISTS bucketdemo")
+    yield "bucketdemo"
+    spark.sql("DROP DATABASE IF EXISTS bucketdemo CASCADE")
+
+
+def test_bucketed_media_join_is_shuffle_free(spark, warehouse):
+    from red_seal_ocr_spark.sources.spark_tables import documents_df, media_df
+
+    docs = documents_df(spark, 10)
+    media = media_df(spark, 10)
+    spans = (
+        docs.select("doc_id", F.explode("spans").alias("span"))
+        .filter("span.kind = 'media'")
+        .select("doc_id", F.col("span.offset").alias("offset"),
+                F.col("span.media_ref").alias("media_ref"))
+    )
+    n_buckets = 4
+    spans.write.bucketBy(n_buckets, "media_ref").sortBy("media_ref").mode(
+        "overwrite"
+    ).saveAsTable(f"{warehouse}.spans_b")
+    media.write.bucketBy(n_buckets, "media_ref").sortBy("media_ref").mode(
+        "overwrite"
+    ).saveAsTable(f"{warehouse}.media_b")
+
+    a = spark.table(f"{warehouse}.spans_b")
+    b = spark.table(f"{warehouse}.media_b").withColumnRenamed("content", "bytes")
+    joined = a.join(b.hint("merge"), on="media_ref")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+
+    # result parity with the plain (shuffling) join
+    plain = spans.join(media.withColumnRenamed("content", "bytes"), on="media_ref")
+    got = sorted((r.media_ref, r.doc_id, r.offset, len(r.bytes or b""))
+                 for r in joined.collect())
+    want = sorted((r.media_ref, r.doc_id, r.offset, len(r.bytes or b""))
+                  for r in plain.collect())
+    assert got == want
