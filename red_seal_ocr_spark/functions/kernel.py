@@ -40,7 +40,7 @@ from .imageops import (
     rgb_red_mask,
     uint8_stats,
 )
-from .ocr import decode_seal
+from .ocr import decode_seal_with_confidence
 from .png import PngError, decode_png_lazy
 
 OK = 0
@@ -75,6 +75,7 @@ class ImageResult:
     red_pixels: int = 0
     mean: float = 0.0
     std: float = 0.0
+    confidence: float = 1.0  # worst per-glyph template agreement (F14 metric)
 
 
 def is_low_quality(n_bytes: int, h: int, w: int, cfg: EngineConfig) -> bool:
@@ -161,6 +162,7 @@ def process_image(content: bytes | None, cfg: EngineConfig = DEFAULT_CONFIG) -> 
     # from O(H*W) to O(sum of seal areas)).
     texts = []
     red_px = 0
+    confidence = 1.0
     for i in kept:  # deterministic (y0, x0) order from filled_components
         st = stats[i]
         y0, x0, y1, x1 = st["y0"], st["x0"], st["y1"], st["x1"]
@@ -180,10 +182,11 @@ def process_image(content: bytes | None, cfg: EngineConfig = DEFAULT_CONFIG) -> 
         # F10/F11: normalized crop -> glyph-presence mask -> template OCR
         crop_red = rgb_red_mask(crop, cfg.hue_band1, cfg.hue_band2,
                                 cfg.sat_min, cfg.val_min)
-        text = decode_seal(~crop_red, cfg)
+        text, conf = decode_seal_with_confidence(~crop_red, cfg)
         if text.strip():  # P4: drop blank results
             texts.append(text)
-    return ImageResult("".join(texts), OK, len(kept), red_px, mean, std)
+            confidence = min(confidence, conf)
+    return ImageResult("".join(texts), OK, len(kept), red_px, mean, std, confidence)
 
 
 def extract_texts_batch(

@@ -37,35 +37,55 @@ def decode_cells(cells: np.ndarray, max_hamming: int) -> str:
     ``max_hamming`` are dropped (reference analog: blank-text filter,
     SURVEY.md P4).
     """
+    return decode_cells_with_confidence(cells, max_hamming)[0]
+
+
+def decode_cells_with_confidence(cells: np.ndarray, max_hamming: int) -> tuple[str, float]:
+    """Like :func:`decode_cells` but also returns a confidence in [0, 1]:
+    the worst per-glyph template agreement ``1 - hamming/35`` over the
+    kept glyphs (1.0 for an empty decode) — the engine's analog of the
+    reference's per-item OCR confidence (``ocr_engine.py:661-666``; an
+    optional metric, never part of the span-equality tuple)."""
     if cells.shape[0] == 0:
-        return ""
+        return "", 1.0
     flat = cells.reshape(cells.shape[0], -1)
     dist = np.count_nonzero(flat[:, None, :] != _FLAT_TEMPLATES[None, :, :], axis=2)
     best = dist.argmin(axis=1)
     best_d = dist[np.arange(len(best)), best]
-    return "".join(ALPHABET[b] for b, d in zip(best, best_d) if d <= max_hamming)
+    kept = [(b, d) for b, d in zip(best, best_d) if d <= max_hamming]
+    if not kept:
+        return "", 1.0
+    text = "".join(ALPHABET[b] for b, _ in kept)
+    conf = 1.0 - max(d for _, d in kept) / float(flat.shape[1])
+    return text, conf
 
 
 def decode_seal(glyph_mask: np.ndarray, cfg) -> str:
+    """Decode one seal crop (text only; see decode_seal_with_confidence)."""
+    return decode_seal_with_confidence(glyph_mask, cfg)[0]
+
+
+def decode_seal_with_confidence(glyph_mask: np.ndarray, cfg) -> tuple[str, float]:
     """Decode one seal crop.
 
     ``glyph_mask`` is the crop-local float/bool array where truthy means
-    "glyph stroke present" (non-red inside the seal plate).  Returns the
-    decoded text, or '' when the crop does not parse as a seal (wrong
-    proportions — e.g. a distractor shape surviving the area filter).
+    "glyph stroke present" (non-red inside the seal plate).  Returns
+    ``(text, confidence)``; text is '' when the crop does not parse as a
+    seal (wrong proportions — e.g. a distractor shape surviving the area
+    filter).
     """
     h, w = glyph_mask.shape
     units_h = cfg.seal_units_h  # 11
     if h < units_h or w < units_h:
-        return ""
+        return "", 1.0
     scale = h / units_h
     units_w = int(round(w / scale))
     stride = cfg.cell_w + cfg.seal_gap_units  # 6
     if units_w < 2 * cfg.seal_pad_units + cfg.cell_w:
-        return ""
+        return "", 1.0
     n_glyphs, rem = divmod(units_w - 2 * cfg.seal_pad_units + cfg.seal_gap_units, stride)
     if rem != 0 or n_glyphs < 1:
-        return ""
+        return "", 1.0
     grid = resize_area(glyph_mask.astype(np.float64), units_h, units_w) > 0.5
     pad = cfg.seal_pad_units
     cells = np.stack(
@@ -74,4 +94,4 @@ def decode_seal(glyph_mask: np.ndarray, cfg) -> str:
             for i in range(n_glyphs)
         ]
     )
-    return decode_cells(cells, cfg.ocr_max_hamming)
+    return decode_cells_with_confidence(cells, cfg.ocr_max_hamming)

@@ -40,7 +40,7 @@ from ..sources.snapshot import commit_snapshot, list_run_files, read_table
 
 KERNEL_OUT_SCHEMA = (
     "doc_id string, offset int, media_ref string, text string, "
-    "ok boolean, failure_kind string, n_components int"
+    "ok boolean, failure_kind string, n_components int, confidence double"
 )
 
 SPAN_STRUCT = "struct<kind:string,text:string,media_ref:string,offset:int>"
@@ -62,13 +62,14 @@ def _kernel_udf(cfg: EngineConfig):
         from ..functions.kernel import OK, process_image
 
         for b in batches:
-            texts, oks, fkinds, ncomps = [], [], [], []
+            texts, oks, fkinds, ncomps, confs = [], [], [], [], []
             for content in b["content"]:
                 if content is None:
                     texts.append(None)
                     oks.append(False)
                     fkinds.append("missing_media")
                     ncomps.append(0)
+                    confs.append(None)
                     continue
                 r = process_image(bytes(content), cfg)
                 ok = r.status == OK
@@ -76,6 +77,7 @@ def _kernel_udf(cfg: EngineConfig):
                 oks.append(ok)
                 fkinds.append(None if ok else "decode_error")
                 ncomps.append(r.n_components)
+                confs.append(r.confidence if ok else None)
             yield pd.DataFrame(
                 {
                     "doc_id": b["doc_id"],
@@ -85,6 +87,7 @@ def _kernel_udf(cfg: EngineConfig):
                     "ok": oks,
                     "failure_kind": fkinds,
                     "n_components": ncomps,
+                    "confidence": confs,
                 }
             )
 
@@ -114,6 +117,7 @@ def extract_documents(
         F.struct("kind", "text", "media_ref", "offset").alias("span"),
         F.lit(0).alias("is_media"),
         F.lit(0).alias("is_failure"),
+        F.lit(None).cast("double").alias("confidence"),
     )
 
     # media path: the union makes Catalyst scan the documents table twice
@@ -159,6 +163,7 @@ def extract_documents(
         ).alias("span"),
         F.lit(1).alias("is_media"),
         F.when(F.col("ok"), F.lit(0)).otherwise(F.lit(1)).alias("is_failure"),
+        F.col("confidence"),
     )
 
     all_spans = text_spans.unionByName(media_out)
@@ -183,6 +188,7 @@ def extract_documents(
         F.count("*").alias("n_spans"),
         F.sum("is_media").alias("n_media"),
         F.sum("is_failure").alias("n_failures"),
+        F.min("confidence").alias("min_ocr_confidence"),
     )
 
 

@@ -83,3 +83,13 @@ def test_dangling_media_ref_counts_as_failure(spark):
     assert row.n_failures == 1
     assert row.spans[0].kind == "media" and row.spans[0].media_ref == "nope"
     assert row.spans[1].text == "hi"
+
+
+def test_ocr_confidence_metric(spark_out):
+    """min_ocr_confidence is present, in range, and null only for docs
+    with no successfully decoded media span."""
+    for row in spark_out.values():
+        ok_media = row.n_media - row.n_failures
+        if row.min_ocr_confidence is not None:
+            assert 0.0 <= row.min_ocr_confidence <= 1.0
+            assert ok_media >= 1
