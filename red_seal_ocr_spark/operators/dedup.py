@@ -185,6 +185,63 @@ def simhash_buckets(
     return pairs.filter(F.col("hamming") <= max_hamming)
 
 
+def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Connected components over a candidate-pair graph -> dup clusters.
+
+    Input: (a_id, b_id) near-duplicate pairs (e.g. from
+    :func:`minhash_lsh_candidates` after verification).  Output:
+    (doc_id, cluster_id) where cluster_id is the minimum member id —
+    the step that turns pairwise candidates into dedup actions (keep one
+    representative per cluster).
+
+    Algorithm: min-label propagation — each node takes the minimum label
+    in its neighborhood; iterate to fixpoint (<= graph diameter rounds,
+    typically tiny for dup clusters).  Each round is one join + one
+    aggregation, all keyed shuffles; no driver-side state beyond the
+    converged flag.
+    """
+    edges = (
+        pairs.selectExpr("a_id AS src", "b_id AS dst")
+        .unionByName(pairs.selectExpr("b_id AS src", "a_id AS dst"))
+        .distinct()
+    )
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    labels = nodes.select("id", F.col("id").alias("label"))
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)  # truncate lineage per round
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def keep_canonical(docs: DataFrame, clusters: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Drop all but the minimum-id member of every duplicate cluster."""
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return docs.join(losers, on=id_col, how="left_anti")
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -140,3 +140,30 @@ def test_ivf_topk_recall(spark):
     for r in ivf_topk(queries, emb, k=5, n_lists=4, n_probe=2).collect():
         a2.setdefault(r.query_id, set()).add(r.neighbor_id)
     assert a2 == approx
+
+
+def test_duplicate_clusters_and_canonical(spark):
+    from red_seal_ocr_spark.operators.dedup import duplicate_clusters, keep_canonical
+
+    # two clusters: {1,2,3,9} via a chain, {5,6}; 7 untouched (no pairs)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 9), (5, 6)], "a_id bigint, b_id bigint"
+    )
+    clusters = {r.doc_id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
+    assert clusters == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+
+    docs = spark.createDataFrame(
+        [(i, f"text{i}") for i in (1, 2, 3, 5, 6, 7, 9)], "doc_id bigint, text string"
+    )
+    kept = sorted(r.doc_id for r in keep_canonical(docs, duplicate_clusters(pairs)).collect())
+    assert kept == [1, 5, 7]
+
+
+def test_duplicate_clusters_long_chain_converges(spark):
+    from red_seal_ocr_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "a_id bigint, b_id bigint"
+    )
+    out = {r.doc_id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
+    assert set(out.values()) == {0} and len(out) == 13
