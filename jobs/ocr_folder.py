@@ -1,0 +1,57 @@
+"""Drop-in analog of the reference CLI (``python main.py`` over ``img/``).
+
+Scans a folder of images, runs the extraction pipeline, commits the
+snapshot table, and writes the human-readable report — the complete
+reference workflow (scan -> per-image OCR -> ocr_results.txt) as one
+Spark job::
+
+    spark-submit --py-files dist/engine.zip jobs/ocr_folder.py \
+        --images ./img --output /tmp/seal_table [--report ocr_results.txt]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--images", required=True, help="folder of image files")
+    ap.add_argument("--output", required=True, help="output snapshot table dir")
+    ap.add_argument("--report", default=None, help="also write a text report here")
+    ap.add_argument("--config", default=None)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from jobs.report import build_report
+    from red_seal_ocr_spark.config import load_config
+    from red_seal_ocr_spark.operators.extract import run_extract
+    from red_seal_ocr_spark.session import get_spark
+    from red_seal_ocr_spark.sources.images import documents_from_images, read_image_folder
+
+    spark = get_spark("seal-ocr-folder", master=args.master)
+    try:
+        media = read_image_folder(spark, args.images)
+        docs = documents_from_images(media)
+        manifest = run_extract(
+            spark, docs, media, args.output,
+            cfg=load_config(args.config),
+            input_snapshot_id=f"folder:{args.images}",
+        )
+        report = build_report(spark, args.output, sample=10)
+        print(report)
+        if args.report:
+            with open(args.report, "w") as f:
+                f.write(report + "\n")
+        print(f"committed snapshot {manifest['snapshot_id']} run={manifest['run_id']}")
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

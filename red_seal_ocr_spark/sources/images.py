@@ -1,0 +1,53 @@
+"""Folder-of-images ingestion (the reference CLI's input model, S1+S2).
+
+``main.py`` scans ``img/*.{jpg,png,...}``, dedups and sorts filenames,
+then OCRs each file.  The Spark-native equivalent ingests the folder with
+the built-in ``binaryFile`` source into the engine's table model:
+
+- media table: (media_ref = file name, content = bytes)
+- documents table: one document per image with a single media span —
+  exactly the shape the extraction pipeline consumes, so a reference user
+  can point the engine at their existing image folder and run.
+
+Reading is distributed (binaryFile splits across executors) and ordering
+determinism comes from ``ORDER BY doc_id`` downstream, not scan order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+IMAGE_GLOB = "*.{png,PNG,jpg,JPG,jpeg,JPEG,bmp,BMP}"
+
+
+def read_image_folder(spark: SparkSession, folder: str,
+                      glob: str = IMAGE_GLOB) -> DataFrame:
+    """(media_ref, content) from a directory of image files."""
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true")
+        .load(folder)
+    )
+    # media_ref = file name relative to the folder; dedup matches the
+    # reference's set() on filenames (main.py:218-226)
+    return raw.select(
+        F.regexp_replace(F.col("path"), r"^.*/", "").alias("media_ref"),
+        F.col("content"),
+    ).dropDuplicates(["media_ref"])
+
+
+def documents_from_images(media: DataFrame) -> DataFrame:
+    """One single-media-span document per image (doc_id = media_ref)."""
+    return media.select(
+        F.col("media_ref").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("media").alias("kind"),
+                F.lit(None).cast("string").alias("text"),
+                F.col("media_ref").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )

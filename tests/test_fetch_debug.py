@@ -92,3 +92,34 @@ def test_span_salting_balances_heavy_docs(spark):
     by_span = df.repartition(8, F.xxhash64("doc_id", "offset"))
     assert partition_sizes(by_doc) >= 64          # heavy doc pins one partition
     assert partition_sizes(by_span) <= 64 * 0.5   # salted: spread out
+
+
+def test_folder_ingestion_matches_oracle(spark, tmp_path):
+    """The reference-CLI analog: folder of PNGs -> extraction table."""
+    from red_seal_ocr_spark.functions.kernel import process_image
+    from red_seal_ocr_spark.operators.extract import extract_documents
+    from red_seal_ocr_spark.sources.datagen import render_media
+    from red_seal_ocr_spark.sources.images import documents_from_images, read_image_folder
+
+    img_dir = tmp_path / "img"
+    img_dir.mkdir()
+    blobs = {}
+    for i in range(4):
+        data = render_media(f"tfolder-{i}")
+        blobs[f"s{i}.png"] = data
+        (img_dir / f"s{i}.png").write_bytes(data)
+    (img_dir / "bad.png").write_bytes(b"junk")
+    (img_dir / "skip.txt").write_text("not an image")
+
+    media = read_image_folder(spark, str(img_dir))
+    docs = documents_from_images(media)
+    out = {r.doc_id: r for r in extract_documents(spark, docs, media).collect()}
+    assert set(out) == {"s0.png", "s1.png", "s2.png", "s3.png", "bad.png"}
+    assert out["bad.png"].n_failures == 1
+    for name, data in blobs.items():
+        want = process_image(data)
+        got = out[name].spans[0]
+        if want.status == 0:
+            assert got.kind == "text" and got.text == want.text, name
+        else:
+            assert got.kind == "media", name
