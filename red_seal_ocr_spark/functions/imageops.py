@@ -388,13 +388,28 @@ def filled_components(mask: np.ndarray):
         y0, x0, y1, x1 = st["y0"], st["x0"], st["y1"], st["x1"]
         ch, cw = y1 - y0, x1 - x0
         local = paint_runs((ch, cw), [(rows, c0, c1)], origin=(y0, x0))
-        inv_runs, inv_stats = connected_components(~local)
-        hole_runs = [
-            (hr + y0, ha + x0, hb + x0)
-            for (hr, ha, hb), hst in zip(inv_runs, inv_stats)
-            if hst["y0"] > 0 and hst["x0"] > 0 and hst["y1"] < ch and hst["x1"] < cw
-        ]
-        hole_area = sum(int(np.sum(hb - ha)) for _, ha, hb in hole_runs)
+        inv = ~local
+        if (
+            local[0].all()
+            and local[-1].all()
+            and local[:, 0].all()
+            and local[:, -1].all()
+        ):
+            # perimeter fully foreground (e.g. a seal plate): every interior
+            # background pixel is enclosed -> all inverse runs are holes;
+            # skips the inverse union-find entirely (the dominant labeling
+            # cost — glyph-bearing crops have ~1k background runs)
+            hr, ha, hb = _runs(inv)
+            hole_runs = [(hr + y0, ha + x0, hb + x0)] if hr.size else []
+            hole_area = int(inv.sum())
+        else:
+            inv_runs, inv_stats = connected_components(inv)
+            hole_runs = [
+                (r_ + y0, a_ + x0, b_ + x0)
+                for (r_, a_, b_), hst in zip(inv_runs, inv_stats)
+                if hst["y0"] > 0 and hst["x0"] > 0 and hst["y1"] < ch and hst["x1"] < cw
+            ]
+            hole_area = sum(int(np.sum(b_ - a_)) for _, a_, b_ in hole_runs)
         st = dict(st)
         st["area"] = st["area"] + hole_area
         run_sets.append([(rows, c0, c1)] + hole_runs)
