@@ -1,0 +1,90 @@
+"""Document-curation pipeline: the composed training-data job.
+
+Chains the engine's text-analysis and dedup operators into the standard
+pretraining curation flow over a documents table:
+
+    lang-id -> quality gate -> exact dedup -> near-dup clusters (MinHash
+    LSH candidates -> Jaccard verify -> connected components) -> keep one
+    canonical doc per cluster -> summary stats
+
+Every stage is a DataFrame transform (no driver loops); the near-dup
+stage is the LSH->verify->cluster pattern that scales: candidates come
+from an equi-join on band buckets, verification touches only candidate
+pairs, and clustering is min-label propagation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import (
+    duplicate_clusters,
+    exact_dedup,
+    keep_canonical,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+)
+from .textops import language_id, quality_score
+
+
+def curate_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_langs: tuple[str, ...] | None = None,
+    min_quality_pct: int = 40,
+    near_dup_jaccard_pct: int = 80,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns ``(kept_docs, funnel)``.
+
+    ``kept_docs``: surviving documents with ``pred_lang`` and quality
+    columns attached.  ``funnel``: one row per stage with documents
+    remaining after it (the curation report).
+    """
+    scored = quality_score(language_id(docs, text_col), text_col)
+
+    stage1 = scored
+    if keep_langs:
+        stage1 = stage1.filter(F.col("pred_lang").isin(*keep_langs))
+    stage2 = stage1.filter(F.col("quality_pct") >= min_quality_pct)
+
+    # exact dedup: drop all but the min-id member of each fingerprint group
+    exact_losers = (
+        exact_dedup(stage2, id_col, text_col)
+        .select(F.explode(F.expr("slice(doc_ids, 2, size(doc_ids))")).alias(id_col))
+    )
+    stage3 = stage2.join(exact_losers, on=id_col, how="left_anti")
+
+    # near-dup: LSH candidates -> exact Jaccard verify -> cluster -> keep
+    candidates = minhash_lsh_candidates(stage3, id_col, text_col).select("a_id", "b_id")
+    cand_docs = stage3.select(F.col(id_col), F.col(text_col))
+    verified = (
+        ngram_jaccard_pairs(
+            cand_docs.join(
+                candidates.select(F.col("a_id").alias(id_col))
+                .unionByName(candidates.select(F.col("b_id").alias(id_col)))
+                .distinct(),
+                on=id_col,
+            ),
+            id_col,
+            text_col,
+            min_jaccard_pct=near_dup_jaccard_pct,
+        )
+        .join(candidates, on=["a_id", "b_id"], how="left_semi")
+    )
+    clusters = duplicate_clusters(verified.select("a_id", "b_id"))
+    kept = keep_canonical(stage3, clusters, id_col)
+
+    spark = docs.sparkSession
+    funnel = spark.createDataFrame(
+        [
+            ("0_input", docs.count()),
+            ("1_lang", stage1.count()),
+            ("2_quality", stage2.count()),
+            ("3_exact_dedup", stage3.count()),
+            ("4_near_dedup", kept.count()),
+        ],
+        "stage string, docs bigint",
+    )
+    return kept, funnel

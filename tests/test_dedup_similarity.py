@@ -167,3 +167,34 @@ def test_duplicate_clusters_long_chain_converges(spark):
     )
     out = {r.doc_id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
     assert set(out.values()) == {0} and len(out) == 13
+
+
+def test_curate_documents_funnel(spark):
+    from red_seal_ocr_spark.operators.curate import curate_documents
+
+    base = ("the quick brown fox jumps over the lazy dog and then the fox "
+            "runs to the old barn near the river where the other animals wait")
+    rows = [
+        (1, base),
+        (2, base),                                   # exact dup of 1
+        (3, base.replace("barn", "shed")),           # near dup of 1
+        (4, "short"),                                # fails quality gate
+        (5, "der hund und die katze das ist gut und der tag ist lang und "
+            "die sonne ist hell und das wetter ist gut heute morgen"),  # de
+        (6, "the spark engine shuffles data across the cluster and the "
+            "driver plans the stages of the query before the work starts"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    kept, funnel = curate_documents(
+        docs, keep_langs=("en",), min_quality_pct=40, near_dup_jaccard_pct=60
+    )
+    f = {r.stage: r.docs for r in funnel.collect()}
+    assert f["0_input"] == 6
+    assert f["1_lang"] == 4          # de doc + markerless 'short' (und) dropped
+    assert f["2_quality"] == 4       # all survivors long enough
+    assert f["3_exact_dedup"] == 3   # doc 2 dropped
+    assert f["4_near_dedup"] == 2    # doc 3 clustered with 1, canonical kept
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert ids == [1, 6]
+    cols = set(kept.columns)
+    assert {"pred_lang", "quality_pct"} <= cols
