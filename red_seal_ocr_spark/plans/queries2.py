@@ -210,6 +210,16 @@ def q34_ivf_ann_recall(spark, sf):
     )
 
 
+def q35_curate_funnel(spark, sf):
+    """Composed curation pipeline funnel over the documents table
+    (rows-only; deterministic)."""
+    from ..operators.curate import curate_documents
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    _, funnel = curate_documents(d, min_quality_pct=30, near_dup_jaccard_pct=80)
+    return funnel.orderBy("stage")
+
+
 def q27_multimodal_meta(spark, sf):
     """Multimodal plumbing over self-synthesized media (rows-only):
     image metadata + decode-failure accounting."""
@@ -347,6 +357,7 @@ SPARK_QUERIES_2 = {
     "q32_scalar_subquery": q32_scalar_subquery,
     "q33_sessionize_batch": q33_sessionize_batch,
     "q34_ivf_ann_recall": q34_ivf_ann_recall,
+    "q35_curate_funnel": q35_curate_funnel,
 }
 
 ORACLE_SQL_2 = {
