@@ -51,7 +51,10 @@ def encode_png(img: np.ndarray) -> bytes:
     raw = np.empty((h, 1 + w * channels), dtype=np.uint8)
     raw[:, 0] = 0
     raw[:, 1:] = img.reshape(h, w * channels)
-    idat = zlib.compress(raw.tobytes(), level=6)
+    # level 1: measured 2x faster deflate and 1.8x faster inflate than
+    # level 6 on seal canvases (6 KB -> 17 KB per image, irrelevant);
+    # decode sits in the kernel's hot path
+    idat = zlib.compress(raw.tobytes(), level=1)
     return _SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
