@@ -106,28 +106,12 @@ def extract_documents(
     n_media, n_failures`` — per-doc metric columns feed the lineage
     aggregation after the write (no recompute, SURVEY.md section 4).
     """
-    exploded = docs.select("doc_id", F.explode("spans").alias("span")).select(
-        "doc_id", "span.kind", "span.text", "span.media_ref", "span.offset"
-    )
-
-    # pass-through path: non-media spans are never shuffled through the
-    # kernel; column pruning keeps bytes out of this branch entirely
-    text_spans = exploded.filter(F.col("kind") != "media").select(
-        "doc_id",
-        F.struct("kind", "text", "media_ref", "offset").alias("span"),
-        F.lit(0).alias("is_media"),
-        F.lit(0).alias("is_failure"),
-        F.lit(None).cast("double").alias("confidence"),
-    )
-
-    # media path: the union makes Catalyst scan the documents table twice
-    # (cheaper at scale than routing text spans through the salt shuffle +
-    # Arrow transfer).  This branch never needs span.text, but Generate
-    # blocks nested-schema pruning for struct-typed explodes — extracting
-    # the needed fields with GetArrayStructFields (arrays_zip of direct
-    # field paths) BEFORE the explode restores it: the scan's ReadSchema
-    # drops text (verified via .explain), which at 10^12-doc scale removes
-    # the dominant column from this branch's I/O.
+    # media path: this branch never needs span.text, but Generate blocks
+    # nested-schema pruning for struct-typed explodes — extracting the
+    # needed fields with GetArrayStructFields (arrays_zip of direct field
+    # paths) BEFORE the explode restores it: the scan's ReadSchema drops
+    # text (verified via .explain), which at 10^12-doc scale removes the
+    # dominant column from this branch's I/O.
     slim = docs.select(
         "doc_id",
         F.arrays_zip(
@@ -153,43 +137,52 @@ def extract_documents(
 
     extracted = salted.mapInPandas(_kernel_udf(cfg), schema=KERNEL_OUT_SCHEMA)
 
-    media_out = extracted.select(
+    # Map-side splice (A3/O2): instead of exploding + re-collecting every
+    # span (which shuffles the whole text corpus through collect_list),
+    # only the extracted snippets — offset -> text for successful media
+    # spans, tiny relative to the corpus — are grouped per doc and joined
+    # back onto the INTACT document rows; a transform over the original
+    # spans array splices them in place.  Text spans never leave their
+    # scan partition's row; original array order (offset-ascending per
+    # the input_hint contract) is preserved by construction.  At cluster
+    # scale the docs side of this join can additionally be bucketed by
+    # doc_id to avoid shuffling the corpus at all (see tests/test_bucketing).
+    results = (
+        extracted.filter(F.col("ok"))
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("offset", "text"))
+            ).alias("extracted_map"),
+            F.min("confidence").alias("min_ocr_confidence"),
+        )
+    )
+
+    spliced = docs.join(results, on="doc_id", how="left").select(
         "doc_id",
-        F.struct(
-            F.when(F.col("ok"), F.lit("text")).otherwise(F.lit("media")).alias("kind"),
-            F.when(F.col("ok"), F.col("text")).otherwise(F.lit(None).cast("string")).alias("text"),
-            F.col("media_ref"),
-            F.col("offset"),
-        ).alias("span"),
-        F.lit(1).alias("is_media"),
-        F.when(F.col("ok"), F.lit(0)).otherwise(F.lit(1)).alias("is_failure"),
-        F.col("confidence"),
-    )
-
-    all_spans = text_spans.unionByName(media_out)
-
-    # A3/O2: reassemble per document in original offset order; sort_array
-    # orders by the struct's leading field, so offset goes first and the
-    # final transform restores the input_hint field order.
-    return all_spans.groupBy("doc_id").agg(
         F.transform(
-            F.sort_array(
-                F.collect_list(
-                    F.struct("span.offset", "span.kind", "span.text", "span.media_ref")
-                )
-            ),
-            lambda x: F.struct(
-                x["kind"].alias("kind"),
-                x["text"].alias("text"),
-                x["media_ref"].alias("media_ref"),
-                x["offset"].alias("offset"),
-            ),
+            "spans",
+            lambda s: F.when(
+                (s["kind"] == "media")
+                & F.col("extracted_map").isNotNull()
+                & F.col("extracted_map")[s["offset"]].isNotNull(),
+                F.struct(
+                    F.lit("text").alias("kind"),
+                    F.col("extracted_map")[s["offset"]].alias("text"),
+                    s["media_ref"].alias("media_ref"),
+                    s["offset"].alias("offset"),
+                ),
+            ).otherwise(s),
         ).alias("spans"),
-        F.count("*").alias("n_spans"),
-        F.sum("is_media").alias("n_media"),
-        F.sum("is_failure").alias("n_failures"),
-        F.min("confidence").alias("min_ocr_confidence"),
+        F.size("spans").alias("n_spans"),
+        F.size(F.filter("spans", lambda s: s["kind"] == "media")).alias("n_media"),
+        (
+            F.size(F.filter("spans", lambda s: s["kind"] == "media"))
+            - F.coalesce(F.size(F.map_keys("extracted_map")), F.lit(0))
+        ).alias("n_failures"),
+        F.col("min_ocr_confidence"),
     )
+    return spliced
 
 
 def run_extract(
