@@ -35,14 +35,23 @@ def curate_documents(
     keep_langs: tuple[str, ...] | None = None,
     min_quality_pct: int = 40,
     near_dup_jaccard_pct: int = 80,
+    cache_intermediates: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns ``(kept_docs, funnel)``.
 
     ``kept_docs``: surviving documents with ``pred_lang`` and quality
     columns attached.  ``funnel``: one row per stage with documents
     remaining after it (the curation report).
+
+    ``cache_intermediates`` persists the stage boundaries so the funnel
+    counts and the multi-use candidate set don't recompute the scoring /
+    minhash expressions (at production scale you would instead commit
+    each stage to a table and resume between them — the snapshot layer
+    exists for exactly that).
     """
     scored = quality_score(language_id(docs, text_col), text_col)
+    if cache_intermediates:
+        scored = scored.cache()
 
     stage1 = scored
     if keep_langs:
@@ -55,9 +64,13 @@ def curate_documents(
         .select(F.explode(F.expr("slice(doc_ids, 2, size(doc_ids))")).alias(id_col))
     )
     stage3 = stage2.join(exact_losers, on=id_col, how="left_anti")
+    if cache_intermediates:
+        stage3 = stage3.cache()
 
     # near-dup: LSH candidates -> exact Jaccard verify -> cluster -> keep
     candidates = minhash_lsh_candidates(stage3, id_col, text_col).select("a_id", "b_id")
+    if cache_intermediates:
+        candidates = candidates.cache()
     cand_docs = stage3.select(F.col(id_col), F.col(text_col))
     verified = (
         ngram_jaccard_pairs(
@@ -73,7 +86,7 @@ def curate_documents(
         )
         .join(candidates, on=["a_id", "b_id"], how="left_semi")
     )
-    clusters = duplicate_clusters(verified.select("a_id", "b_id"))
+    clusters = duplicate_clusters(verified.select("a_id", "b_id"), partitions=8)
     kept = keep_canonical(stage3, clusters, id_col)
 
     spark = docs.sparkSession

@@ -185,7 +185,8 @@ def simhash_buckets(
     return pairs.filter(F.col("hamming") <= max_hamming)
 
 
-def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20,
+                       partitions: int | None = None) -> DataFrame:
     """Connected components over a candidate-pair graph -> dup clusters.
 
     Input: (a_id, b_id) near-duplicate pairs (e.g. from
@@ -205,8 +206,14 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         .unionByName(pairs.selectExpr("b_id AS src", "a_id AS dst"))
         .distinct()
     )
+    if partitions:
+        # the label frames are tiny relative to the corpus; per-round
+        # shuffles at the session default partition count dominate wall
+        # time for small graphs — size the loop's shuffles to the graph
+        edges = edges.repartition(partitions, "dst")
     nodes = edges.select(F.col("src").alias("id")).distinct()
     labels = nodes.select("id", F.col("id").alias("label"))
+    prev_sum = None
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -220,16 +227,13 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
                 F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
             )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
         labels = new_labels.localCheckpoint(eager=True)  # truncate lineage per round
-        if changed == 0:
+        # labels only ever decrease, so the total is a monotone convergence
+        # witness — one cheap aggregate instead of a per-round diff join
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

@@ -215,7 +215,7 @@ def q35_curate_funnel(spark, sf):
     (rows-only; deterministic)."""
     from ..operators.curate import curate_documents
 
-    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 150)
     _, funnel = curate_documents(d, min_quality_pct=30, near_dup_jaccard_pct=80)
     return funnel.orderBy("stage")
 
