@@ -430,3 +430,127 @@ ORACLE_SQL_2 = {
         ORDER BY user_id
     """,
 }
+
+
+def q36_balance_bands(spark, sf):
+    """CASE banding + aggregation over signed balances."""
+    s = _t(spark, sf, "supplier")
+    band = (
+        F.when(F.col("s_acctbal") < 0, "negative")
+        .when(F.col("s_acctbal") < 5000, "low")
+        .otherwise("high")
+    )
+    return (
+        s.select(band.alias("band"), "s_acctbal")
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum("s_acctbal") * 100).cast("bigint").alias("balance_cents"),
+        )
+        .orderBy("band")
+    )
+
+
+def q37_like_filter(spark, sf):
+    """LIKE pattern + BETWEEN range predicates."""
+    p = _t(spark, sf, "part")
+    return (
+        p.filter(F.col("p_type").like("%ECO%") & F.col("p_size").between(10, 30))
+        .groupBy("p_type")
+        .agg(F.count("*").alias("n_parts"), F.max("p_size").cast("bigint").alias("max_size"))
+        .orderBy("p_type")
+    )
+
+
+def q38_agg_then_join(spark, sf):
+    """Pre-aggregated fact joined back to its dimension (agg-then-join)."""
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100)
+        .cast("bigint")
+        .alias("revenue_cents"),
+        F.count("*").alias("n_lines"),
+    )
+    return (
+        o.join(per_order, o.o_orderkey == per_order.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("revenue_cents").alias("revenue_cents"),
+            F.sum("n_lines").alias("n_lines"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def q39_date_extremes(spark, sf):
+    """min/max event-time per group, emitted as formatted strings."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SPARK_QUERIES_2.update(
+    {
+        "q36_balance_bands": q36_balance_bands,
+        "q37_like_filter": q37_like_filter,
+        "q38_agg_then_join": q38_agg_then_join,
+        "q39_date_extremes": q39_date_extremes,
+    }
+)
+
+ORACLE_SQL_2.update(
+    {
+        "q36_balance_bands": """
+            SELECT CASE WHEN s_acctbal < 0 THEN 'negative'
+                        WHEN s_acctbal < 5000 THEN 'low'
+                        ELSE 'high' END AS band,
+                   COUNT(*) AS n_suppliers,
+                   CAST(ROUND(SUM(s_acctbal) * 100) AS BIGINT) AS balance_cents
+            FROM supplier
+            GROUP BY 1
+            ORDER BY band
+        """,
+        "q37_like_filter": """
+            SELECT p_type, COUNT(*) AS n_parts,
+                   CAST(MAX(p_size) AS BIGINT) AS max_size
+            FROM part
+            WHERE p_type LIKE '%ECO%' AND p_size BETWEEN 10 AND 30
+            GROUP BY p_type
+            ORDER BY p_type
+        """,
+        "q38_agg_then_join": """
+            WITH per_order AS (
+                SELECT l_orderkey,
+                       CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100)
+                            AS BIGINT) AS revenue_cents,
+                       COUNT(*) AS n_lines
+                FROM lineitem
+                GROUP BY l_orderkey
+            )
+            SELECT o_orderstatus, COUNT(*) AS n_orders,
+                   CAST(SUM(revenue_cents) AS BIGINT) AS revenue_cents,
+                   CAST(SUM(n_lines) AS BIGINT) AS n_lines
+            FROM orders JOIN per_order ON o_orderkey = l_orderkey
+            GROUP BY o_orderstatus
+            ORDER BY o_orderstatus
+        """,
+        "q39_date_extremes": """
+            SELECT event_type,
+                   strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+                   strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+                   COUNT(*) AS n_events
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
+        """,
+    }
+)
