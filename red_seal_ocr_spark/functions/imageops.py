@@ -162,6 +162,31 @@ def _min_delta_lut(sat_min: int) -> np.ndarray:
     return lut
 
 
+_MAX_MIN_LUTS: dict[tuple[int, int], np.ndarray] = {}
+
+
+def _max_min_lut(sat_min: int, val_min: int) -> np.ndarray:
+    """LUT2U[r] = largest ``min(g,b)`` (exclusive) passing both the S and
+    V thresholds given max-channel value r, i.e. the candidate test
+    collapses to ``min(g,b) < LUT2U[r]``:
+
+        delta = r - min(g,b) >= min_delta[r]  and  r >= val_min
+        <=>  min(g,b) <= r - min_delta[r]     (r >= val_min)
+        <=>  min(g,b) <  r - min_delta[r] + 1
+
+    with 0 when r < val_min or min_delta[r] > r (no pixel can pass)."""
+    key = (sat_min, val_min)
+    lut = _MAX_MIN_LUTS.get(key)
+    if lut is None:
+        md = _min_delta_lut(sat_min).astype(np.int32)
+        r = np.arange(256, dtype=np.int32)
+        bound = r - md + 1
+        bound[(r < val_min) | (md > r)] = 0
+        lut = np.clip(bound, 0, 255).astype(np.uint8)
+        _MAX_MIN_LUTS[key] = lut
+    return lut
+
+
 def rgb_red_mask(
     img: np.ndarray,
     band1: tuple[int, int],
@@ -187,13 +212,11 @@ def rgb_red_mask(
     # scratch buffers avoid large-ndarray churn (mmap page faults
     # serialize across parallel workers; measured ~2x worse scaling).
     mn_gb = np.minimum(g8, b8, out=_scratch("mn", n).reshape(shape))
-    # S >= sat_min  <=>  floor(255*delta/v + 0.5) >= sat_min
-    #               <=>  delta >= _min_delta_lut(sat_min)[v]  (all uint8)
-    delta8 = np.subtract(r8, np.minimum(mn_gb, r8, out=mn_gb),
-                         out=_scratch("dl", n).reshape(shape))
-    lut_d = np.take(_min_delta_lut(sat_min), r8, out=_scratch("lut", n).reshape(shape))
-    cand = np.greater_equal(delta8, lut_d, out=_scratch_bool("c1", n).reshape(shape))
-    cand &= np.greater_equal(r8, val_min, out=_scratch_bool("c2", n).reshape(shape))
+    # S/V thresholds collapse into one LUT on the R channel:
+    # candidate <=> min(g,b) < LUT2U[r] and r is the max channel
+    bound = np.take(_max_min_lut(sat_min, val_min), r8,
+                    out=_scratch("lut", n).reshape(shape))
+    cand = np.less(mn_gb, bound, out=_scratch_bool("c1", n).reshape(shape))
     cand &= np.greater_equal(r8, g8, out=_scratch_bool("c3", n).reshape(shape))
     cand &= np.greater_equal(r8, b8, out=_scratch_bool("c4", n).reshape(shape))
     out = np.zeros(shape, dtype=bool)
@@ -204,7 +227,7 @@ def rgb_red_mask(
         g = g8[pos].astype(np.float32)
         b = b8[pos].astype(np.float32)
         v = r  # candidates all have V == R
-        delta = delta8[pos].astype(np.float32)
+        delta = r - np.minimum(mn_gb[pos], r8[pos]).astype(np.float32)
         s_ok = np.floor(255.0 * delta / np.maximum(v, 1e-9) + 0.5) >= sat_min
         safe = np.maximum(delta, 1e-9)
         h = np.where(

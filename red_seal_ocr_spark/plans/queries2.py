@@ -554,3 +554,29 @@ ORACLE_SQL_2.update(
         """,
     }
 )
+
+
+def q40_cube(spark, sf):
+    """GROUP BY CUBE with grouping-set markers (full OLAP lattice)."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("n_orders"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+        )
+        .orderBy("priority", "status")
+    )
+
+
+SPARK_QUERIES_2["q40_cube"] = q40_cube
+ORACLE_SQL_2["q40_cube"] = """
+    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           COALESCE(o_orderstatus, 'ALL') AS status,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    ORDER BY priority, status
+"""

@@ -125,3 +125,20 @@ def test_concurrent_commits_no_lost_update(tmp_path):
     cur = current_snapshot(table)
     assert cur["snapshot_id"] == 7
     assert set(cur["data_files"]) == {f"file-{i}" for i in range(8)}
+
+
+def test_many_sequential_commits_and_time_travel(spark, tmp_path):
+    """Snapshot chain stress: 12 runs, every historical snapshot readable
+    with the exact cumulative doc count."""
+    table = str(tmp_path / "chain")
+    media = media_df(spark, 12).cache()
+    media.count()
+    all_docs = documents_df(spark, 12).cache()
+    for i in range(12):
+        batch = all_docs.filter(f"doc_id = 'doc-{i:08d}'")
+        run_extract(spark, batch, media, table, run_id=f"c{i}")
+    assert current_snapshot(table)["snapshot_id"] == 11
+    for sid in (0, 5, 11):
+        assert read_table(spark, table, snapshot_id=sid).count() == sid + 1
+    lin = read_table(spark, table, lineage=True)
+    assert lin.select("run_id").distinct().count() == 12
