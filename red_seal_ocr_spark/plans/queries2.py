@@ -580,3 +580,39 @@ ORACLE_SQL_2["q40_cube"] = """
     GROUP BY CUBE (o_orderpriority, o_orderstatus)
     ORDER BY priority, status
 """
+
+
+def q41_exact_dedup_groups(spark, sf):
+    """Exact-dedup operator over a corpus with forced duplicates (the
+    documents table unioned with a re-keyed copy of itself)."""
+    from ..operators.dedup import exact_dedup
+
+    d = _t(spark, sf, "documents").select("doc_id", "text").filter(F.col("doc_id") < 100)
+    doubled = d.unionByName(
+        d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    groups = exact_dedup(doubled)
+    return groups.select(
+        "fingerprint",
+        F.col("n_dups").cast("bigint").alias("n_dups"),
+        F.col("doc_ids")[0].alias("min_doc_id"),
+    ).orderBy("fingerprint")
+
+
+SPARK_QUERIES_2["q41_exact_dedup_groups"] = q41_exact_dedup_groups
+ORACLE_SQL_2["q41_exact_dedup_groups"] = """
+    WITH doubled AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 100
+        UNION ALL
+        SELECT doc_id + 100000, text FROM documents WHERE doc_id < 100
+    ), groups AS (
+        SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint,
+               COUNT(*) AS n_dups, MIN(doc_id) AS min_doc_id
+        FROM doubled
+        GROUP BY 1
+        HAVING COUNT(*) > 1
+    )
+    SELECT fingerprint, CAST(n_dups AS BIGINT) AS n_dups, min_doc_id
+    FROM groups
+    ORDER BY fingerprint
+"""
