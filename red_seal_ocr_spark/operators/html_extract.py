@@ -1,0 +1,157 @@
+"""Main-content extraction for HTML documents (north-rule tier:
+"HTML boilerplate strip, PDF/layout parse, DOM heuristics").
+
+Two tiers:
+
+- :func:`strip_tags_col` — pure JVM-side expression (regexp tag removal +
+  common entity decoding), SQL-mirrorable for the DuckDB oracle and
+  codegen-fast: the cheap cleanup pass.
+- :func:`extract_main_content` — the DOM-heuristic pass: a real HTML
+  parse (stdlib ``html.parser`` inside ``mapInPandas``) segments the
+  document into block-level regions and scores each block by text mass
+  vs link density (the Arc90/boilerpipe-style signal); blocks whose
+  density clears the threshold form the main content, navigation /
+  header / footer / aside subtrees are dropped structurally.
+
+Both are deterministic; the parser tier has per-item fault isolation
+(malformed HTML yields ok=false, never a task failure).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_ENTITIES = [("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+             ("&#39;", "'"), ("&nbsp;", " ")]
+
+MAIN_CONTENT_SCHEMA = (
+    "doc_id string, ok boolean, main_text string, n_blocks int, "
+    "kept_blocks int, link_density_x100 int"
+)
+
+# subtrees that are boilerplate by construction
+_DROP_TAGS = {"nav", "header", "footer", "aside", "script", "style"}
+_BLOCK_TAGS = {"p", "div", "article", "section", "li", "td", "h1", "h2",
+               "h3", "h4", "blockquote", "pre"}
+
+
+def strip_tags_col(col):
+    """Tag-strip + entity-decode + whitespace squash as one expression."""
+    out = F.regexp_replace(col, r"<[^>]*>", " ")
+    for ent, rep in _ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def strip_html(docs: DataFrame, html_col: str = "html",
+               out_col: str = "text") -> DataFrame:
+    return docs.withColumn(out_col, strip_tags_col(F.col(html_col)))
+
+
+def extract_main_content(docs: DataFrame, id_col: str = "doc_id",
+                         html_col: str = "html",
+                         min_block_chars: int = 40,
+                         max_link_density: float = 0.4) -> DataFrame:
+    """DOM-heuristic main-content extraction (see module docstring)."""
+
+    def run(batches):
+        import pandas as pd
+
+        from html.parser import HTMLParser
+
+        class Blocks(HTMLParser):
+            def __init__(self) -> None:
+                super().__init__(convert_charrefs=True)
+                self.blocks: list[list] = []  # [text_chars, link_chars, buf]
+                self.cur: list = [0, 0, []]
+                self.drop_depth = 0
+                self.link_depth = 0
+
+            def _flush(self) -> None:
+                if self.cur[2]:
+                    self.blocks.append(self.cur)
+                self.cur = [0, 0, []]
+
+            def handle_starttag(self, tag, attrs):
+                if tag in _DROP_TAGS:
+                    self.drop_depth += 1
+                elif tag == "a":
+                    self.link_depth += 1
+                elif tag in _BLOCK_TAGS:
+                    self._flush()
+
+            def handle_endtag(self, tag):
+                if tag in _DROP_TAGS:
+                    self.drop_depth = max(0, self.drop_depth - 1)
+                elif tag == "a":
+                    self.link_depth = max(0, self.link_depth - 1)
+                elif tag in _BLOCK_TAGS:
+                    self._flush()
+
+            def handle_data(self, data):
+                if self.drop_depth:
+                    return
+                t = data.strip()
+                if not t:
+                    return
+                self.cur[0] += len(t)
+                if self.link_depth:
+                    self.cur[1] += len(t)
+                self.cur[2].append(t)
+
+        for b in batches:
+            rows = []
+            for doc_id, html in zip(b[id_col], b[html_col]):
+                try:
+                    p = Blocks()
+                    p.feed(html or "")
+                    p.close()
+                    p._flush()
+                    blocks = p.blocks
+                    kept = [
+                        blk for blk in blocks
+                        if blk[0] >= min_block_chars
+                        and (blk[1] / blk[0]) <= max_link_density
+                    ]
+                    text = " ".join(" ".join(blk[2]) for blk in kept)
+                    total_chars = sum(blk[0] for blk in blocks) or 1
+                    total_link = sum(blk[1] for blk in blocks)
+                    rows.append(
+                        (doc_id, True, text, len(blocks), len(kept),
+                         int(100 * total_link / total_chars))
+                    )
+                except Exception:
+                    rows.append((doc_id, False, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "ok", "main_text", "n_blocks",
+                         "kept_blocks", "link_density_x100"],
+            )
+
+    return docs.select(F.col(id_col), F.col(html_col)).mapInPandas(
+        run, schema=MAIN_CONTENT_SCHEMA
+    )
+
+
+def synth_html_page(doc_id: str, article_text: str, seed: int = 42) -> tuple[str, str]:
+    """Deterministic synthetic page: nav/header/footer boilerplate + ads
+    around the article.  Returns (html, expected_main_text)."""
+    import hashlib
+
+    h = hashlib.sha256(f"{seed}:{doc_id}".encode()).hexdigest()[:8]
+    paras = [p.strip() for p in article_text.split(".") if p.strip()]
+    body = "".join(f"<p>{p}.</p>" for p in paras)
+    html = (
+        "<html><head><title>t</title><style>.x{color:red}</style></head><body>"
+        f"<header><h1>Site {h}</h1></header>"
+        "<nav><ul><li><a href='/'>Home</a></li><li><a href='/a'>News</a></li>"
+        "<li><a href='/b'>Contact</a></li></ul></nav>"
+        "<div><a href='/ad'>SPONSORED click here now for deals</a></div>"
+        f"<article>{body}</article>"
+        "<aside><a href='/x'>related</a> <a href='/y'>links</a></aside>"
+        f"<footer>copyright {h} all rights reserved</footer>"
+        "</body></html>"
+    )
+    expected = " ".join(f"{p}." for p in paras)
+    return html, expected

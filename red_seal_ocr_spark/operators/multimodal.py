@@ -242,3 +242,72 @@ def make_fake_video(media_ref: str, seed: int = 42, n_frames: int = 6) -> bytes:
         out.append(struct.pack("<I", len(blob)))
         out.append(blob)
     return b"".join(out)
+
+
+# --- PDF / layout parse (north-rule extraction tier) ------------------------
+
+try:  # pragma: no cover - not present in this container
+    import pypdf  # type: ignore  # noqa: F401
+
+    HAVE_PDF_LIBS = True
+except ImportError:
+    HAVE_PDF_LIBS = False
+
+PDF_META_SCHEMA = (
+    "media_ref string, ok boolean, n_pages int, text string, n_chars int"
+)
+
+
+def _iter_pdf_pages(content: bytes):
+    """Page-text iterator: real library if present, else the deterministic
+    fake layout format b'FAKP' + uint32 n_pages + per-page (uint32 len,
+    utf-8 text)."""
+    if HAVE_PDF_LIBS:  # pragma: no cover
+        raise NotImplementedError("real PDF parse (pypdf.PdfReader) goes here")
+    if len(content) < 8 or bytes(content[:4]) != b"FAKP":
+        raise ValueError("not a FAKP payload")
+    (n_pages,) = struct.unpack("<I", bytes(content[4:8]))
+    pos = 8
+    for _ in range(n_pages):
+        if pos + 4 > len(content):
+            raise ValueError("truncated FAKP payload")
+        (ln,) = struct.unpack("<I", bytes(content[pos : pos + 4]))
+        pos += 4
+        if pos + ln > len(content):
+            raise ValueError("truncated FAKP page")
+        yield bytes(content[pos : pos + ln]).decode("utf-8")
+        pos += ln
+
+
+def pdf_text(media: DataFrame) -> DataFrame:
+    """Layout parse: page-ordered text extraction from PDF payloads."""
+
+    def run(batches):
+        import pandas as pd
+
+        for b in batches:
+            rows = []
+            for ref, content in zip(b["media_ref"], b["content"]):
+                try:
+                    pages = list(_iter_pdf_pages(bytes(content)))
+                    text = "\n".join(pages)
+                    rows.append((ref, True, len(pages), text, len(text)))
+                except (ValueError, TypeError, NotImplementedError):
+                    rows.append((ref, False, None, None, None))
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "ok", "n_pages", "text", "n_chars"]
+            )
+
+    return media.mapInPandas(run, schema=PDF_META_SCHEMA)
+
+
+def make_fake_pdf(media_ref: str, seed: int = 42, n_pages: int = 3) -> bytes:
+    import hashlib
+
+    digest = hashlib.sha256(f"{seed}:pdf:{media_ref}".encode()).hexdigest()
+    out = [b"FAKP", struct.pack("<I", n_pages)]
+    for p in range(n_pages):
+        text = f"page {p} of {media_ref} {digest[:12]}".encode()
+        out.append(struct.pack("<I", len(text)))
+        out.append(text)
+    return b"".join(out)

@@ -616,3 +616,86 @@ ORACLE_SQL_2["q41_exact_dedup_groups"] = """
     FROM groups
     ORDER BY fingerprint
 """
+
+
+def q42_html_strip(spark, sf):
+    """HTML boilerplate strip (cheap tier): wrap each document's text in a
+    markup template, strip it back, verify the roundtrip — tag removal +
+    entity decode + whitespace squash, fully SQL-mirrored."""
+    from ..operators.html_extract import strip_tags_col
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    html = F.concat(
+        F.lit("<html><body><nav><a href='/'>Home &amp; more</a></nav><p>"),
+        F.col("text"),
+        F.lit("</p><footer>&copy; site</footer></body></html>"),
+    )
+    stripped = strip_tags_col(html)
+    normalized = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return (
+        d.select(
+            "doc_id",
+            F.length(stripped).cast("bigint").alias("stripped_len"),
+            stripped.contains(normalized).cast("int").alias("roundtrip_ok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q43_main_content(spark, sf):
+    """DOM-heuristic main-content extraction over synthetic pages built
+    from the documents table (rows-only: stdlib HTML parser in the UDF);
+    emits exact-match flags vs the known article text."""
+    from ..operators.html_extract import extract_main_content, synth_html_page
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+
+    def build(batches):
+        import pandas as pd
+
+        for b in batches:
+            rows = []
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                html, expected = synth_html_page(str(doc_id), text)
+                rows.append((str(doc_id), html, expected))
+            yield pd.DataFrame(rows, columns=["doc_id", "html", "expected"])
+
+    pages = d.select("doc_id", "text").mapInPandas(
+        build, schema="doc_id string, html string, expected string"
+    )
+    out = extract_main_content(pages)
+    joined = out.join(pages.select("doc_id", "expected"), on="doc_id")
+    return joined.select(
+        "doc_id",
+        "n_blocks",
+        "kept_blocks",
+        (F.col("main_text") == F.col("expected")).cast("int").alias("exact_match"),
+    ).orderBy("doc_id")
+
+
+SPARK_QUERIES_2["q42_html_strip"] = q42_html_strip
+SPARK_QUERIES_2["q43_main_content"] = q43_main_content
+ORACLE_SQL_2["q42_html_strip"] = """
+    WITH wrapped AS (
+        SELECT doc_id,
+               '<html><body><nav><a href=''/''>Home &amp; more</a></nav><p>'
+               || text ||
+               '</p><footer>&copy; site</footer></body></html>' AS html,
+               trim(regexp_replace(text, '\\s+', ' ', 'g')) AS normalized
+        FROM documents WHERE doc_id < 200
+    ), stripped AS (
+        SELECT doc_id, normalized,
+               trim(regexp_replace(
+                   replace(replace(replace(replace(replace(replace(
+                       regexp_replace(html, '<[^>]*>', ' ', 'g'),
+                       '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                       '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '),
+                   '\\s+', ' ', 'g')) AS s
+        FROM wrapped
+    )
+    SELECT doc_id, CAST(length(s) AS BIGINT) AS stripped_len,
+           CAST(CASE WHEN position(normalized IN s) > 0 THEN 1 ELSE 0 END AS INT)
+               AS roundtrip_ok
+    FROM stripped
+    ORDER BY doc_id
+"""

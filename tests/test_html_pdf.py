@@ -1,0 +1,88 @@
+"""HTML boilerplate strip / DOM heuristics / PDF layout parse tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from red_seal_ocr_spark.operators.html_extract import (
+    extract_main_content,
+    strip_html,
+    synth_html_page,
+)
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .filter("doc_id < 30").collect()
+    rows = []
+    for r in docs:
+        html, expected = synth_html_page(str(r.doc_id), r.text)
+        rows.append((str(r.doc_id), html, expected))
+    return spark.createDataFrame(rows, "doc_id string, html string, expected string")
+
+
+def test_strip_tags_removes_all_markup(spark, pages):
+    out = strip_html(pages, "html", "stripped").collect()
+    for r in out:
+        assert "<" not in r.stripped and ">" not in r.stripped
+        # the article text must survive the strip (boilerplate words too —
+        # tag-strip is the cheap pass, not boilerplate removal)
+        assert r.expected in r.stripped.replace("  ", " ") or all(
+            w in r.stripped for w in r.expected.split()[:5]
+        )
+
+
+def test_entity_decode(spark):
+    df = spark.createDataFrame(
+        [("d", "<p>a &amp; b &lt;c&gt; &quot;q&quot;&nbsp;end</p>")],
+        "doc_id string, html string",
+    )
+    [r] = strip_html(df, "html", "t").collect()
+    assert r.t == 'a & b <c> "q" end'
+
+
+def test_main_content_extraction_drops_boilerplate(spark, pages):
+    out = {r.doc_id: r for r in extract_main_content(pages).collect()}
+    want = {r.doc_id: r.expected for r in pages.collect()}
+    assert all(r.ok for r in out.values())
+    exact = sum(out[d].main_text == want[d] for d in want)
+    assert exact == len(want), f"only {exact}/{len(want)} exact main-content matches"
+    for r in out.values():
+        assert "Home" not in r.main_text          # nav dropped
+        assert "SPONSORED" not in r.main_text     # ad link-block dropped
+        assert "copyright" not in r.main_text     # footer dropped
+        assert r.kept_blocks >= 1 and r.n_blocks > r.kept_blocks
+
+
+def test_main_content_fault_isolation(spark):
+    df = spark.createDataFrame(
+        [("good", "<html><body><p>" + "real content here " * 5 + "</p></body></html>"),
+         ("none", None)],
+        "doc_id string, html string",
+    )
+    out = {r.doc_id: r for r in extract_main_content(df).collect()}
+    assert out["good"].ok and "real content" in out["good"].main_text
+    assert out["none"].ok  # empty parse, not a crash
+    assert out["none"].main_text == ""
+
+
+def test_pdf_layout_parse(spark):
+    from red_seal_ocr_spark.operators.multimodal import make_fake_pdf, pdf_text
+
+    rows = [(f"p{i}", make_fake_pdf(f"p{i}", n_pages=i + 1)) for i in range(4)]
+    rows.append(("bad", b"%PDF-not-really"))
+    df = spark.createDataFrame(rows, "media_ref string, content binary")
+    out = {r.media_ref: r for r in pdf_text(df).collect()}
+    for i in range(4):
+        r = out[f"p{i}"]
+        assert r.ok and r.n_pages == i + 1
+        assert f"page {i} of p{i}" in r.text
+        assert r.n_chars == len(r.text)
+    assert not out["bad"].ok
+
+
+def test_fake_pdf_deterministic():
+    from red_seal_ocr_spark.operators.multimodal import make_fake_pdf
+
+    assert make_fake_pdf("x") == make_fake_pdf("x")
+    assert make_fake_pdf("x") != make_fake_pdf("y")
