@@ -104,3 +104,39 @@ def test_seal_roundtrip_property(text, scale, red_idx):
     block = render_seal_block(text, scale, SEAL_REDS[red_idx], CFG)
     glyph_mask = (block == 255).all(axis=-1)
     assert decode_seal(glyph_mask, CFG) == text
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_decode_never_crashes_on_garbage(data):
+    """Arbitrary bytes either raise PngError or decode to a valid array —
+    no other exception type ever escapes (fault-isolation contract)."""
+    from red_seal_ocr_spark.functions.png import PngError
+
+    try:
+        img = decode_png(data)
+        assert img.ndim == 3 and img.dtype == np.uint8
+    except PngError:
+        pass
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_process_image_never_crashes_on_garbage(data):
+    from red_seal_ocr_spark.functions.kernel import DECODE_ERROR, OK, process_image
+
+    r = process_image(data)
+    assert r.status in (OK, DECODE_ERROR)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(0, 10**6))
+def test_truncations_of_valid_png_never_crash(cut):
+    from red_seal_ocr_spark.functions.kernel import process_image
+    from red_seal_ocr_spark.functions.png import encode_png
+
+    img = np.zeros((12, 12, 3), dtype=np.uint8)
+    img[4:8, 4:8] = (220, 20, 30)
+    data = encode_png(img)
+    r = process_image(data[: cut % (len(data) + 1)])
+    assert r.status in (0, 1)
