@@ -4,26 +4,27 @@ Plan shape (all public DataFrame API, no RDDs, no custom Catalyst rules):
 
     read documents snapshot
       -> anti-join committed doc_ids              (resume, section 2.4)
-      -> explode spans                            (P2 routing)
-      -> split kind=='media' / else               (pass-through projection)
-      -> left join media bytes on media_ref       (S3 replacement)
-      -> repartition by xxhash64(doc_id, offset)  (explicit span-level
-         salting: media-heavy documents are sprayed across partitions, so
-         one hot doc can never pin a partition — SURVEY.md section 4 item 1;
-         also guards the broadcast-join case where the join would otherwise
-         preserve the scan's doc-clustered partitioning)
-      -> mapInPandas(kernel)                      (F1-F13, Arrow batches)
-      -> unionByName text spans                   (splice, join-free)
-      -> groupBy(doc_id).agg(sort_array(collect_list(...)))   (A3/O2)
+      -> media branch: nested-pruned explode of (kind, media_ref, offset)
+         -> left join media bytes on media_ref    (S3 replacement)
+         -> repartition by xxhash64(doc_id, offset)  (explicit span-level
+            salting: media-heavy documents are sprayed across partitions,
+            so one hot doc can never pin a partition — SURVEY.md section 4
+            item 1; also guards the broadcast-join case where the join
+            would otherwise preserve doc-clustered scan partitioning)
+         -> mapInPandas(kernel)                   (F1-F13, Arrow batches)
+         -> groupBy(doc_id): offset->text map of extracted snippets
+      -> map-side splice: left-join the snippet maps onto INTACT document
+         rows; transform(spans) replaces successful media spans in place
+         (A3/O2 — original array order preserved by construction)
       -> write data + lineage, atomic snapshot commit
 
 Scale notes (100 TB / 10^12 docs):
-- the only shuffles are the media join (keyed on media_ref — unique per
-  span, so inherently balanced), the salt repartition, and the final
-  doc_id re-aggregation; AQE handles post-filter partition coalescing.
+- the text corpus never shuffles: only (kind, media_ref, offset) tuples,
+  media bytes, and extracted snippets move; the one corpus-sized join
+  input (the docs side of the splice) vanishes when the documents table
+  is bucketed by doc_id (tests/test_bucketing.py).
 - the kernel is the bottleneck by design: everything around it is
-  column-pruned (the media path never reads span text; the text path
-  never touches bytes).
+  column-pruned (the media path never reads span text).
 - failed media spans pass through unchanged and are counted per partition
   in the lineage table (north rule failure semantics).
 """
@@ -42,8 +43,6 @@ KERNEL_OUT_SCHEMA = (
     "doc_id string, offset int, media_ref string, text string, "
     "ok boolean, failure_kind string, n_components int, confidence double"
 )
-
-SPAN_STRUCT = "struct<kind:string,text:string,media_ref:string,offset:int>"
 
 
 def _kernel_udf(cfg: EngineConfig):

@@ -107,7 +107,9 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def doc_fingerprint(text_col):
-    """Whole-document normalized fingerprint (md5 of squashed lowercase)."""
+    """Whole-document normalized fingerprint (md5 of squashed lowercase) —
+    the same key exact_dedup groups on (dedup.normalized_fingerprint);
+    this Column-input variant serves expression composition."""
     return F.md5(F.lower(F.regexp_replace(text_col, r"\s+", " ")))
 
 
