@@ -123,3 +123,20 @@ def test_folder_ingestion_matches_oracle(spark, tmp_path):
             assert got.kind == "text" and got.text == want.text, name
         else:
             assert got.kind == "media", name
+
+
+def test_folder_ingestion_empty_dir(spark, tmp_path):
+    from red_seal_ocr_spark.sources.images import read_image_folder
+
+    empty = tmp_path / "noimg"
+    empty.mkdir()
+    (empty / "readme.txt").write_text("no images here")
+    try:
+        n = read_image_folder(spark, str(empty)).count()
+    except Exception as exc:
+        # Spark's binaryFile source raises on empty matches in some
+        # versions; either zero rows or a clean AnalysisException is fine
+        assert "PATH_NOT_FOUND" in str(exc) or "unable to infer" in str(exc).lower() \
+            or "EMPTY" in str(exc).upper()
+    else:
+        assert n == 0

@@ -93,3 +93,24 @@ def test_ocr_confidence_metric(spark_out):
         if row.min_ocr_confidence is not None:
             assert 0.0 <= row.min_ocr_confidence <= 1.0
             assert ok_media >= 1
+
+
+def test_custom_config_pipeline_equals_oracle(spark):
+    """Span equality must hold under a non-default EngineConfig too —
+    proving the config reaches both the Spark kernel and the oracle."""
+    from red_seal_ocr_spark.config import EngineConfig
+    from red_seal_ocr_spark.oracle import reference_extract
+    from red_seal_ocr_spark.sources.datagen import build_local
+    from red_seal_ocr_spark.sources.spark_tables import documents_df, media_df
+
+    cfg = EngineConfig(sat_min=40, val_min=40, hue_band2=(150, 180),
+                       ocr_max_hamming=4)
+    docs_df_, media_df_ = documents_df(spark, 6), media_df(spark, 6)
+    out = {r.doc_id: r for r in
+           extract_documents(spark, docs_df_, media_df_, cfg).collect()}
+    docs, media = build_local(6)
+    for d in docs:
+        want = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                for s in reference_extract(d, media, cfg)]
+        got = [(s.kind, s.text, s.media_ref, s.offset) for s in out[d["doc_id"]].spans]
+        assert got == want, d["doc_id"]
