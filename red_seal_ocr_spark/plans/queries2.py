@@ -699,3 +699,32 @@ ORACLE_SQL_2["q42_html_strip"] = """
     FROM stripped
     ORDER BY doc_id
 """
+
+
+def q44_percentiles(spark, sf):
+    """Exact linear-interpolation percentiles per group (sketch-family
+    surface; both engines implement quantile_cont semantics)."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)") * 100).cast("bigint")
+            .alias("p50_cents"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)") * 100).cast("bigint")
+            .alias("p90_cents"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SPARK_QUERIES_2["q44_percentiles"] = q44_percentiles
+ORACLE_SQL_2["q44_percentiles"] = """
+    SELECT o_orderpriority,
+           CAST(ROUND(quantile_cont(o_totalprice, 0.5) * 100) AS BIGINT) AS p50_cents,
+           CAST(ROUND(quantile_cont(o_totalprice, 0.9) * 100) AS BIGINT) AS p90_cents,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
