@@ -23,7 +23,7 @@ from .dedup import (
     exact_dedup,
     keep_canonical,
     minhash_lsh_candidates,
-    ngram_jaccard_pairs,
+    ngram_jaccard_for_pairs,
 )
 from .textops import language_id, quality_score
 
@@ -53,10 +53,12 @@ def curate_documents(
     if cache_intermediates:
         scored = scored.cache()
 
-    stage1 = scored
-    if keep_langs:
-        stage1 = stage1.filter(F.col("pred_lang").isin(*keep_langs))
-    stage2 = stage1.filter(F.col("quality_pct") >= min_quality_pct)
+    lang_pred = (
+        F.col("pred_lang").isin(*keep_langs) if keep_langs else F.lit(True)
+    )
+    qual_pred = F.col("quality_pct") >= min_quality_pct
+    stage1 = scored.filter(lang_pred)
+    stage2 = stage1.filter(qual_pred)
 
     # exact dedup: drop all but the min-id member of each fingerprint group
     exact_losers = (
@@ -67,37 +69,43 @@ def curate_documents(
     if cache_intermediates:
         stage3 = stage3.cache()
 
-    # near-dup: LSH candidates -> exact Jaccard verify -> cluster -> keep
+    # near-dup: LSH candidates -> exact Jaccard verify (per candidate pair
+    # ONLY — two equi-joins attach the texts; never an all-pairs join over
+    # the candidate universe) -> cluster -> keep
     candidates = minhash_lsh_candidates(stage3, id_col, text_col).select("a_id", "b_id")
-    if cache_intermediates:
-        candidates = candidates.cache()
-    cand_docs = stage3.select(F.col(id_col), F.col(text_col))
-    verified = (
-        ngram_jaccard_pairs(
-            cand_docs.join(
-                candidates.select(F.col("a_id").alias(id_col))
-                .unionByName(candidates.select(F.col("b_id").alias(id_col)))
-                .distinct(),
-                on=id_col,
-            ),
-            id_col,
-            text_col,
-            min_jaccard_pct=near_dup_jaccard_pct,
-        )
-        .join(candidates, on=["a_id", "b_id"], how="left_semi")
+    verified = ngram_jaccard_for_pairs(
+        candidates, stage3, id_col, text_col, min_jaccard_pct=near_dup_jaccard_pct
     )
     clusters = duplicate_clusters(verified.select("a_id", "b_id"), partitions=8)
     kept = keep_canonical(stage3, clusters, id_col)
 
-    spark = docs.sparkSession
-    funnel = spark.createDataFrame(
-        [
-            ("0_input", docs.count()),
-            ("1_lang", stage1.count()),
-            ("2_quality", stage2.count()),
-            ("3_exact_dedup", stage3.count()),
-            ("4_near_dedup", kept.count()),
-        ],
-        "stage string, docs bigint",
+    # funnel: one row per stage, built lazily as a union of aggregates so
+    # materializing it is a single Spark action.  Stages 0-2 are cascading
+    # row-local predicates over `scored`, so their three counts come from
+    # ONE conditional aggregate (one pass over the corpus).
+    base_counts = scored.agg(
+        F.count(F.lit(1)).alias("c0"),
+        F.coalesce(F.sum(lang_pred.cast("long")), F.lit(0)).alias("c1"),
+        F.coalesce(F.sum((lang_pred & qual_pred).cast("long")), F.lit(0)).alias("c2"),
+    )
+    funnel = (
+        base_counts.select(
+            F.explode(
+                F.array(
+                    F.struct(F.lit("0_input").alias("stage"), F.col("c0").alias("docs")),
+                    F.struct(F.lit("1_lang").alias("stage"), F.col("c1").alias("docs")),
+                    F.struct(F.lit("2_quality").alias("stage"), F.col("c2").alias("docs")),
+                )
+            ).alias("s")
+        )
+        .select("s.stage", "s.docs")
+        .unionByName(
+            stage3.agg(F.count(F.lit(1)).alias("docs"))
+            .select(F.lit("3_exact_dedup").alias("stage"), "docs")
+        )
+        .unionByName(
+            kept.agg(F.count(F.lit(1)).alias("docs"))
+            .select(F.lit("4_near_dedup").alias("stage"), "docs")
+        )
     )
     return kept, funnel

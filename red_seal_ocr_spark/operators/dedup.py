@@ -246,6 +246,12 @@ def keep_canonical(docs: DataFrame, clusters: DataFrame,
     return docs.join(losers, on=id_col, how="left_anti")
 
 
+def _jaccard_pct_col():
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    union = F.size(F.array_union("a_sh", "b_sh"))
+    return (F.lit(100) * inter / union).cast("int").alias("jaccard_pct")
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -253,19 +259,47 @@ def ngram_jaccard_pairs(
     min_jaccard_pct: int = 50,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """Exact shingle-set Jaccard on a (bounded) candidate set; integer
-    percent output for deterministic comparison."""
+    """Exact shingle-set Jaccard over ALL pairs of a (bounded) doc set;
+    integer percent output for deterministic comparison.
+
+    This is an a_id < b_id theta-join — O(n^2) by definition.  Use it only
+    on small, explicitly bounded inputs (test corpora, per-bucket slices).
+    For verifying an LSH candidate list use :func:`ngram_jaccard_for_pairs`,
+    which touches exactly the candidate pairs.
+    """
     t = docs.select(F.col(id_col), _shingles(text_col, shingle_k).alias("sh"))
     a = t.select(F.col(id_col).alias("a_id"), F.col("sh").alias("a_sh"))
     b = t.select(F.col(id_col).alias("b_id"), F.col("sh").alias("b_sh"))
-    inter = F.size(F.array_intersect("a_sh", "b_sh"))
-    union = F.size(F.array_union("a_sh", "b_sh"))
     return (
         a.join(b, F.col("a_id") < F.col("b_id"))
-        .select(
-            "a_id",
-            "b_id",
-            (F.lit(100) * inter / union).cast("int").alias("jaccard_pct"),
-        )
+        .select("a_id", "b_id", _jaccard_pct_col())
+        .filter(F.col("jaccard_pct") >= min_jaccard_pct)
+    )
+
+
+def ngram_jaccard_for_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_jaccard_pct: int = 50,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard scored per *given* pair (a_id, b_id).
+
+    The scalable verify stage after LSH: two equi-joins attach each side's
+    shingle set to the candidate pair, so the work is O(|pairs|) — the
+    quadratic pair enumeration never exists.  Each join shuffles on a
+    uniformly-distributed id, and exactly one row per input pair reaches
+    the Jaccard expression (asserted in tests).
+    """
+    t = docs.select(F.col(id_col), _shingles(text_col, shingle_k).alias("sh"))
+    a = t.select(F.col(id_col).alias("a_id"), F.col("sh").alias("a_sh"))
+    b = t.select(F.col(id_col).alias("b_id"), F.col("sh").alias("b_sh"))
+    return (
+        pairs.select("a_id", "b_id")
+        .join(a, on="a_id")
+        .join(b, on="b_id")
+        .select("a_id", "b_id", _jaccard_pct_col())
         .filter(F.col("jaccard_pct") >= min_jaccard_pct)
     )

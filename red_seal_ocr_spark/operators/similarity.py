@@ -18,6 +18,7 @@ math runs in double precision via built-in higher-order functions
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -90,6 +91,46 @@ def lsh_signature(vec_col, planes: list[list[float]], bits_per_band: int = 4):
     return F.array(*bands)
 
 
+def nearest_lists_udf(spark, centers: "np.ndarray", n_probe: int):
+    """Vectorized nearest-centroid assignment: array<double> -> array<int>
+    of the ``n_probe`` nearest list ids (squared L2, ties broken by lower
+    list id).
+
+    The centroid matrix ships as a Spark broadcast variable and the
+    distance computation is one BLAS matmul per Arrow batch — so the plan
+    carries ZERO per-centroid expressions and the approach scales to
+    realistic n_lists (1k-64k) where plan-literal centroids would explode
+    codegen.  (FAISS does IVF assignment exactly this way: a dense GEMM
+    against the coarse-quantizer centroids.)
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.ascontiguousarray(np.asarray(centers, dtype=np.float64))
+    c_sq = (C * C).sum(axis=1)
+    bc = spark.sparkContext.broadcast((C, c_sq))
+
+    @pandas_udf("array<int>")
+    def nearest(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        cent, cent_sq = bc.value
+        X = np.stack(emb.to_numpy())  # B x d
+        # squared L2 up to a per-row constant: -2 X C^T + ||C||^2
+        d = cent_sq[None, :] - 2.0 * (X @ cent.T)  # B x L
+        n = min(n_probe, cent.shape[0])
+        if n == 1:
+            ids = np.argmin(d, axis=1)[:, None]  # argmin = lowest-id tie-break
+        else:
+            part = np.argpartition(d, n - 1, axis=1)[:, :n]
+            pd_d = np.take_along_axis(d, part, axis=1)
+            # stable (dist, id) order within the n-subset
+            order = np.lexsort((part, pd_d), axis=1)
+            ids = np.take_along_axis(part, order, axis=1)
+        return pd.Series(list(ids.astype("int32")))
+
+    return nearest
+
+
 def ivf_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -99,54 +140,47 @@ def ivf_topk(
     n_lists: int = 8,
     n_probe: int = 2,
     seed: int = 42,
+    centroids=None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: KMeans-partitioned search.
 
-    Train ``n_lists`` centroids (MLlib KMeans, seeded), assign every
-    candidate to its nearest list, and search each query only in its
-    ``n_probe`` nearest lists — the classic IVF recall/cost dial.  The
-    candidate join is an equi-join on the list id, so at scale this is a
-    shuffle keyed by centroid assignment instead of a crossJoin; list
+    Train ``n_lists`` centroids (MLlib KMeans, seeded; or pass explicit
+    ``centroids`` — any array-like L x d — for deterministic tests),
+    assign every candidate to its nearest list, and search each query only
+    in its ``n_probe`` nearest lists — the classic IVF recall/cost dial.
+    The candidate join is an equi-join on the list id, so at scale this is
+    a shuffle keyed by centroid assignment instead of a crossJoin; list
     sizes are balanced by KMeans itself (plus AQE skew handling).
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
+    Assignment is a broadcast-centroids vectorized pandas UDF
+    (:func:`nearest_lists_udf`) — one GEMM per Arrow batch, no
+    per-centroid plan literals, so n_lists can grow without touching the
+    plan size.
+    """
     cand = candidates.select(
         F.col(id_col).alias("c_id"), _dbl(F.col(vec_col)).alias("c_emb")
     )
     qry = queries.select(
         F.col(id_col).alias("q_id"), _dbl(F.col(vec_col)).alias("q_emb")
     )
-    train = cand.select(array_to_vector("c_emb").alias("features"))
-    km = KMeans(k=n_lists, seed=seed, maxIter=10).fit(train)
-    centers = [c.tolist() for c in km.clusterCenters()]
+    if centroids is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
 
-    def nearest_lists(emb_col, n: int):
-        """Array of the n nearest list ids by squared L2 (plan-literal
-        centroids, same trick as the LSH hyperplanes)."""
-        dists = [
-            F.aggregate(
-                F.zip_with(
-                    emb_col,
-                    F.array(*[F.lit(float(v)) for v in center]),
-                    lambda x, y: (x - y) * (x - y),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias(f"d{i}")
-            for i, center in enumerate(centers)
-        ]
-        pairs = F.array(
-            *[F.struct(d.alias("d"), F.lit(i).alias("i")) for i, d in enumerate(dists)]
-        )
-        return F.slice(F.array_sort(pairs), 1, n)["i"]
+        train = cand.select(array_to_vector("c_emb").alias("features"))
+        km = KMeans(k=n_lists, seed=seed, maxIter=10).fit(train)
+        centers = np.asarray(km.clusterCenters(), dtype=np.float64)
+    else:
+        centers = np.asarray(centroids, dtype=np.float64)
 
+    spark = candidates.sparkSession
+    assign1 = nearest_lists_udf(spark, centers, 1)
+    assign_probe = nearest_lists_udf(spark, centers, n_probe)
     cand_assigned = cand.select(
-        "c_id", "c_emb", nearest_lists(F.col("c_emb"), 1)[0].alias("list_id")
+        "c_id", "c_emb", assign1(F.col("c_emb"))[0].alias("list_id")
     )
     qry_probed = qry.select(
-        "q_id", "q_emb", F.explode(nearest_lists(F.col("q_emb"), n_probe)).alias("list_id")
+        "q_id", "q_emb", F.explode(assign_probe(F.col("q_emb"))).alias("list_id")
     )
     sims = (
         qry_probed.join(cand_assigned, on="list_id")
