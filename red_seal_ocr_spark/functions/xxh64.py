@@ -1,0 +1,159 @@
+"""Pure-Python xxHash64 matching Spark SQL's ``xxhash64`` bit-for-bit.
+
+Implements the canonical XXH64 algorithm (Yann Collet, public spec,
+https://github.com/Cyan4973/xxHash/blob/dev/doc/xxhash_spec.md) plus
+Spark's column-folding convention so that::
+
+    spark_xxhash64("abc")            == F.xxhash64(F.lit("abc"))
+    spark_xxhash64("abc", 7)         == F.xxhash64(F.lit("abc"), F.lit(7))
+
+Spark folds multiple arguments by threading the running hash as the seed
+for the next column (seed starts at 42), hashing strings as their UTF-8
+bytes and integral types via the fixed-width int/long kernels — see
+``org.apache.spark.sql.catalyst.expressions.XxHash64`` /
+``sql/catalyst/.../XXH64.java`` (public Apache Spark source).
+
+Purpose: an *independent* (non-Spark, non-JVM) implementation used to
+generate DuckDB oracle fixtures for the minhash / simhash / winnowing
+queries, whose xxhash64 permutation family has no DuckDB builtin.
+Verified against Spark in tests/test_xxh64.py.
+"""
+
+from __future__ import annotations
+
+MASK64 = (1 << 64) - 1
+P1 = 0x9E3779B185EBCA87
+P2 = 0xC2B2AE3D27D4EB4F
+P3 = 0x165667B19E3779F9
+P4 = 0x85EBCA77C2B2AE63
+P5 = 0x27D4EB2F165667C5
+
+DEFAULT_SEED = 42  # Spark's XxHash64 default seed
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & MASK64
+
+
+def _fmix(h: int) -> int:
+    h ^= h >> 33
+    h = (h * P2) & MASK64
+    h ^= h >> 29
+    h = (h * P3) & MASK64
+    h ^= h >> 32
+    return h
+
+
+def _round(acc: int, w: int) -> int:
+    return (_rotl((acc + w * P2) & MASK64, 31) * P1) & MASK64
+
+
+def _merge_round(h: int, acc: int) -> int:
+    h ^= (_rotl((acc * P2) & MASK64, 31) * P1) & MASK64
+    return (h * P1 + P4) & MASK64
+
+
+def xxh64(data: bytes, seed: int) -> int:
+    """Canonical XXH64 of ``data`` with ``seed`` (unsigned 64-bit result)."""
+    seed &= MASK64
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + P1 + P2) & MASK64
+        v2 = (seed + P2) & MASK64
+        v3 = seed
+        v4 = (seed - P1) & MASK64
+        while i <= n - 32:
+            v1 = _round(v1, int.from_bytes(data[i : i + 8], "little"))
+            v2 = _round(v2, int.from_bytes(data[i + 8 : i + 16], "little"))
+            v3 = _round(v3, int.from_bytes(data[i + 16 : i + 24], "little"))
+            v4 = _round(v4, int.from_bytes(data[i + 24 : i + 32], "little"))
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & MASK64
+        for v in (v1, v2, v3, v4):
+            h = _merge_round(h, v)
+    else:
+        h = (seed + P5) & MASK64
+    h = (h + n) & MASK64
+    while i <= n - 8:
+        w = int.from_bytes(data[i : i + 8], "little")
+        h ^= (_rotl((w * P2) & MASK64, 31) * P1) & MASK64
+        h = (_rotl(h, 27) * P1 + P4) & MASK64
+        i += 8
+    if i <= n - 4:
+        w = int.from_bytes(data[i : i + 4], "little")
+        h ^= (w * P1) & MASK64
+        h = (_rotl(h, 23) * P2 + P3) & MASK64
+        i += 4
+    while i < n:
+        h ^= (data[i] * P5) & MASK64
+        h = (_rotl(h, 11) * P1) & MASK64
+        i += 1
+    return _fmix(h)
+
+
+def _hash_long(value: int, seed: int) -> int:
+    """Spark XXH64.hashLong: the 8-byte fixed-width kernel."""
+    seed &= MASK64
+    value &= MASK64
+    h = (seed + P5 + 8) & MASK64
+    h ^= (_rotl((value * P2) & MASK64, 31) * P1) & MASK64
+    h = (_rotl(h, 27) * P1 + P4) & MASK64
+    return _fmix(h)
+
+
+def _hash_int(value: int, seed: int) -> int:
+    """Spark XXH64.hashInt: the 4-byte fixed-width kernel."""
+    seed &= MASK64
+    value &= 0xFFFFFFFF
+    h = (seed + P5 + 4) & MASK64
+    h ^= (value * P1) & MASK64
+    h = (_rotl(h, 23) * P2 + P3) & MASK64
+    return _fmix(h)
+
+
+def to_signed(u: int) -> int:
+    """Unsigned 64-bit -> Java/Spark signed long."""
+    u &= MASK64
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def spark_xxhash64(*values, seed: int = DEFAULT_SEED) -> int:
+    """Spark-semantics xxhash64 over mixed values (signed long result).
+
+    str -> UTF-8 bytes through the canonical byte kernel; bool/int within
+    int32 -> hashInt; larger ints -> hashLong (matching PySpark literal
+    typing: ``F.lit`` maps a Python int to IntegerType when it fits in 32
+    bits, else LongType).  The running hash seeds the next value, exactly
+    like Spark's multi-column fold.
+    """
+    h = seed & MASK64
+    for v in values:
+        if isinstance(v, str):
+            h = xxh64(v.encode("utf-8"), h)
+        elif isinstance(v, bool):
+            h = _hash_int(int(v), h)
+        elif isinstance(v, int):
+            if -(1 << 31) <= v < (1 << 31):
+                h = _hash_int(v & 0xFFFFFFFF, h)
+            else:
+                h = _hash_long(v, h)
+        elif isinstance(v, bytes):
+            h = xxh64(v, h)
+        else:
+            raise TypeError(f"unsupported type for spark_xxhash64: {type(v)}")
+    return to_signed(h)
+
+
+def spark_xxhash64_long(*values, seed: int = DEFAULT_SEED) -> int:
+    """Like :func:`spark_xxhash64` but every int is hashed as a LONG column
+    (for hashing signature elements, which are bigint in Spark)."""
+    h = seed & MASK64
+    for v in values:
+        if isinstance(v, str):
+            h = xxh64(v.encode("utf-8"), h)
+        elif isinstance(v, int):
+            h = _hash_long(v, h)
+        else:
+            raise TypeError(f"unsupported type: {type(v)}")
+    return to_signed(h)

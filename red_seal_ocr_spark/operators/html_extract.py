@@ -49,15 +49,11 @@ def strip_html(docs: DataFrame, html_col: str = "html",
     return docs.withColumn(out_col, strip_tags_col(F.col(html_col)))
 
 
-def extract_main_content(docs: DataFrame, id_col: str = "doc_id",
-                         html_col: str = "html",
-                         min_block_chars: int = 40,
-                         max_link_density: float = 0.4) -> DataFrame:
-    """DOM-heuristic main-content extraction (see module docstring)."""
+class _Blocks:
+    """Block segmenter over stdlib html.parser (lazy import keeps the
+    module importable without pulling html.parser at Spark plan time)."""
 
-    def run(batches):
-        import pandas as pd
-
+    def __new__(cls):
         from html.parser import HTMLParser
 
         class Blocks(HTMLParser):
@@ -100,29 +96,51 @@ def extract_main_content(docs: DataFrame, id_col: str = "doc_id",
                     self.cur[1] += len(t)
                 self.cur[2].append(t)
 
+        return Blocks()
+
+
+def parse_main_content(html: str, min_block_chars: int = 40,
+                       max_link_density: float = 0.4) -> tuple:
+    """Pure per-document main-content parse.
+
+    Returns ``(ok, main_text, n_blocks, kept_blocks, link_density_x100)``.
+    Shared by the Spark ``mapInPandas`` stage and the oracle-fixture
+    generator (tools/gen_oracles.py), so the two cannot drift.
+    """
+    try:
+        p = _Blocks()
+        p.feed(html or "")
+        p.close()
+        p._flush()
+        blocks = p.blocks
+        kept = [
+            blk for blk in blocks
+            if blk[0] >= min_block_chars
+            and (blk[1] / blk[0]) <= max_link_density
+        ]
+        text = " ".join(" ".join(blk[2]) for blk in kept)
+        total_chars = sum(blk[0] for blk in blocks) or 1
+        total_link = sum(blk[1] for blk in blocks)
+        return (True, text, len(blocks), len(kept),
+                int(100 * total_link / total_chars))
+    except Exception:
+        return (False, None, None, None, None)
+
+
+def extract_main_content(docs: DataFrame, id_col: str = "doc_id",
+                         html_col: str = "html",
+                         min_block_chars: int = 40,
+                         max_link_density: float = 0.4) -> DataFrame:
+    """DOM-heuristic main-content extraction (see module docstring)."""
+
+    def run(batches):
+        import pandas as pd
+
         for b in batches:
-            rows = []
-            for doc_id, html in zip(b[id_col], b[html_col]):
-                try:
-                    p = Blocks()
-                    p.feed(html or "")
-                    p.close()
-                    p._flush()
-                    blocks = p.blocks
-                    kept = [
-                        blk for blk in blocks
-                        if blk[0] >= min_block_chars
-                        and (blk[1] / blk[0]) <= max_link_density
-                    ]
-                    text = " ".join(" ".join(blk[2]) for blk in kept)
-                    total_chars = sum(blk[0] for blk in blocks) or 1
-                    total_link = sum(blk[1] for blk in blocks)
-                    rows.append(
-                        (doc_id, True, text, len(blocks), len(kept),
-                         int(100 * total_link / total_chars))
-                    )
-                except Exception:
-                    rows.append((doc_id, False, None, None, None, None))
+            rows = [
+                (doc_id,) + parse_main_content(html, min_block_chars, max_link_density)
+                for doc_id, html in zip(b[id_col], b[html_col])
+            ]
             yield pd.DataFrame(
                 rows,
                 columns=["doc_id", "ok", "main_text", "n_blocks",

@@ -36,12 +36,18 @@ def q21_lang_id(spark, sf):
 
 
 def _sql_marker_hits(words: list[str]) -> str:
+    """DuckDB mirror of textops._marker_hits: tokenize-once + marker-set
+    membership for latin scripts, containment count for CJK."""
     parts = []
+    ascii_words = [w for w in words if w.isascii()]
+    if ascii_words:
+        lst = "[" + ", ".join(f"'{w}'" for w in ascii_words) + "]"
+        parts.append(
+            "len(list_filter(string_split_regex(lower(text), '\\s+'),"
+            f" t -> list_contains({lst}, t)))"
+        )
     for wd in words:
-        if wd.isascii():
-            pat = r"(^|\s)" + wd + r"(\s|$)"
-            parts.append(f"len(regexp_extract_all(lower(text), '{pat}'))")
-        else:
+        if not wd.isascii():
             parts.append(
                 f"CAST((length(text) - length(replace(text, '{wd}', '')))"
                 f" / length('{wd}') AS INT)"
@@ -183,14 +189,22 @@ def q26_lsh_ann_recall(spark, sf):
 
 
 def q34_ivf_ann_recall(spark, sf):
-    """IVF (KMeans inverted-file) ANN vs exact top-k recall (rows-only;
-    deterministic via seeded KMeans)."""
+    """IVF (inverted-file) ANN vs exact top-k recall.
+
+    Centroids here are explicit + deterministic (the 8 lowest-vec_id
+    embeddings) so the query is oracle-able by an independent NumPy
+    reimplementation; the production KMeans-trained path is exercised in
+    tests/test_dedup_similarity.py::test_ivf_topk_recall."""
     from ..operators.similarity import cosine_topk, ivf_topk
 
     e = _t(spark, sf, "embeddings")
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in e.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
     q = e.filter(F.col("vec_id") < 5)
     exact = cosine_topk(q, e, k=10).select("query_id", "neighbor_id")
-    approx = ivf_topk(q, e, k=10, n_lists=8, n_probe=2).select(
+    approx = ivf_topk(q, e, k=10, n_lists=8, n_probe=2, centroids=cents).select(
         F.col("query_id").alias("a_query_id"), F.col("neighbor_id").alias("a_neighbor_id")
     )
     hits = exact.join(
@@ -228,9 +242,16 @@ def q27_multimodal_meta(spark, sf):
 
     media = media_df(spark, 16, partitions=16)
     meta = image_metadata(media)
+    # failed decodes carry -1 sentinels (not NULL): pandas upcasts nullable
+    # int columns to float on the DuckDB side, which breaks cross-engine
+    # value hashing (same class of fix as formatting timestamps as strings)
     return meta.select(
-        "media_ref", "ok", "width", "height",
-        F.round(F.col("red_ratio") * 10000).cast("int").alias("red_ratio_bps"),
+        "media_ref", "ok",
+        F.coalesce("width", F.lit(-1)).alias("width"),
+        F.coalesce("height", F.lit(-1)).alias("height"),
+        F.coalesce(
+            F.round(F.col("red_ratio") * 10000).cast("int"), F.lit(-1)
+        ).alias("red_ratio_bps"),
     ).orderBy("media_ref")
 
 
@@ -717,6 +738,18 @@ def q44_percentiles(spark, sf):
         .orderBy("o_orderpriority")
     )
 
+
+# Generated oracles (independent pure-Python/NumPy mirrors — see
+# tools/gen_oracles.py) for the queries whose hashing / float-fold / kernel
+# expressions have no DuckDB builtin.  Fixtures are generated from the
+# driver's sf0.01 tables (the correctness-gate scale); regenerate with
+# `python tools/gen_oracles.py` after intentional operator changes.
+try:
+    from .generated_oracles import GENERATED_ORACLE_SQL
+
+    ORACLE_SQL_2.update(GENERATED_ORACLE_SQL)
+except ImportError:  # pragma: no cover - fixtures not generated yet
+    pass
 
 SPARK_QUERIES_2["q44_percentiles"] = q44_percentiles
 ORACLE_SQL_2["q44_percentiles"] = """

@@ -1,0 +1,74 @@
+"""Pure-Python xxh64 vs Spark's xxhash64: bit-for-bit agreement.
+
+This is the independence guarantee behind the generated DuckDB oracles for
+the minhash / simhash / winnowing queries: the fixture values come from a
+non-JVM implementation of the public XXH64 spec, so a Spark-side hashing
+bug cannot self-confirm.
+"""
+
+import random
+
+from pyspark.sql import functions as F
+
+from red_seal_ocr_spark.functions.xxh64 import (
+    spark_xxhash64,
+    spark_xxhash64_long,
+    xxh64,
+)
+
+
+def _corpus():
+    rng = random.Random(1234)
+    fixed = ["", "a", "ab", "abc", "abcd", "x" * 7, "x" * 8, "x" * 9,
+             "y" * 31, "y" * 32, "y" * 33, "z" * 63, "z" * 64, "z" * 100,
+             "的是了在我", "mixed 的 text", "tab\tnew\nline", "späce ünïcode"]
+    alphabet = "abcdefghijklmnop 0123456789的是了"
+    rand = ["".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 120)))
+            for _ in range(60)]
+    return fixed + rand
+
+
+def test_string_hash_matches_spark(spark):
+    corpus = _corpus()
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(corpus)], "i int, s string")
+    rows = df.select(
+        "i",
+        F.xxhash64("s").alias("h0"),
+        F.xxhash64("s", F.lit(3)).alias("h_seeded"),
+    ).collect()
+    for r in rows:
+        s = corpus[r.i]
+        assert spark_xxhash64(s) == r.h0, repr(s)
+        assert spark_xxhash64(s, 3) == r.h_seeded, repr(s)
+
+
+def test_int_long_and_fold_match_spark(spark):
+    rng = random.Random(77)
+    ints = [0, 1, -1, 2**31 - 1, -(2**31)] + [rng.randrange(-10**9, 10**9) for _ in range(10)]
+    longs = [0, 2**31, -(2**31) - 1, 2**63 - 1, -(2**63)] + [
+        rng.randrange(-(2**62), 2**62) for _ in range(10)
+    ]
+    df = spark.createDataFrame(
+        [(a, b) for a, b in zip(ints, longs[: len(ints)])], "a int, b bigint"
+    )
+    rows = df.select(
+        "a", "b",
+        F.xxhash64("a").alias("ha"),
+        F.xxhash64("b").alias("hb"),
+        F.xxhash64("b", "b", "a").alias("hfold"),
+    ).collect()
+    for r in rows:
+        assert spark_xxhash64(r.a) == r.ha
+        assert spark_xxhash64_long(r.b) == r.hb
+        # fold: long, long, then int column
+        from red_seal_ocr_spark.functions.xxh64 import MASK64, _hash_int, to_signed
+
+        h = 42
+        for v in (r.b, r.b):
+            h = spark_xxhash64_long(v, seed=h) & MASK64
+        assert to_signed(_hash_int(r.a & 0xFFFFFFFF, h)) == r.hfold
+
+
+def test_known_canonical_vector():
+    # XXH64 spec sanity: empty input, seed 0 -> 0xEF46DB3751D8E999
+    assert xxh64(b"", 0) == 0xEF46DB3751D8E999
