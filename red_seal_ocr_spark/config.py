@@ -94,6 +94,19 @@ class EngineConfig:
     # --- downscale cap (reference ocr_engine.py:250-282) ---
     max_size: int = 1280
 
+    # --- per-item cost budget (reference ocr_pool.py:56-98 reinit-on-hang,
+    # mapped to an a-priori bound: the kernel is O(pixels), so capping
+    # header-declared pixels before decode deterministically bounds each
+    # item's cost; breach -> failure_kind='too_large' pass-through) ---
+    max_pixels: int = 64_000_000
+
+    # --- OCR decoder swap-in point (F10): callable
+    # (glyph_presence_mask: bool ndarray, cfg) -> (text: str, conf: float);
+    # None = the built-in deterministic template decoder.  The neural-model
+    # swap (reference src/ocr_engine.py:578-632 PaddleOCR invoke) plugs in
+    # here without touching the kernel chain (contract-tested). ---
+    decoder: object = None
+
     # --- template OCR ---
     ocr_max_hamming: int = 6  # of 35 cells; worse -> glyph dropped
 

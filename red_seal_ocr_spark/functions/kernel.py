@@ -41,10 +41,11 @@ from .imageops import (
     uint8_stats,
 )
 from .ocr import decode_seal_with_confidence
-from .png import PngError, decode_png_lazy
+from .png import PngError, PngTooLarge, decode_png_lazy
 
 OK = 0
 DECODE_ERROR = 1
+TOO_LARGE = 2  # per-item pixel budget breached (reference reinit-on-hang analog)
 
 
 class _ArrayImage:
@@ -98,7 +99,14 @@ def process_image(content: bytes | None, cfg: EngineConfig = DEFAULT_CONFIG) -> 
     if not isinstance(content, (bytes, bytearray, memoryview)) or len(content) == 0:
         return ImageResult(None, DECODE_ERROR)
     try:
-        src = decode_png_lazy(bytes(content))
+        src = decode_png_lazy(bytes(content), cfg.max_pixels)
+    except PngTooLarge:
+        # deterministic per-item cost budget (header check, O(1)): the
+        # span passes through unchanged and lineage counts it, exactly
+        # like any other failure — one pathological image can never stall
+        # a task (reference ocr_pool.py:56-98 reinit-on-hang semantics,
+        # mapped to an a-priori budget because the kernel is O(pixels))
+        return ImageResult(None, TOO_LARGE)
     except PngError:
         return ImageResult(None, DECODE_ERROR)
     h, w = src.h, src.w
@@ -182,7 +190,8 @@ def process_image(content: bytes | None, cfg: EngineConfig = DEFAULT_CONFIG) -> 
         # F10/F11: normalized crop -> glyph-presence mask -> template OCR
         crop_red = rgb_red_mask(crop, cfg.hue_band1, cfg.hue_band2,
                                 cfg.sat_min, cfg.val_min)
-        text, conf = decode_seal_with_confidence(~crop_red, cfg)
+        decode = cfg.decoder or decode_seal_with_confidence
+        text, conf = decode(~crop_red, cfg)
         if text.strip():  # P4: drop blank results
             texts.append(text)
             confidence = min(confidence, conf)

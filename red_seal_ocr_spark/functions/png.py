@@ -26,6 +26,13 @@ class PngError(ValueError):
     """Raised on malformed or unsupported PNG input."""
 
 
+class PngTooLarge(PngError):
+    """Image exceeds the per-item pixel budget (detected from the header,
+    before any inflate work).  Subclasses PngError so generic decode-failure
+    handling still applies; the kernel catches it first to report
+    failure_kind='too_large' in lineage."""
+
+
 def _chunk(tag: bytes, payload: bytes) -> bytes:
     return (
         struct.pack(">I", len(payload))
@@ -142,9 +149,14 @@ class PngImage:
         return self.crop(0, self.h, 0, self.w)
 
 
-def decode_png_lazy(data: bytes) -> PngImage:
+def decode_png_lazy(data: bytes, max_pixels: int = 64_000_000) -> PngImage:
     """Decode PNG bytes to a :class:`PngImage` (pixels stay in the
-    scanline buffer until a region is requested)."""
+    scanline buffer until a region is requested).
+
+    ``max_pixels`` is the per-item cost budget: header dimensions above it
+    raise :class:`PngTooLarge` before any inflate work, and the inflate
+    itself is bounded to the header-implied byte count.
+    """
     if not isinstance(data, (bytes, bytearray)) or len(data) < 8:
         raise PngError("too short")
     if bytes(data[:8]) != _SIGNATURE:
@@ -183,13 +195,22 @@ def decode_png_lazy(data: bytes) -> PngImage:
         channels = 1
     else:
         raise PngError(f"unsupported color type {color_type}")
-    if w <= 0 or h <= 0 or w * h > 64_000_000:
+    if w <= 0 or h <= 0:
         raise PngError("bad dimensions")
+    if w * h > max_pixels:
+        # raised BEFORE any inflate work: the per-item cost budget.  A
+        # pathological header (decompression bomb, absurd dimensions) is
+        # rejected in O(header) time, so one bad item can never stall a
+        # task (reference reinit-on-hang analog, src/ocr_pool.py:56-98).
+        raise PngTooLarge(f"{w}x{h} exceeds pixel budget {max_pixels}")
+    expected = h * (1 + w * channels)
     try:
-        decompressed = zlib.decompress(bytes(idat))
+        # bounded inflate: never materialize more than expected+1 bytes no
+        # matter what the stream claims (zlib-bomb guard)
+        d = zlib.decompressobj()
+        decompressed = d.decompress(bytes(idat), expected + 1)
     except zlib.error as exc:  # pragma: no cover - exercised via corrupt fixtures
         raise PngError(f"zlib: {exc}") from exc
-    expected = h * (1 + w * channels)
     if len(decompressed) != expected:
         raise PngError("bad data length")
     raw = np.frombuffer(decompressed, dtype=np.uint8).reshape(h, 1 + w * channels)

@@ -41,7 +41,8 @@ from ..sources.snapshot import commit_snapshot, list_run_files, read_table
 
 KERNEL_OUT_SCHEMA = (
     "doc_id string, offset int, media_ref string, text string, "
-    "ok boolean, failure_kind string, n_components int, confidence double"
+    "ok boolean, failure_kind string, n_components int, confidence double, "
+    "kernel_ms double"
 )
 
 
@@ -56,12 +57,14 @@ def _kernel_udf(cfg: EngineConfig):
     """
 
     def run(batches):
+        import time
+
         import pandas as pd
 
-        from ..functions.kernel import OK, process_image
+        from ..functions.kernel import OK, TOO_LARGE, process_image
 
         for b in batches:
-            texts, oks, fkinds, ncomps, confs = [], [], [], [], []
+            texts, oks, fkinds, ncomps, confs, ms = [], [], [], [], [], []
             for content in b["content"]:
                 if content is None:
                     texts.append(None)
@@ -69,12 +72,21 @@ def _kernel_udf(cfg: EngineConfig):
                     fkinds.append("missing_media")
                     ncomps.append(0)
                     confs.append(None)
+                    ms.append(0.0)
                     continue
+                t0 = time.perf_counter()
                 r = process_image(bytes(content), cfg)
+                # per-item watchdog metric (never part of span equality):
+                # surfaces slow items in lineage so a hot partition is
+                # attributable to its inputs, not guessed at
+                ms.append((time.perf_counter() - t0) * 1000.0)
                 ok = r.status == OK
                 texts.append(r.text if ok else None)
                 oks.append(ok)
-                fkinds.append(None if ok else "decode_error")
+                fkinds.append(
+                    None if ok
+                    else ("too_large" if r.status == TOO_LARGE else "decode_error")
+                )
                 ncomps.append(r.n_components)
                 confs.append(r.confidence if ok else None)
             yield pd.DataFrame(
@@ -87,6 +99,7 @@ def _kernel_udf(cfg: EngineConfig):
                     "failure_kind": fkinds,
                     "n_components": ncomps,
                     "confidence": confs,
+                    "kernel_ms": ms,
                 }
             )
 
@@ -147,13 +160,15 @@ def extract_documents(
     # scale the docs side of this join can additionally be bucketed by
     # doc_id to avoid shuffling the corpus at all (see tests/test_bucketing).
     results = (
-        extracted.filter(F.col("ok"))
-        .groupBy("doc_id")
+        extracted.groupBy("doc_id")
         .agg(
+            # collect_list drops nulls, so failed spans contribute nothing
+            # to the splice map but still feed the watchdog metric below
             F.map_from_entries(
-                F.collect_list(F.struct("offset", "text"))
+                F.collect_list(F.when(F.col("ok"), F.struct("offset", "text")))
             ).alias("extracted_map"),
-            F.min("confidence").alias("min_ocr_confidence"),
+            F.min(F.when(F.col("ok"), F.col("confidence"))).alias("min_ocr_confidence"),
+            F.max("kernel_ms").alias("max_kernel_ms"),
         )
     )
 
@@ -180,6 +195,9 @@ def extract_documents(
             - F.coalesce(F.size(F.map_keys("extracted_map")), F.lit(0))
         ).alias("n_failures"),
         F.col("min_ocr_confidence"),
+        # watchdog: slowest kernel item per doc (metric only — never part
+        # of the span-equality tuple; feeds the lineage aggregation)
+        F.col("max_kernel_ms"),
     )
     return spliced
 
@@ -223,6 +241,7 @@ def run_extract(
                 F.count("*").alias("docs"),
                 F.sum("n_media").alias("media_spans"),
                 F.sum("n_failures").alias("failures"),
+                F.max("max_kernel_ms").alias("max_kernel_ms"),
             )
             .select(
                 F.lit(run_id).alias("run_id"),
@@ -231,6 +250,7 @@ def run_extract(
                 "docs",
                 "media_spans",
                 "failures",
+                "max_kernel_ms",
             )
         )
         lineage_dir = f"{table_dir}/_lineage/run-{run_id}"

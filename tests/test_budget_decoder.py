@@ -1,0 +1,141 @@
+"""Per-item cost budget (pathological inputs) + OCR decoder injection.
+
+Reference parity: src/ocr_pool.py:56-98 tears down and rebuilds a hung
+engine; the Spark engine maps that to an a-priori per-item budget (the
+kernel is O(pixels), so capping header-declared pixels bounds every item
+deterministically) plus pass-through failure accounting.  The decoder
+field proves the F10 neural-model swap-in (src/ocr_engine.py:578-632) is
+an interface, not a docstring.
+"""
+
+import struct
+import time
+import zlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from red_seal_ocr_spark.config import EngineConfig
+from red_seal_ocr_spark.functions.kernel import OK, TOO_LARGE, process_image
+from red_seal_ocr_spark.functions.png import (
+    PngError,
+    PngTooLarge,
+    decode_png_lazy,
+    encode_png,
+)
+
+SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+
+def _png_with_header(w: int, h: int, idat: bytes) -> bytes:
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def test_huge_dimensions_rejected_before_decode():
+    bomb = _png_with_header(50_000, 50_000, zlib.compress(b"\x00" * 16))
+    t0 = time.perf_counter()
+    with pytest.raises(PngTooLarge):
+        decode_png_lazy(bomb)
+    assert time.perf_counter() - t0 < 0.2  # header-time rejection, no inflate
+    r = process_image(bomb)
+    assert r.status == TOO_LARGE and r.text is None
+
+
+def test_zlib_bomb_inflate_is_bounded():
+    # header claims 4x4 but the stream inflates to ~50 MB: the bounded
+    # decompressobj must stop at expected+1 bytes and fail fast
+    bomb = _png_with_header(4, 4, zlib.compress(b"\x00" * 50_000_000))
+    t0 = time.perf_counter()
+    with pytest.raises(PngError):
+        decode_png_lazy(bomb)
+    assert time.perf_counter() - t0 < 1.0
+
+
+def test_config_pixel_budget_applies():
+    img = np.full((20, 30, 3), 255, dtype=np.uint8)
+    content = encode_png(img)
+    assert process_image(content).status == OK
+    assert process_image(content, EngineConfig(max_pixels=100)).status == TOO_LARGE
+
+
+def test_too_large_passes_through_batch_unharmed(spark):
+    """North-rule failure semantics under the budget: the pathological span
+    passes through unchanged + is counted; siblings in the same batch are
+    extracted normally."""
+    from red_seal_ocr_spark.operators.extract import extract_documents
+
+    good = encode_png(np.full((16, 24, 3), 255, dtype=np.uint8))  # no seal -> ""
+    bomb = _png_with_header(50_000, 50_000, zlib.compress(b"\x00" * 16))
+    docs = spark.createDataFrame(
+        [
+            ("d1", [("media", None, "m-big", 0), ("text", "KEEP", None, 1),
+                    ("media", None, "m-ok", 2)]),
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    media = spark.createDataFrame(
+        [("m-big", bytearray(bomb)), ("m-ok", bytearray(good))],
+        "media_ref string, content binary",
+    )
+    out = extract_documents(spark, docs, media).collect()
+    assert len(out) == 1
+    row = out[0]
+    spans = sorted(row.spans, key=lambda s: s.offset)
+    assert [s.kind for s in spans] == ["media", "text", "text"]  # bomb unchanged
+    assert spans[0].media_ref == "m-big" and spans[0].text is None
+    assert spans[1].text == "KEEP"
+    assert spans[2].media_ref == "m-ok"  # decoded (empty seal text)
+    assert row.n_media == 2 and row.n_failures == 1
+    assert row.max_kernel_ms is not None and row.max_kernel_ms >= 0.0
+
+
+def test_decoder_injection_end_to_end(spark):
+    """F10 swap-in contract: a different decoder injected via config is
+    honored by the whole Spark pipeline without kernel changes."""
+    from red_seal_ocr_spark.operators.extract import extract_documents
+    from red_seal_ocr_spark.sources.spark_tables import documents_df, media_df
+
+    def stub_decoder(glyph_mask, cfg):
+        return "INJECTED", 0.5
+
+    cfg = EngineConfig(decoder=stub_decoder)
+    docs = documents_df(spark, 6)
+    media = media_df(spark, 6)
+    out = extract_documents(spark, docs, media, cfg).collect()
+    injected = 0
+    for row in out:
+        for s in row.spans:
+            if s.kind == "text" and s.media_ref is not None:
+                # every extracted span is built from the injected decoder:
+                # one "INJECTED" per kept component
+                assert set(s.text.split("INJECTED")) == {""}, s.text
+                injected += 1
+    assert injected > 0
+    confs = [r.min_ocr_confidence for r in out if r.min_ocr_confidence is not None]
+    assert confs and all(c == 0.5 for c in confs)
+
+
+def test_decoder_injection_single_process():
+    """Same contract at the kernel level (no Spark)."""
+    from red_seal_ocr_spark.sources.datagen import build_local
+
+    def stub_decoder(glyph_mask, cfg):
+        return "Z9", 0.25
+
+    docs, media = build_local(4, seed=42)
+    cfg = EngineConfig(decoder=stub_decoder)
+    hits = 0
+    for content in media.values():
+        r = process_image(content, cfg)
+        if r.status == OK and r.text:
+            assert set(r.text.split("Z9")) == {""}
+            assert r.confidence == 0.25
+            hits += 1
+    assert hits > 0
