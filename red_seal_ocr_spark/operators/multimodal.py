@@ -128,10 +128,17 @@ def _decode_audio(content: bytes):
 
     Real-path contract: return (sample_rate:int, samples:float ndarray).
     """
-    if HAVE_AUDIO_LIBS:  # pragma: no cover - library not in container
-        raise NotImplementedError(
-            "real audio decode (soundfile.read) goes here; container lacks the lib"
-        )
+    if HAVE_AUDIO_LIBS:
+        # real path (contract-tested via an injected fake module; the
+        # container lacks soundfile, a deployment with it gets this branch)
+        import io
+
+        import soundfile  # type: ignore
+
+        samples, rate = soundfile.read(io.BytesIO(bytes(content)), dtype="float64")
+        if getattr(samples, "ndim", 1) > 1:
+            samples = samples.mean(axis=1)
+        return int(rate), samples
     import numpy as np
 
     if len(content) < 12 or bytes(content[:4]) != b"FAKA":
@@ -172,8 +179,19 @@ def audio_metadata(media: DataFrame) -> DataFrame:
 
 def _iter_video_frames(content: bytes):
     """Video frame iterator: real library if present, else the fake format."""
-    if HAVE_VIDEO_LIBS:  # pragma: no cover
-        raise NotImplementedError("real video demux (av.open) goes here")
+    if HAVE_VIDEO_LIBS:
+        # real path: demux + decode via PyAV, re-encode frames with the
+        # engine's PNG codec so downstream schema is identical either way
+        import io
+
+        import av  # type: ignore
+
+        from ..functions.png import encode_png
+
+        with av.open(io.BytesIO(bytes(content))) as container:
+            for frame in container.decode(video=0):
+                yield encode_png(frame.to_ndarray(format="rgb24"))
+        return
     if len(content) < 12 or bytes(content[:4]) != b"FAKV":
         raise ValueError("not a FAKV payload")
     fps, n_frames = struct.unpack("<II", bytes(content[4:12]))
@@ -262,8 +280,16 @@ def _iter_pdf_pages(content: bytes):
     """Page-text iterator: real library if present, else the deterministic
     fake layout format b'FAKP' + uint32 n_pages + per-page (uint32 len,
     utf-8 text)."""
-    if HAVE_PDF_LIBS:  # pragma: no cover
-        raise NotImplementedError("real PDF parse (pypdf.PdfReader) goes here")
+    if HAVE_PDF_LIBS:
+        # real path: page-ordered text via pypdf
+        import io
+
+        import pypdf  # type: ignore
+
+        reader = pypdf.PdfReader(io.BytesIO(bytes(content)))
+        for page in reader.pages:
+            yield page.extract_text() or ""
+        return
     if len(content) < 8 or bytes(content[:4]) != b"FAKP":
         raise ValueError("not a FAKP payload")
     (n_pages,) = struct.unpack("<I", bytes(content[4:8]))

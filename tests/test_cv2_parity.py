@@ -1,0 +1,71 @@
+"""cv2-parity goldens (SURVEY.md test #1 "vs cv2 where available").
+
+cv2 is not in this container; tests/golden/cv2_parity.json holds values
+derived scalar-by-scalar from OpenCV's published formulas by an
+independent reference implementation (tools/gen_cv2_golden.py — shares no
+code with functions/imageops.py).  H/S tolerate 1 LSB (cv2's 8-bit path
+is fixed-point); V, the red mask (boundary-safe samples), morphology and
+integer-ratio INTER_AREA are exact.
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+from red_seal_ocr_spark.functions.imageops import (
+    dilate2,
+    erode2,
+    morph_close,
+    morph_open,
+    red_mask,
+    resize_area,
+    rgb_red_mask,
+    rgb_to_hsv_cv,
+)
+
+GOLDEN = json.loads(
+    (Path(__file__).parent / "golden" / "cv2_parity.json").read_text()
+)
+
+
+def test_hsv_matches_cv2_formula_goldens():
+    rgbs = np.array([c["rgb"] for c in GOLDEN["hsv"]], dtype=np.uint8).reshape(-1, 1, 3)
+    want = np.array([c["hsv"] for c in GOLDEN["hsv"]], dtype=np.int32)
+    got = rgb_to_hsv_cv(rgbs).reshape(-1, 3).astype(np.int32)
+    assert np.array_equal(got[:, 2], want[:, 2])  # V exact
+    # H wraps at 180: compare circular distance
+    dh = np.abs(got[:, 0] - want[:, 0])
+    dh = np.minimum(dh, 180 - dh)
+    assert int(dh.max()) <= 1, int(dh.max())
+    assert int(np.abs(got[:, 1] - want[:, 1]).max()) <= 1
+
+
+def test_red_mask_matches_goldens_exactly():
+    g = GOLDEN["red_mask"]
+    rgbs = np.array([s["rgb"] for s in g["samples"]], dtype=np.uint8).reshape(-1, 1, 3)
+    want = np.array([s["red"] for s in g["samples"]], dtype=bool)
+    hsv = rgb_to_hsv_cv(rgbs)
+    via_hsv = red_mask(hsv, tuple(g["band1"]), tuple(g["band2"]),
+                       g["sat_min"], g["val_min"]).reshape(-1)
+    fused = rgb_red_mask(rgbs, tuple(g["band1"]), tuple(g["band2"]),
+                         g["sat_min"], g["val_min"]).reshape(-1)
+    assert np.array_equal(via_hsv, want)
+    assert np.array_equal(fused, want)
+
+
+def test_morphology_matches_cv2_semantics_goldens():
+    for case in GOLDEN["morph"]:
+        grid = np.array(case["grid"], dtype=bool)
+        assert np.array_equal(erode2(grid), np.array(case["erode"], dtype=bool))
+        assert np.array_equal(dilate2(grid), np.array(case["dilate"], dtype=bool))
+        assert np.array_equal(morph_open(grid), np.array(case["open"], dtype=bool))
+        assert np.array_equal(morph_close(grid), np.array(case["close"], dtype=bool))
+
+
+def test_resize_area_integer_ratio_goldens():
+    for case in GOLDEN["resize_area_int"]:
+        grid = np.array(case["grid"], dtype=np.uint8)
+        s = case["scale"]
+        out = resize_area(grid, grid.shape[0] // s, grid.shape[1] // s)
+        assert np.array_equal(out, np.array(case["expected"], dtype=np.uint8))

@@ -130,3 +130,110 @@ def test_deterministic_fake_payloads():
     assert make_fake_audio("x") == make_fake_audio("x")
     assert make_fake_video("x") == make_fake_video("x")
     assert make_fake_audio("x") != make_fake_audio("y")
+
+
+# ---------------------------------------------------------------------------
+# HAVE_*_LIBS contract: the import-try flags flip between the real decoder
+# branch and the deterministic fake, both ways (VERDICT r01 item 10).
+# The real branches are exercised by injecting fake library modules.
+# ---------------------------------------------------------------------------
+
+
+def test_audio_flag_flips_to_real_decoder(monkeypatch):
+    import sys
+    import types
+
+    import numpy as np
+
+    from red_seal_ocr_spark.operators import multimodal as mm
+
+    calls = {}
+
+    def fake_read(bio, dtype="float64"):
+        calls["data"] = bio.read()
+        return np.array([[0.1, 0.3], [0.2, 0.4]]), 22050  # stereo -> mean
+
+    fake_sf = types.ModuleType("soundfile")
+    fake_sf.read = fake_read
+    monkeypatch.setitem(sys.modules, "soundfile", fake_sf)
+    monkeypatch.setattr(mm, "HAVE_AUDIO_LIBS", True)
+    rate, samples = mm._decode_audio(b"OPAQUE-REAL-AUDIO")
+    assert rate == 22050
+    assert calls["data"] == b"OPAQUE-REAL-AUDIO"
+    assert np.allclose(samples, [0.2, 0.3])  # channel-averaged
+
+    # flag off -> the FAKA fake path rejects the same payload
+    monkeypatch.setattr(mm, "HAVE_AUDIO_LIBS", False)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mm._decode_audio(b"OPAQUE-REAL-AUDIO")
+    assert mm._decode_audio(mm.make_fake_audio("m-1"))[0] in (8000, 16000, 44100)
+
+
+def test_video_flag_flips_to_real_demux(monkeypatch):
+    import sys
+    import types
+
+    import numpy as np
+
+    from red_seal_ocr_spark.functions.png import decode_png
+    from red_seal_ocr_spark.operators import multimodal as mm
+
+    frame_px = np.full((4, 6, 3), 9, dtype=np.uint8)
+
+    class FakeFrame:
+        def to_ndarray(self, format):
+            assert format == "rgb24"
+            return frame_px
+
+    class FakeContainer:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def decode(self, video):
+            assert video == 0
+            return iter([FakeFrame(), FakeFrame()])
+
+    fake_av = types.ModuleType("av")
+    fake_av.open = lambda bio: FakeContainer()
+    monkeypatch.setitem(sys.modules, "av", fake_av)
+    monkeypatch.setattr(mm, "HAVE_VIDEO_LIBS", True)
+    frames = list(mm._iter_video_frames(b"OPAQUE-REAL-VIDEO"))
+    assert len(frames) == 2
+    assert np.array_equal(decode_png(frames[0]), frame_px)
+
+    monkeypatch.setattr(mm, "HAVE_VIDEO_LIBS", False)
+    fake = mm.make_fake_video("m-2", n_frames=3)
+    assert len(list(mm._iter_video_frames(fake))) == 3
+
+
+def test_pdf_flag_flips_to_real_parser(monkeypatch):
+    import sys
+    import types
+
+    from red_seal_ocr_spark.operators import multimodal as mm
+
+    class FakePage:
+        def __init__(self, t):
+            self._t = t
+
+        def extract_text(self):
+            return self._t
+
+    class FakeReader:
+        def __init__(self, bio):
+            self.pages = [FakePage("alpha"), FakePage(None)]
+
+    fake_pypdf = types.ModuleType("pypdf")
+    fake_pypdf.PdfReader = FakeReader
+    monkeypatch.setitem(sys.modules, "pypdf", fake_pypdf)
+    monkeypatch.setattr(mm, "HAVE_PDF_LIBS", True)
+    assert list(mm._iter_pdf_pages(b"OPAQUE-REAL-PDF")) == ["alpha", ""]
+
+    monkeypatch.setattr(mm, "HAVE_PDF_LIBS", False)
+    pages = list(mm._iter_pdf_pages(mm.make_fake_pdf("m-3", n_pages=2)))
+    assert len(pages) == 2 and pages[0].startswith("page 0 of m-3")

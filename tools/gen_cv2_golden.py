@@ -1,0 +1,162 @@
+"""Generate cv2-parity golden fixtures (tests/golden/cv2_parity.json).
+
+cv2 is not installed in this container, so true offline cv2 outputs cannot
+be captured here.  The next-best independent evidence: golden values
+derived scalar-by-scalar from OpenCV's PUBLISHED conversion formulas
+(https://docs.opencv.org/4.x/de/d25/imgproc_color_conversions.html) and
+morphology definitions (erode/dilate with a 2x2 ones kernel, default
+anchor = ksize/2 = (1,1), dilation kernel reflected about the anchor,
+border handling per morphologyDefaultBorderValue).  The scalar reference
+below shares NO code with functions/imageops.py (which is vectorized
+LUT/ufunc numpy), so a formula or indexing bug there cannot self-confirm.
+
+Rounding note: cv2's 8-bit HSV path is fixed-point; a float reference can
+differ by 1 LSB at exact-half boundaries.  The fixture stores the float
+reference rounded half-up, and the consuming test allows |delta| <= 1 on
+H/S (V is exact), while red-mask goldens are exact on samples at least 2
+units away from every threshold boundary.
+
+Usage: python tools/gen_cv2_golden.py
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def hsv_scalar(r: int, g: int, b: int) -> tuple[int, int, int]:
+    """OpenCV-documented RGB->HSV (8-bit ranges H 0..180, S/V 0..255)."""
+    v = max(r, g, b)
+    mn = min(r, g, b)
+    delta = v - mn
+    if v == 0 or delta == 0:
+        s = 0
+    else:
+        s = int((255.0 * delta / v) + 0.5)
+    if delta == 0:
+        h = 0
+    else:
+        if v == r:
+            hd = 60.0 * (g - b) / delta
+        elif v == g:
+            hd = 120.0 + 60.0 * (b - r) / delta
+        else:
+            hd = 240.0 + 60.0 * (r - g) / delta
+        if hd < 0:
+            hd += 360.0
+        h = int((hd / 2.0) + 0.5) % 180
+    return h, s, v
+
+
+def erode_scalar(grid: list[list[int]]) -> list[list[int]]:
+    """cv2.erode, 2x2 ones kernel, anchor (1,1): neighborhood offsets
+    {-1,0}x{-1,0}; out-of-bounds reads the erosion border value (True)."""
+    h, w = len(grid), len(grid[0])
+    out = [[0] * w for _ in range(h)]
+    for y in range(h):
+        for x in range(w):
+            val = 1
+            for dy in (-1, 0):
+                for dx in (-1, 0):
+                    yy, xx = y + dy, x + dx
+                    if 0 <= yy < h and 0 <= xx < w:
+                        val &= grid[yy][xx]
+            out[y][x] = val
+    return out
+
+
+def dilate_scalar(grid: list[list[int]]) -> list[list[int]]:
+    """cv2.dilate, 2x2 ones kernel, anchor (1,1), kernel reflected about
+    the anchor: neighborhood offsets {0,+1}x{0,+1}; border False."""
+    h, w = len(grid), len(grid[0])
+    out = [[0] * w for _ in range(h)]
+    for y in range(h):
+        for x in range(w):
+            val = 0
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    yy, xx = y + dy, x + dx
+                    if 0 <= yy < h and 0 <= xx < w:
+                        val |= grid[yy][xx]
+            out[y][x] = val
+    return out
+
+
+def main() -> int:
+    import random
+
+    rng = random.Random(20260816)
+    fixture: dict = {}
+
+    # ---- HSV golden grid -----------------------------------------------
+    palette = [0, 1, 31, 63, 127, 128, 200, 254, 255]
+    samples = [(r, g, b) for r in palette for g in palette for b in palette]
+    fixture["hsv"] = [
+        {"rgb": [r, g, b], "hsv": list(hsv_scalar(r, g, b))}
+        for r, g, b in samples
+    ]
+
+    # ---- dual-band red mask (exact, boundary-safe samples) --------------
+    band1, band2, smin, vmin = (0, 10), (156, 180), 50, 50
+    mask_rows = []
+    for r, g, b in samples:
+        h, s, v = hsv_scalar(r, g, b)
+        edges_h = [band1[0], band1[1], band2[0], band2[1]]
+        if min(abs(h - e) for e in edges_h) <= 1 or abs(s - smin) <= 1 or abs(v - vmin) <= 1:
+            continue  # fixed-point wobble zone: excluded for exactness
+        in_h = band1[0] <= h <= band1[1] or band2[0] <= h <= band2[1]
+        mask_rows.append({"rgb": [r, g, b],
+                          "red": int(in_h and s >= smin and v >= vmin)})
+    fixture["red_mask"] = {"band1": band1, "band2": band2, "sat_min": smin,
+                           "val_min": vmin, "samples": mask_rows}
+
+    # ---- morphology open/close goldens ----------------------------------
+    morph_cases = []
+    for _ in range(6):
+        h, w = rng.randrange(6, 13), rng.randrange(6, 15)
+        grid = [[rng.randrange(2) for _ in range(w)] for _ in range(h)]
+        opened = dilate_scalar(erode_scalar(grid))
+        closed = erode_scalar(dilate_scalar(grid))
+        morph_cases.append({"grid": grid, "open": opened, "close": closed,
+                            "erode": erode_scalar(grid),
+                            "dilate": dilate_scalar(grid)})
+    fixture["morph"] = morph_cases
+
+    # ---- INTER_AREA integer-ratio resize (exact block mean) -------------
+    resize_cases = []
+    for _ in range(4):
+        fh, fw, s = 12, 16, 4
+        while True:
+            grid = [[rng.randrange(256) for _ in range(fw)] for _ in range(fh)]
+            sums = [
+                sum(grid[y * s + dy][x * s + dx]
+                    for dy in range(s) for dx in range(s))
+                for y in range(fh // s) for x in range(fw // s)
+            ]
+            # avoid exact-half block means (half-even vs half-up ambiguity)
+            if all(total % (s * s) != (s * s) // 2 for total in sums):
+                break
+        expected = [
+            [int(round(sum(grid[y * s + dy][x * s + dx]
+                           for dy in range(s) for dx in range(s)) / (s * s)))
+             for x in range(fw // s)]
+            for y in range(fh // s)
+        ]
+        resize_cases.append({"grid": grid, "scale": s, "expected": expected})
+    fixture["resize_area_int"] = resize_cases
+
+    out = REPO / "tests" / "golden" / "cv2_parity.json"
+    out.write_text(json.dumps(fixture))
+    print(f"wrote {out}: {len(fixture['hsv'])} hsv, "
+          f"{len(mask_rows)} mask, {len(morph_cases)} morph, "
+          f"{len(resize_cases)} resize cases")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
