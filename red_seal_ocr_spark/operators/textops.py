@@ -55,21 +55,36 @@ def lang_scores(text_col):
     )
 
 
-def predict_lang(text_col):
-    """argmax language with deterministic alphabetical tie-break; 'und'
-    (undetermined) when no marker hits at all."""
+def _argmax_lang(scores_col):
+    """argmax language from a scores struct with deterministic alphabetical
+    tie-break; 'und' (undetermined) when no marker hits at all."""
     langs = sorted(LANG_MARKERS)
-    scores = lang_scores(text_col)
-    best = F.greatest(*[scores[lang] for lang in langs])
+    best = F.greatest(*[scores_col[lang] for lang in langs])
     pred = F.lit("und")
     for lang in reversed(langs):  # earlier alphabetical wins ties
-        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+        pred = F.when(scores_col[lang] == best, F.lit(lang)).otherwise(pred)
     return F.when(best <= 0, F.lit("und")).otherwise(pred)
 
 
+def predict_lang(text_col):
+    """Single-expression variant (scores inlined); prefer
+    :func:`language_id` in plans — it materializes the scores struct once
+    instead of re-inlining the tokenize+score expression per comparison."""
+    return _argmax_lang(lang_scores(text_col))
+
+
 def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Adds ``pred_lang`` to the documents DataFrame."""
-    return docs.withColumn("pred_lang", predict_lang(F.col(text_col)))
+    """Adds ``pred_lang`` to the documents DataFrame.
+
+    Two projections: the scores struct materializes first, then the
+    argmax reads struct fields.  CollapseProject keeps them separate
+    (non-cheap expression referenced many times), so the tokenize+score
+    work runs ONCE per row and codegen stays small — the single-expression
+    form re-inlined it ~15x and cost seconds of fixed compile time.
+    """
+    tmp = "_lang_scores"
+    scored = docs.withColumn(tmp, lang_scores(F.col(text_col)))
+    return scored.withColumn("pred_lang", _argmax_lang(F.col(tmp))).drop(tmp)
 
 
 def token_count(text_col):
