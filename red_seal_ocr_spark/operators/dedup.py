@@ -67,11 +67,17 @@ def minhash_signatures(
     Permutation family: xxhash64(shingle, seed=i) for i in 0..H-1; the
     minimum per seed is the signature element.  Everything is built-in
     JVM expressions (no Python in the hot path).
+
+    The permutation loop is deliberately UNROLLED (H separate array_min
+    expressions over the materialized shingle column): the data-driven
+    alternative — transform over sequence(0,H-1) with the seed as an
+    outer lambda variable captured inside a nested transform — falls out
+    of codegen into interpreted evaluation and measured 10x slower at
+    sf0.1, so the ~1s fixed codegen of H lambda copies is the right
+    trade.  NB: 1-arg inner lambdas on purpose; F.transform interprets a
+    2-arg lambda as (element, index).
     """
     def salted(i: int):
-        # NB: must be a 1-arg lambda — F.transform interprets a 2-arg
-        # lambda as (element, index), which would silently replace the
-        # salt with the element position
         return lambda s: F.xxhash64(s, F.lit(i))
 
     sh = _shingles(text_col, shingle_k).alias("shingles")
@@ -99,6 +105,10 @@ def minhash_lsh_candidates(
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
+    # unrolled banding on purpose: a data-driven transform(sequence(...))
+    # with element_at(signature, <lambda-var index>) measured ~7x slower
+    # (lambda-indexed array access drops the stage out of codegen); eight
+    # fixed-index xxhash64 calls codegen flat
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(
@@ -132,20 +142,25 @@ def simhash64(text_col: str = "text"):
     toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
 
-    def bit(i: int):
-        # sum over tokens of (bit_i(hash) ? 1 : -1) > 0 -> bit set
+    # data-driven over bit positions: ONE per-bit aggregate lambda compiled
+    # against a 64-element literal mask array (the 64-unrolled form cost
+    # ~2s of fixed codegen per query); values identical
+    masks = F.array(
+        *[F.lit(1 << i if i < 63 else -(1 << 63)).cast("long") for i in range(64)]
+    )
+
+    def bit(mask):
         s = F.aggregate(
             hashes,
             F.lit(0),
-            lambda acc, x: acc
-            + F.when(x.bitwiseAND(F.lit(1 << i if i < 63 else -(1 << 63))) != 0, 1).otherwise(-1),
+            lambda acc, x: acc + F.when(x.bitwiseAND(mask) != 0, 1).otherwise(-1),
         )
-        return F.when(s > 0, F.lit(1 << i if i < 63 else -(1 << 63))).otherwise(F.lit(0))
+        return F.when(s > 0, mask).otherwise(F.lit(0).cast("long"))
 
-    out = F.lit(0)
-    for i in range(64):
-        out = out.bitwiseOR(bit(i))
-    return out
+    contributions = F.transform(masks, bit)
+    return F.aggregate(
+        contributions, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x)
+    )
 
 
 def simhash_buckets(

@@ -75,20 +75,36 @@ def lsh_signature(vec_col, planes: list[list[float]], bits_per_band: int = 4):
     Narrow bands (default 4 bits) trade candidate-set size for recall:
     collision probability per band is (1 - theta/pi)^bits, so fewer bits
     keeps moderate-angle neighbors findable.
+
+    Data-driven construction: the hyperplanes ship as ONE 2-D literal
+    array and a single dot-product lambda runs over it (same values as
+    unrolling one expression per plane, but codegen compiles one lambda
+    instead of n_bits copies — the unrolled form cost seconds of fixed
+    compile time per query).
     """
-    bits = [
-        F.when(
-            _dot(vec_col, F.array(*[F.lit(float(v)) for v in plane])) >= 0, F.lit(1)
-        ).otherwise(F.lit(0))
-        for plane in planes
-    ]
-    bands = []
-    for b0 in range(0, len(bits), bits_per_band):
-        band_val = F.lit(0)
-        for j, bit in enumerate(bits[b0 : b0 + bits_per_band]):
-            band_val = band_val + bit * F.lit(1 << j)
-        bands.append(band_val)
-    return F.array(*bands)
+    if len(planes) % bits_per_band:
+        raise ValueError("n_bits must be divisible by bits_per_band")
+    planes_lit = F.array(
+        *[F.array(*[F.lit(float(v)) for v in plane]) for plane in planes]
+    )
+    bits = F.transform(
+        planes_lit,
+        lambda p: F.when(_dot(vec_col, p) >= 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    weights = F.array(*[F.lit(1 << j) for j in range(bits_per_band)])
+    n_bands = len(planes) // bits_per_band
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.aggregate(
+            F.zip_with(
+                F.slice(bits, b * bits_per_band + 1, bits_per_band),
+                weights,
+                lambda x, w: x * w,
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ),
+    )
 
 
 def nearest_lists_udf(spark, centers: "np.ndarray", n_probe: int):

@@ -151,19 +151,27 @@ def winnowing_fingerprints(
     window's minimum -> distinct.  Pure higher-order functions: the
     rolling structure is a transform over positions, no UDF.
     Output: (id, fingerprints array<bigint> sorted).
+
+    Staged as three projections so the token array and the k-gram hash
+    array each materialize ONCE (both are referenced twice downstream —
+    in a size() bound and a slice(); CollapseProject keeps multi-
+    referenced non-cheap expressions separate, halving codegen size vs
+    the single-expression form).
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    n_sh = F.size(toks) - F.lit(k - 1)
+    staged = docs.select(F.col(id_col), toks.alias("_toks"))
+    n_sh = F.size(F.col("_toks")) - F.lit(k - 1)
     kgram_hashes = F.transform(
         F.sequence(F.lit(1), F.greatest(n_sh, F.lit(1))),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("_toks"), i, k))),
     )
-    n_win = F.size(kgram_hashes) - F.lit(window - 1)
+    staged = staged.select(F.col(id_col), kgram_hashes.alias("_kgrams"))
+    n_win = F.size(F.col("_kgrams")) - F.lit(window - 1)
     mins = F.transform(
         F.sequence(F.lit(1), F.greatest(n_win, F.lit(1))),
-        lambda i: F.array_min(F.slice(kgram_hashes, i, window)),
+        lambda i: F.array_min(F.slice(F.col("_kgrams"), i, window)),
     )
-    return docs.select(
+    return staged.select(
         F.col(id_col),
         F.sort_array(F.array_distinct(mins)).alias("fingerprints"),
     )
