@@ -214,6 +214,58 @@ def ivf_topk(
     )
 
 
+def embedding_near_dups(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cos_bps: int = 9500,
+    n_bits: int = 32,
+    dim: int = 64,
+    seed: int = 42,
+    bits_per_band: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the 5th dedup family).
+
+    LSH self-join shape: sign-bit band buckets -> candidate pairs from
+    bucket collisions (a_id < b_id, never an all-pairs join) -> exact
+    cosine verify.  Output ``(a_id, b_id, cos_bps)`` with
+    cos_bps = floor(cos * 10000) for deterministic integer comparison.
+    At scale this is the same banded equi-join as MinHash-LSH dedup:
+    uniform hash keys, map-side dedup of banded rows, no quadratic stage.
+    """
+    planes = _hyperplanes(dim, n_bits, seed)
+
+    def banded(prefix: str) -> DataFrame:
+        emb = _dbl(F.col(vec_col))
+        return vectors.select(
+            F.col(id_col).alias(f"{prefix}_id"), emb.alias(f"{prefix}_emb")
+        ).select(
+            f"{prefix}_id",
+            f"{prefix}_emb",
+            F.posexplode(
+                lsh_signature(F.col(f"{prefix}_emb"), planes, bits_per_band)
+            ).alias("band", "bucket"),
+        )
+
+    a = banded("a")
+    b = banded("b")
+    pairs = (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "a_emb", "b_id", "b_emb")
+        .distinct()
+    )
+    cos = _dot(F.col("a_emb"), F.col("b_emb")) / (
+        _norm(F.col("a_emb")) * _norm(F.col("b_emb"))
+    )
+    return (
+        pairs.select(
+            "a_id", "b_id", F.floor(cos * 10000).cast("int").alias("cos_bps")
+        )
+        .filter(F.col("cos_bps") >= min_cos_bps)
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     candidates: DataFrame,

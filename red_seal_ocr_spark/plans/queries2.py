@@ -751,6 +751,28 @@ try:
 except ImportError:  # pragma: no cover - fixtures not generated yet
     pass
 
+def q45_embedding_near_dups(spark, sf):
+    """Embedding-cosine near-dup pairs (5th dedup family): the corpus is
+    the embeddings table plus a small-shift copy of itself (re-keyed
+    +100000), so every original/copy pair is a true near-duplicate; LSH
+    buckets propose candidates, exact cosine verifies >= 0.99.  Oracled by
+    an independent IEEE-fold float mirror (tools/gen_oracles.py)."""
+    from ..operators.similarity import embedding_near_dups
+
+    e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 150)
+    base = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    shifted = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.01)).alias("embedding"),
+    )
+    corpus = base.unionByName(shifted)
+    return embedding_near_dups(corpus, min_cos_bps=9900).orderBy("a_id", "b_id")
+
+
+SPARK_QUERIES_2["q45_embedding_near_dups"] = q45_embedding_near_dups
+
 SPARK_QUERIES_2["q44_percentiles"] = q44_percentiles
 ORACLE_SQL_2["q44_percentiles"] = """
     SELECT o_orderpriority,

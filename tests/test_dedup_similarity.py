@@ -307,3 +307,27 @@ def test_ivf_topk_explicit_centroids_no_plan_literals(spark):
         len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
     ) / len(exact)
     assert recall >= 0.8, recall
+
+
+def test_embedding_near_dups(spark):
+    """5th dedup family: LSH-bucketed candidate pairs + exact cosine
+    verify — finds planted near-dups, never enumerates all pairs."""
+    import numpy as np
+
+    from red_seal_ocr_spark.operators.similarity import embedding_near_dups
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    base = rng.standard_normal((30, 64)).astype("float64")
+    rows = [(i, [float(x) for x in base[i]]) for i in range(30)]
+    # plant near-copies of vectors 0 and 1
+    rows.append((100, [float(x) for x in base[0] + 0.001]))
+    rows.append((101, [float(x) for x in base[1] * 1.5]))  # scaled: cos == 1
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = embedding_near_dups(emb, min_cos_bps=9900)
+    pairs = {(r.a_id, r.b_id): r.cos_bps for r in out.collect()}
+    assert (0, 100) in pairs and pairs[(0, 100)] >= 9990
+    assert (1, 101) in pairs and pairs[(1, 101)] >= 9999
+    # random gaussians are near-orthogonal: no false positives at 0.99
+    assert all(a in (0, 1) for a, b in pairs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoopJoin" not in plan and "Cartesian" not in plan

@@ -291,6 +291,10 @@ def values_sql(rows: list[tuple], cols: list[tuple[str, str]]) -> str:
     """
     names = ", ".join(n for n, _ in cols)
     casts = ", ".join(f"CAST({n} AS {t}) AS {n}" for n, t in cols)
+    if not rows:
+        # empty VALUES is invalid SQL: emit a typed empty relation
+        nulls = ", ".join("NULL" for _ in cols)
+        return f"SELECT {casts} FROM (VALUES\n({nulls})\n) AS t({names}) WHERE FALSE"
     vals = ",\n".join("(" + ", ".join(_lit(v) for v in row) + ")" for row in rows)
     return f"SELECT {casts} FROM (VALUES\n{vals}\n) AS t({names})"
 
@@ -377,6 +381,42 @@ def main() -> int:
         rows, [("query_id", "BIGINT"), ("k", "BIGINT"), ("hits", "BIGINT")]
     )
     print(f"q34: recall rows {rows}")
+
+    # ---- q45: embedding-cosine near-dup pairs (orig + shifted copy) --------
+    base = {i: v for i, v in embs.items() if i < 150}
+    corpus = dict(base)
+    corpus.update({i + 100000: [x + 0.01 for x in v] for i, v in base.items()})
+
+    def bands_of(vec):
+        bits = [1 if dot_seq(vec, p) >= 0 else 0 for p in planes]
+        out = []
+        for b0 in range(0, len(bits), 4):
+            val = 0
+            for j, bit in enumerate(bits[b0 : b0 + 4]):
+                val += bit << j
+            out.append(val)
+        return out
+
+    buckets45: dict[tuple[int, int], list[int]] = {}
+    for vid, v in corpus.items():
+        for band, val in enumerate(bands_of(v)):
+            buckets45.setdefault((band, val), []).append(vid)
+    cand_pairs = set()
+    for ids in buckets45.values():
+        ids = sorted(ids)
+        for ii in range(len(ids)):
+            for jj in range(ii + 1, len(ids)):
+                cand_pairs.add((ids[ii], ids[jj]))
+    rows = []
+    for a, b in sorted(cand_pairs):
+        cos = dot_seq(corpus[a], corpus[b]) / (norm_seq(corpus[a]) * norm_seq(corpus[b]))
+        bps = math.floor(cos * 10000)
+        if bps >= 9900:
+            rows.append((a, b, bps))
+    oracles["q45_embedding_near_dups"] = values_sql(
+        rows, [("a_id", "BIGINT"), ("b_id", "BIGINT"), ("cos_bps", "INT")]
+    )
+    print(f"q45: {len(cand_pairs)} candidates, {len(rows)} near-dup pairs")
 
     # ---- q35: curation funnel — stages 0-3 live SQL, stage 4 precomputed ---
     from red_seal_ocr_spark.plans.queries2 import _sql_marker_hits
