@@ -142,3 +142,37 @@ def test_many_sequential_commits_and_time_travel(spark, tmp_path):
         assert read_table(spark, table, snapshot_id=sid).count() == sid + 1
     lin = read_table(spark, table, lineage=True)
     assert lin.select("run_id").distinct().count() == 12
+
+
+def test_curate_job_end_to_end(tmp_path):
+    """jobs/curate_job.py: funnel + kept corpus land in an atomic snapshot
+    (data = kept docs, lineage = funnel stages)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "jobs"))
+    import curate_job
+
+    from red_seal_ocr_spark.sources.snapshot import read_table
+
+    src = str(tmp_path / "docs.parquet")
+    out = str(tmp_path / "curated")
+    base = ("the quick brown fox jumps over the lazy dog and then the fox "
+            "runs to the old barn near the river where the other animals wait")
+    from red_seal_ocr_spark.session import get_spark
+
+    spark = get_spark("curate-job-test", master="local[4]", shuffle_partitions=8)
+    spark.createDataFrame(
+        [(1, base), (2, base), (3, base + " extra"), (4, "short")],
+        "doc_id bigint, text string",
+    ).write.parquet(src)
+    rc = curate_job.main([
+        "--input", src, "--output", out,
+        "--min-quality", "30", "--min-jaccard", "60",
+    ])
+    assert rc == 0
+    kept = read_table(spark, out)
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert ids == [1, 4]  # 2 exact-dup dropped, 3 near-dup clustered with 1
+    funnel = {r.stage: r.docs for r in read_table(spark, out, lineage=True).collect()}
+    assert funnel["0_input"] == 4 and funnel["4_near_dedup"] == 2
