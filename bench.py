@@ -134,7 +134,7 @@ def time_extraction(master: str, docs_path: str, media_path: str, out_dir: str,
 
 def scaling_pair(n_lo: int, n_hi: int, docs_path: str, media_path: str,
                  base: str, n_docs: int, repeats: int = 3,
-                 target: float | None = None, max_extra: int = 3) -> dict:
+                 target: float | None = None, max_extra: int = 4) -> dict:
     """Measured N -> 4N throughput pair with the full rep distribution.
 
     Fixed methodology (north rule's two-cluster-size criterion, evidenced
