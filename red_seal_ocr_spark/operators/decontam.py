@@ -1,0 +1,70 @@
+"""Benchmark decontamination: n-gram overlap between a training corpus
+and an evaluation/benchmark set.
+
+The standard pretraining hygiene stage (e.g. GPT-3 appendix C / PaLM
+decontamination): a training document is contaminated if it shares at
+least ``min_shared`` distinct k-token shingles with any benchmark
+document.  Shape at scale:
+
+    train -> explode distinct shingles -> key by md5(shingle)
+    bench -> explode distinct shingles -> key by md5(shingle)
+    equi-join on the hash key -> count distinct shared shingles per
+    (train_id, bench_id) -> threshold
+
+One shuffle keyed by a uniform hash (md5 — also what makes the DuckDB
+oracle able to mirror the join verbatim; at even larger scale xxhash64
+halves the key width, same plan shape).  The benchmark side is tiny in
+practice — Spark broadcasts it automatically under AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _shingles
+
+
+def _exploded_shingles(df: DataFrame, id_col: str, out_id: str,
+                       text_col: str, k: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.explode(_shingles(text_col, k)).alias("shingle"),
+    ).select(out_id, F.md5("shingle").alias("shingle_key"))
+
+
+def contamination_pairs(
+    train: DataFrame,
+    bench: DataFrame,
+    train_id: str = "doc_id",
+    bench_id: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 8,
+    min_shared: int = 3,
+) -> DataFrame:
+    """(train_id, bench_id, n_shared) for pairs sharing >= ``min_shared``
+    distinct k-token shingles."""
+    t = _exploded_shingles(train, train_id, "train_id", text_col, shingle_k)
+    b = _exploded_shingles(bench, bench_id, "bench_id", text_col, shingle_k)
+    return (
+        t.join(b, on="shingle_key")
+        .groupBy("train_id", "bench_id")
+        .agg(F.countDistinct("shingle_key").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    train_id: str = "doc_id",
+    bench_id: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 8,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Drop contaminated training documents (anti-join on the pair set)."""
+    bad = contamination_pairs(
+        train, bench, train_id, bench_id, text_col, shingle_k, min_shared
+    ).select(F.col("train_id").alias(train_id)).distinct()
+    return train.join(bad, on=train_id, how="left_anti")

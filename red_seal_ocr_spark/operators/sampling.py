@@ -1,0 +1,68 @@
+"""Deterministic content-keyed sampling for training-data pipelines.
+
+At 100 TB, sampling must be (a) reproducible across reruns and engines,
+(b) independent of partitioning / row order, and (c) stable under
+incremental reprocessing (a document's keep/drop decision never changes
+when other documents appear).  RNG-based ``df.sample`` gives none of
+these; the standard answer is content-keyed hash sampling: a row is kept
+iff a hash of its key falls below the rate threshold.
+
+The hash here is the first 8 hex chars of md5(key || salt), compared
+lexicographically against a precomputed hex threshold — fixed-width
+lowercase hex compares identically to the numeric value, md5 is available
+and bit-identical in every engine (the DuckDB oracle mirrors the
+predicate verbatim), and the salt decorrelates independent samples of the
+same corpus.
+
+Pure filters: no shuffle, full predicate/column pushdown, trivially
+scale-invariant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BPS_DENOM = 10_000
+
+
+def hex_threshold(rate_bps: int) -> str:
+    """8-hex-char threshold such that P[substr(md5,1,8) < t] == rate."""
+    if not 0 <= rate_bps <= BPS_DENOM:
+        raise ValueError(f"rate_bps must be in [0, {BPS_DENOM}]")
+    if rate_bps == BPS_DENOM:
+        # 2^32 is 9 hex chars and would compare lexicographically BELOW
+        # most 8-char keys; 'g' sorts above every hex char, so every key
+        # passes — the exact keep-everything threshold
+        return "g"
+    return format((rate_bps * (1 << 32)) // BPS_DENOM, "08x")
+
+
+def sample_key(key_col: Column, salt: str) -> Column:
+    """The comparable hash key: substr(md5(key || salt), 1, 8)."""
+    return F.substring(F.md5(F.concat(key_col.cast("string"), F.lit(salt))), 1, 8)
+
+
+def hash_sample(df: DataFrame, key_col: str, rate_bps: int,
+                salt: str = "sample") -> DataFrame:
+    """Keep a deterministic ``rate_bps``/10000 fraction keyed on ``key_col``."""
+    return df.filter(sample_key(F.col(key_col), salt) < hex_threshold(rate_bps))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates_bps: dict[str, int],
+    default_bps: int = 0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Per-stratum rates (the data-mixing primitive: up/down-weight each
+    source deterministically).  ``rates_bps`` maps stratum value ->
+    rate in basis points; unlisted strata get ``default_bps``."""
+    threshold = F.lit(hex_threshold(default_bps))
+    for value, bps in sorted(rates_bps.items()):
+        threshold = F.when(
+            F.col(strata_col) == value, F.lit(hex_threshold(bps))
+        ).otherwise(threshold)
+    return df.filter(sample_key(F.col(key_col), salt) < threshold)

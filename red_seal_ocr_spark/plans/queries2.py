@@ -773,6 +773,142 @@ def q45_embedding_near_dups(spark, sf):
 
 SPARK_QUERIES_2["q45_embedding_near_dups"] = q45_embedding_near_dups
 
+
+def q46_stratified_sample(spark, sf):
+    """Deterministic content-keyed stratified sampling (data mixing):
+    per-source rates, reproducible across engines — the DuckDB oracle
+    mirrors the md5-threshold predicate verbatim."""
+    from ..operators.sampling import stratified_hash_sample
+
+    d = _t(spark, sf, "documents")
+    rates = {"src0": 10_000, "src1": 5_000, "src2": 2_500, "src3": 0}
+    kept = stratified_hash_sample(d, "doc_id", "source", rates, default_bps=1_000)
+    return (
+        kept.groupBy("source")
+        .agg(F.count("*").alias("n_kept"), F.min("doc_id").alias("min_id"),
+             F.max("doc_id").alias("max_id"))
+        .orderBy("source")
+    )
+
+
+def _q46_oracle() -> str:
+    from ..operators.sampling import hex_threshold
+
+    rates = {"src0": 10_000, "src1": 5_000, "src2": 2_500, "src3": 0}
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN '{hex_threshold(b)}'" for s, b in sorted(rates.items())
+    )
+    return f"""
+        SELECT source, COUNT(*) AS n_kept, MIN(doc_id) AS min_id,
+               MAX(doc_id) AS max_id
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'sample'), 1, 8)
+              < (CASE {cases} ELSE '{hex_threshold(1_000)}' END)
+        GROUP BY source
+        ORDER BY source
+    """
+
+
+def q47_decontamination(spark, sf):
+    """Benchmark decontamination: training docs sharing >= 3 distinct
+    8-token shingles with a benchmark set (here: a re-keyed copy of docs
+    100-129, so every benchmark doc has a known contaminated twin).
+    Fully live DuckDB oracle (md5 shingle keys mirror verbatim)."""
+    from ..operators.decontam import contamination_pairs
+
+    d = _t(spark, sf, "documents")
+    train = d.filter(F.col("doc_id") < 150)
+    bench = (
+        d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 130))
+        .select((F.col("doc_id") + 50000).alias("doc_id"), "text")
+    )
+    return contamination_pairs(train, bench, min_shared=3).orderBy(
+        "train_id", "bench_id"
+    )
+
+
+_Q47_ORACLE = """
+    WITH train AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 150
+    ), bench AS (
+        SELECT doc_id + 50000 AS doc_id, text FROM documents
+        WHERE doc_id >= 100 AND doc_id < 130
+    ), tsh AS (
+        SELECT doc_id AS train_id, md5(s) AS shingle_key FROM (
+            SELECT doc_id, unnest(
+                CASE WHEN len(toks) - 7 <= 0 THEN [array_to_string(toks, ' ')]
+                     ELSE list_distinct(list_transform(range(1, len(toks) - 6),
+                          i -> array_to_string(toks[i : i + 7], ' '))) END) AS s
+            FROM (SELECT doc_id,
+                         string_split_regex(lower(trim(text)), '\\s+') AS toks
+                  FROM train))
+    ), bsh AS (
+        SELECT doc_id AS bench_id, md5(s) AS shingle_key FROM (
+            SELECT doc_id, unnest(
+                CASE WHEN len(toks) - 7 <= 0 THEN [array_to_string(toks, ' ')]
+                     ELSE list_distinct(list_transform(range(1, len(toks) - 6),
+                          i -> array_to_string(toks[i : i + 7], ' '))) END) AS s
+            FROM (SELECT doc_id,
+                         string_split_regex(lower(trim(text)), '\\s+') AS toks
+                  FROM bench))
+    )
+    SELECT train_id, bench_id, COUNT(DISTINCT shingle_key) AS n_shared
+    FROM tsh JOIN bsh USING (shingle_key)
+    GROUP BY train_id, bench_id
+    HAVING COUNT(DISTINCT shingle_key) >= 3
+    ORDER BY train_id, bench_id
+"""
+
+
+def q48_sketch_distinct(spark, sf):
+    """Sketch-family surface: HLL approx distinct vs exact, emitted as a
+    within-5%-tolerance flag per group.  Both engines run their own HLL
+    (different sketches, different estimates) but both land inside the
+    tolerance, so the flag — the decision a pipeline acts on — hash-matches."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id").alias("approx"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).cast("int").alias("within_5pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SPARK_QUERIES_2.update(
+    {
+        "q46_stratified_sample": q46_stratified_sample,
+        "q47_decontamination": q47_decontamination,
+        "q48_sketch_distinct": q48_sketch_distinct,
+    }
+)
+ORACLE_SQL_2.update(
+    {
+        "q46_stratified_sample": _q46_oracle(),
+        "q47_decontamination": _Q47_ORACLE,
+        "q48_sketch_distinct": """
+            SELECT event_type,
+                   COUNT(DISTINCT user_id) AS exact_users,
+                   CAST(CASE WHEN abs(approx_count_distinct(user_id)
+                                      - COUNT(DISTINCT user_id))
+                             <= 0.05 * COUNT(DISTINCT user_id)
+                        THEN 1 ELSE 0 END AS INT) AS within_5pct
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
+        """,
+    }
+)
+
 SPARK_QUERIES_2["q44_percentiles"] = q44_percentiles
 ORACLE_SQL_2["q44_percentiles"] = """
     SELECT o_orderpriority,

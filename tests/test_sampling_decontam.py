@@ -1,0 +1,90 @@
+"""Deterministic sampling + benchmark decontamination operators."""
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, n=2000):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 4).cast("string")).alias("source"),
+    )
+
+
+def test_hash_sample_rate_and_determinism(spark):
+    from red_seal_ocr_spark.operators.sampling import hash_sample
+
+    d = _docs(spark)
+    kept = hash_sample(d, "doc_id", 2_500)
+    n1 = kept.count()
+    assert abs(n1 - 500) < 90  # ~25% of 2000, binomial tolerance
+    assert kept.count() == n1  # deterministic re-evaluation
+    ids1 = {r.doc_id for r in kept.collect()}
+    ids2 = {r.doc_id for r in hash_sample(d, "doc_id", 2_500).collect()}
+    assert ids1 == ids2
+
+
+def test_hash_sample_nesting_and_salt(spark):
+    """Threshold comparison makes samples NESTED (rate r1 < r2 -> sample(r1)
+    is a subset of sample(r2)) — the property that makes downsampling an
+    already-sampled corpus consistent.  Different salts decorrelate."""
+    from red_seal_ocr_spark.operators.sampling import hash_sample
+
+    d = _docs(spark)
+    s10 = {r.doc_id for r in hash_sample(d, "doc_id", 1_000).collect()}
+    s50 = {r.doc_id for r in hash_sample(d, "doc_id", 5_000).collect()}
+    assert s10 <= s50
+    other = {r.doc_id for r in hash_sample(d, "doc_id", 1_000, salt="x").collect()}
+    assert other != s10  # decorrelated, same expected size
+    assert abs(len(other) - len(s10)) < 80
+
+
+def test_stratified_rates(spark):
+    from red_seal_ocr_spark.operators.sampling import stratified_hash_sample
+
+    d = _docs(spark)  # 500 docs per src0..src3
+    kept = stratified_hash_sample(
+        d, "doc_id", "source", {"src0": 10_000, "src1": 0}, default_bps=5_000
+    )
+    counts = {r.source: r.n for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["src0"] == 500          # rate 100%: everything kept
+    assert "src1" not in counts           # rate 0%: nothing kept
+    for s in ("src2", "src3"):            # default 50%
+        assert abs(counts[s] - 250) < 60
+
+
+def test_sampling_is_pushdown_filter(spark, tmp_path):
+    """The sample is a pure scan filter: no shuffle, pushdown intact."""
+    from red_seal_ocr_spark.operators.sampling import hash_sample
+
+    path = str(tmp_path / "d.parquet")
+    _docs(spark, 200).write.parquet(path)
+    kept = hash_sample(spark.read.parquet(path), "doc_id", 2_500)
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_decontamination_pairs_and_filter(spark):
+    from red_seal_ocr_spark.operators.decontam import (
+        contamination_pairs,
+        decontaminate,
+    )
+
+    mk = lambda i, t: (i, t)  # noqa: E731
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+            "kilo lima mike november oscar papa quebec romeo sierra tango")
+    train = spark.createDataFrame(
+        [
+            mk(1, base),                                    # contaminated (exact)
+            mk(2, "completely different words " * 5),
+            mk(3, base.replace("kilo", "KILOX")),           # still shares many 8-grams
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame([mk(100, base)], "doc_id bigint, text string")
+    pairs = {(r.train_id, r.bench_id): r.n_shared
+             for r in contamination_pairs(train, bench, min_shared=3).collect()}
+    assert (1, 100) in pairs
+    assert (3, 100) in pairs and pairs[(3, 100)] < pairs[(1, 100)]
+    assert all(t != 2 for t, _ in pairs)
+    clean = sorted(r.doc_id for r in decontaminate(train, bench, min_shared=3).collect())
+    assert clean == [2]
