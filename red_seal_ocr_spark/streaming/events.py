@@ -142,3 +142,27 @@ def run_stream_once(stream_df: DataFrame, query_name: str,
     finally:
         q.stop()
     return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+
+
+DOCS_STREAM_SCHEMA = "doc_id bigint, ts timestamp, text string"
+
+
+def streaming_exact_dedup(docs: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stateful streaming exact-dedup: emit only the first occurrence of
+    each normalized text fingerprint (dedup.normalized_fingerprint
+    semantics), with state bounded by an event-time watermark via
+    ``dropDuplicatesWithinWatermark`` — the streaming twin of the batch
+    exact-dedup stage, and the state-store shape that scales: state is
+    keyed by the 128-bit fingerprint only, evicted once the watermark
+    passes, never the corpus.
+
+    Input schema: (doc_id, ts, text).  Output: input rows minus later
+    duplicates (exactly-once per fingerprint within the watermark).
+    """
+    fp = F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    return (
+        docs.withColumn("fingerprint", fp)
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+        .drop("fingerprint")
+    )

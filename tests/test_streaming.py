@@ -85,3 +85,44 @@ def test_sessionize_gap_semantics(spark, tmp_path):
     # user 2 single session
     s3 = sessions.get((2, t0))
     assert s3 is not None and s3[0] == 2 and s3[1] == 4.0
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """Streaming dedup keeps one row per fingerprint across micro-batches
+    (state keyed by fingerprint, watermark-bounded)."""
+    from datetime import datetime
+
+    from red_seal_ocr_spark.streaming.events import (
+        DOCS_STREAM_SCHEMA,
+        run_stream_once,
+        streaming_exact_dedup,
+    )
+
+    t = lambda m: datetime(2026, 1, 1, 10, m)  # noqa: E731
+    rows = [
+        (1, t(0), "the quick brown fox"),
+        (2, t(1), "THE  QUICK   brown fox"),   # normalized dup of 1
+        (3, t(2), "a different document"),
+        (4, t(3), "the quick brown fox"),      # dup of 1 again
+        (5, t(4), "yet another text"),
+    ]
+    src = str(tmp_path / "docs_stream")
+    # two files -> multiple micro-batches under maxFilesPerTrigger
+    spark.createDataFrame(rows[:3], DOCS_STREAM_SCHEMA).coalesce(1).write.parquet(src)
+    spark.createDataFrame(rows[3:], DOCS_STREAM_SCHEMA).coalesce(1).write.mode(
+        "append").parquet(src)
+    stream = (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = run_stream_once(streaming_exact_dedup(stream), "dedup_sink")
+    kept_texts = sorted(r.text.lower().split()[0] for r in out.collect())
+    ids = sorted(r.doc_id for r in out.collect())
+    # one representative per fingerprint; 3 distinct fingerprints total
+    assert len(ids) == 3
+    assert 3 in ids and 5 in ids
+    assert (1 in ids) ^ (2 in ids) ^ (4 in ids) or (
+        sum(i in ids for i in (1, 2, 4)) == 1
+    )
+    assert kept_texts.count("the") == 1
