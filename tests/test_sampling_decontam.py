@@ -88,3 +88,34 @@ def test_decontamination_pairs_and_filter(spark):
     assert all(t != 2 for t, _ in pairs)
     clean = sorted(r.doc_id for r in decontaminate(train, bench, min_shared=3).collect())
     assert clean == [2]
+
+
+def test_hex_threshold_monotone_property():
+    """Nesting guarantee holds for every rate pair (hypothesis)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from red_seal_ocr_spark.operators.sampling import hex_threshold
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(0, 10_000), st.integers(0, 10_000))
+    def check(a, b):
+        ta, tb = hex_threshold(a), hex_threshold(b)
+        if a <= b:
+            assert ta <= tb  # lexicographic == numeric for these strings
+        assert len(ta) == 8 or ta == "g"
+
+    check()
+
+
+def test_curate_empty_input(spark):
+    """Degenerate corpus: every stage reports 0, nothing crashes (CC loop,
+    aggregates and anti-joins all see empty frames)."""
+    from red_seal_ocr_spark.operators.curate import curate_documents
+
+    docs = spark.createDataFrame([], "doc_id bigint, text string")
+    kept, funnel = curate_documents(docs)
+    f = {r.stage: r.docs for r in funnel.collect()}
+    assert f == {"0_input": 0, "1_lang": 0, "2_quality": 0,
+                 "3_exact_dedup": 0, "4_near_dedup": 0}
+    assert kept.count() == 0
