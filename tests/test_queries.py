@@ -100,3 +100,19 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert {"doc_id", "spans"} <= set(df.columns)
+
+
+def test_all_queries_run_at_smallest_sf(spark):
+    """sf-independence smoke: every driver query runs and returns a valid
+    DataFrame at sf0.001 too (oracle VALUES are sf0.01-specific, but the
+    query plans themselves must not depend on the data scale)."""
+    import os
+
+    small = os.environ.get("SPARK_GRAFT_SMOKE_SF", "/root/testdata/sf0.001")
+    if not Path(small).exists():
+        pytest.skip("sf0.001 testdata not present")
+    from red_seal_ocr_spark.plans.queries import SPARK_QUERIES
+
+    for name, fn in sorted(SPARK_QUERIES.items()):
+        df = fn(spark, small)
+        assert df.count() >= 0, name
