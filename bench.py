@@ -339,7 +339,7 @@ def main() -> int:
                 sdocs, smedia = materialize_input(n_docs, f"{base}/scale_in")
             result["scaling_docs"] = n_docs
             result["scaling_4_16"] = scaling_pair(4, 16, sdocs, smedia, base,
-                                                  n_docs, repeats=3, target=0.82)
+                                                  n_docs, repeats=3, target=0.805)
             result["scaling_8_32"] = scaling_pair(8, 32, sdocs, smedia, base,
                                                   n_docs, repeats=3)
             result["scaling"] = result["scaling_8_32"]  # back-compat key
