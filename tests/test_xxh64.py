@@ -72,3 +72,43 @@ def test_int_long_and_fold_match_spark(spark):
 def test_known_canonical_vector():
     # XXH64 spec sanity: empty input, seed 0 -> 0xEF46DB3751D8E999
     assert xxh64(b"", 0) == 0xEF46DB3751D8E999
+
+
+def test_generated_oracle_provenance_matches_testdata():
+    """The generated oracle fixtures are only valid for the exact sf0.01
+    inputs they were computed from; this guards against the driver
+    regenerating testdata without the fixtures being regenerated."""
+    import hashlib
+    import json
+    import re
+    from pathlib import Path
+
+    import duckdb
+
+    src = Path("red_seal_ocr_spark/plans/generated_oracles.py").read_text()
+    prov = json.loads(re.search(r"Provenance: ({.*})", src).group(1))
+    sf = prov["sf_dir"]
+    if not Path(sf).exists():
+        import pytest
+
+        pytest.skip("driver testdata not present")
+    docs200 = dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM '{sf}/documents.parquet' "
+            "WHERE doc_id < 200 ORDER BY doc_id"
+        ).fetchall()
+    )
+    got_docs = hashlib.md5(json.dumps(sorted(docs200.items())).encode()).hexdigest()
+    embs = {
+        int(i): [float(x) for x in v]
+        for i, v in duckdb.sql(
+            f"SELECT vec_id, embedding FROM '{sf}/embeddings.parquet' ORDER BY vec_id"
+        ).fetchall()
+    }
+    got_embs = hashlib.md5(json.dumps(sorted(embs.items())).encode()).hexdigest()
+    assert got_docs == prov["docs200_md5"], (
+        "documents changed on disk: rerun `python tools/gen_oracles.py`"
+    )
+    assert got_embs == prov["embeddings_md5"], (
+        "embeddings changed on disk: rerun `python tools/gen_oracles.py`"
+    )
