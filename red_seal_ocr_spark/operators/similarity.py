@@ -107,7 +107,15 @@ def lsh_signature(vec_col, planes: list[list[float]], bits_per_band: int = 4):
     )
 
 
-def nearest_lists_udf(spark, centers: "np.ndarray", n_probe: int):
+def broadcast_centroids(spark, centers: "np.ndarray"):
+    """Ship the centroid matrix (plus precomputed row norms) as ONE Spark
+    broadcast, reusable across every assignment UDF built from it."""
+    C = np.ascontiguousarray(np.asarray(centers, dtype=np.float64))
+    c_sq = (C * C).sum(axis=1)
+    return spark.sparkContext.broadcast((C, c_sq))
+
+
+def nearest_lists_udf(spark, centers: "np.ndarray", n_probe: int, bc=None):
     """Vectorized nearest-centroid assignment: array<double> -> array<int>
     of the ``n_probe`` nearest list ids (squared L2, ties broken by lower
     list id).
@@ -121,9 +129,8 @@ def nearest_lists_udf(spark, centers: "np.ndarray", n_probe: int):
     """
     from pyspark.sql.functions import pandas_udf
 
-    C = np.ascontiguousarray(np.asarray(centers, dtype=np.float64))
-    c_sq = (C * C).sum(axis=1)
-    bc = spark.sparkContext.broadcast((C, c_sq))
+    if bc is None:
+        bc = broadcast_centroids(spark, centers)
 
     @pandas_udf("array<int>")
     def nearest(emb: pd.Series) -> pd.Series:
@@ -190,8 +197,11 @@ def ivf_topk(
         centers = np.asarray(centroids, dtype=np.float64)
 
     spark = candidates.sparkSession
-    assign1 = nearest_lists_udf(spark, centers, 1)
-    assign_probe = nearest_lists_udf(spark, centers, n_probe)
+    # one broadcast shared by both assignment paths — the centroid matrix
+    # ships to executors once, not once per UDF
+    bc = broadcast_centroids(spark, centers)
+    assign1 = nearest_lists_udf(spark, centers, 1, bc=bc)
+    assign_probe = nearest_lists_udf(spark, centers, n_probe, bc=bc)
     cand_assigned = cand.select(
         "c_id", "c_emb", assign1(F.col("c_emb"))[0].alias("list_id")
     )
@@ -257,7 +267,10 @@ def embedding_near_dups(
         a.join(b, on=["band", "bucket"])
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "a_emb", "b_id", "b_emb")
-        .distinct()
+        # the embeddings are functionally determined by the ids — keying
+        # the dedup exchange on the ids alone avoids hashing/comparing the
+        # full float arrays (≈16 KB/row at dim=1024) for zero semantic gain
+        .dropDuplicates(["a_id", "b_id"])
     )
     cos = _dot(F.col("a_emb"), F.col("b_emb")) / (
         _norm(F.col("a_emb")) * _norm(F.col("b_emb"))
@@ -303,7 +316,9 @@ def lsh_topk(
         qb.join(cb, on=["band", "bucket"])
         .filter(F.col("q_id") != F.col("c_id"))
         .select("q_id", "q_emb", "c_id", "c_emb")
-        .distinct()
+        # ids determine the vectors — dedup on ids only (see
+        # embedding_near_dups for rationale)
+        .dropDuplicates(["q_id", "c_id"])
     )
     sims = cand_pairs.select(
         F.col("q_id").alias("query_id"),

@@ -226,8 +226,10 @@ def q14_quality_flag(spark, sf):
 
 def q15_dedup_fingerprint(spark, sf):
     """Exact dedup via normalized md5 fingerprint (hash-groupBy dedup)."""
+    from ..operators.dedup import normalized_fingerprint
+
     d = _t(spark, sf, "documents")
-    fp = F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    fp = normalized_fingerprint("text")
     return d.select(fp.alias("fingerprint")).groupBy().agg(
         F.count("*").alias("n_docs"),
         F.countDistinct("fingerprint").alias("n_distinct"),

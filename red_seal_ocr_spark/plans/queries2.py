@@ -724,7 +724,12 @@ ORACLE_SQL_2["q42_html_strip"] = """
 
 def q44_percentiles(spark, sf):
     """Exact linear-interpolation percentiles per group (sketch-family
-    surface; both engines implement quantile_cont semantics)."""
+    surface; both engines implement quantile_cont semantics).
+
+    NOTE: exact ``percentile`` buffers every group value (unbounded
+    per-group state) — it exists here as the quantile_cont-parity oracle;
+    the 100 TB path is ``approx_percentile`` (see q49_percentiles_approx,
+    the bounded-state twin)."""
     o = _t(spark, sf, "orders")
     return (
         o.groupBy("o_orderpriority")
@@ -748,8 +753,19 @@ try:
     from .generated_oracles import GENERATED_ORACLE_SQL
 
     ORACLE_SQL_2.update(GENERATED_ORACLE_SQL)
-except ImportError:  # pragma: no cover - fixtures not generated yet
-    pass
+except ImportError as _exc:  # pragma: no cover - fixtures not generated yet
+    # LOUD failure: without the generated fixtures ten queries lose their
+    # oracles and the correctness gate would be vacuously green.  The gate
+    # itself also counts any no-oracle query as a failure (see
+    # tools/check_correctness.py), so this warning is belt-and-braces.
+    import warnings
+
+    warnings.warn(
+        "generated_oracles.py missing/unimportable — 10 hash-family oracles "
+        f"are ABSENT; run `python tools/gen_oracles.py` ({_exc})",
+        RuntimeWarning,
+        stacklevel=2,
+    )
 
 def q45_embedding_near_dups(spark, sf):
     """Embedding-cosine near-dup pairs (5th dedup family): the corpus is
@@ -862,9 +878,15 @@ _Q47_ORACLE = """
 
 def q48_sketch_distinct(spark, sf):
     """Sketch-family surface: HLL approx distinct vs exact, emitted as a
-    within-5%-tolerance flag per group.  Both engines run their own HLL
-    (different sketches, different estimates) but both land inside the
-    tolerance, so the flag — the decision a pipeline acts on — hash-matches."""
+    tolerance flag per group.  Both engines run their own HLL (different
+    sketches, different estimates) but both land inside the tolerance, so
+    the flag — the decision a pipeline acts on — hash-matches.
+
+    Tolerance pinned at 15% = 3x Spark's default rsd (0.05), vs an
+    observed cross-engine error of 0 at gate scale (150 distinct/group —
+    both sketches run sparse/near-exact there), so a dependency upgrade
+    that shifts either sketch's estimate cannot flip the flag (ADVICE
+    r02)."""
     e = _t(spark, sf, "events")
     return (
         e.groupBy("event_type")
@@ -877,11 +899,43 @@ def q48_sketch_distinct(spark, sf):
             "exact_users",
             (
                 F.abs(F.col("approx") - F.col("exact_users"))
-                <= 0.05 * F.col("exact_users")
-            ).cast("int").alias("within_5pct"),
+                <= 0.15 * F.col("exact_users")
+            ).cast("int").alias("within_tol"),
         )
         .orderBy("event_type")
     )
+
+
+def q49_percentiles_approx(spark, sf):
+    """The SCALE path twin of q44: ``approx_percentile`` (bounded-state
+    KLL/GK-style sketch, mergeable map-side) next to the exact
+    ``percentile`` (which buffers every group value in an
+    ObjectHashAggregate — unbounded per-group state, the one aggregate in
+    the suite that does not survive a 100x group blow-up).
+
+    Oracled with the q48 tolerance-flag technique: the exact percentile
+    hash-matches DuckDB's quantile_cont bit-for-bit (q44 proves that), and
+    each engine's own approximate quantile is asserted within 2% of its
+    exact value (observed cross-engine error <= 0.31% at gate scale — 6x
+    margin)."""
+    o = _t(spark, sf, "orders")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("ex50"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("ap50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("ex90"),
+        F.expr("approx_percentile(o_totalprice, 0.9, 10000)").alias("ap90"),
+        F.count("*").alias("n_orders"),
+    )
+    tol = lambda ap, ex: (  # noqa: E731
+        (F.abs(F.col(ap) - F.col(ex)) <= 0.02 * F.col(ex)).cast("int")
+    )
+    return agg.select(
+        "o_orderpriority",
+        F.round(F.col("ex50") * 100).cast("bigint").alias("p50_cents"),
+        tol("ap50", "ex50").alias("p50_within_tol"),
+        tol("ap90", "ex90").alias("p90_within_tol"),
+        "n_orders",
+    ).orderBy("o_orderpriority")
 
 
 SPARK_QUERIES_2.update(
@@ -889,6 +943,7 @@ SPARK_QUERIES_2.update(
         "q46_stratified_sample": q46_stratified_sample,
         "q47_decontamination": q47_decontamination,
         "q48_sketch_distinct": q48_sketch_distinct,
+        "q49_percentiles_approx": q49_percentiles_approx,
     }
 )
 ORACLE_SQL_2.update(
@@ -900,11 +955,28 @@ ORACLE_SQL_2.update(
                    COUNT(DISTINCT user_id) AS exact_users,
                    CAST(CASE WHEN abs(approx_count_distinct(user_id)
                                       - COUNT(DISTINCT user_id))
-                             <= 0.05 * COUNT(DISTINCT user_id)
-                        THEN 1 ELSE 0 END AS INT) AS within_5pct
+                             <= 0.15 * COUNT(DISTINCT user_id)
+                        THEN 1 ELSE 0 END AS INT) AS within_tol
             FROM events
             GROUP BY event_type
             ORDER BY event_type
+        """,
+        "q49_percentiles_approx": """
+            SELECT o_orderpriority,
+                   CAST(ROUND(quantile_cont(o_totalprice, 0.5) * 100) AS BIGINT)
+                       AS p50_cents,
+                   CAST(CASE WHEN abs(approx_quantile(o_totalprice, 0.5)
+                                      - quantile_cont(o_totalprice, 0.5))
+                             <= 0.02 * quantile_cont(o_totalprice, 0.5)
+                        THEN 1 ELSE 0 END AS INT) AS p50_within_tol,
+                   CAST(CASE WHEN abs(approx_quantile(o_totalprice, 0.9)
+                                      - quantile_cont(o_totalprice, 0.9))
+                             <= 0.02 * quantile_cont(o_totalprice, 0.9)
+                        THEN 1 ELSE 0 END AS INT) AS p90_within_tol,
+                   COUNT(*) AS n_orders
+            FROM orders
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
         """,
     }
 )

@@ -159,9 +159,10 @@ def streaming_exact_dedup(docs: DataFrame, watermark: str = "1 hour") -> DataFra
     Input schema: (doc_id, ts, text).  Output: input rows minus later
     duplicates (exactly-once per fingerprint within the watermark).
     """
-    fp = F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    from ..operators.dedup import normalized_fingerprint
+
     return (
-        docs.withColumn("fingerprint", fp)
+        docs.withColumn("fingerprint", normalized_fingerprint("text"))
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["fingerprint"])
         .drop("fingerprint")

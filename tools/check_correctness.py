@@ -73,7 +73,11 @@ def main() -> int:
                 srows = [r.asDict() for r in sdf.collect()]
                 row["spark_rows"] = len(srows)
                 if name not in oracles:
+                    # a missing oracle is a FAILURE, not a skip — otherwise a
+                    # broken generated_oracles import turns the gate
+                    # vacuously green (ADVICE r02)
                     row["err"] = "no_oracle"
+                    fails += 1
                 else:
                     ddf = con.execute(oracles[name]).fetchdf()
                     drows = ddf.to_dict("records")
