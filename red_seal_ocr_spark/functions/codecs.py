@@ -1,0 +1,91 @@
+"""Format-sniffing image decode dispatch (PNG / JPEG / BMP).
+
+The reference accepts ``jpg/jpeg/png/bmp`` (``main.py:218-226``) and lets
+PIL/OpenCV sniff the container (``src/preprocess.py:335-361``).  This
+module is the engine's equivalent: magic-byte sniff, per-format decoder,
+one unified error surface for the kernel's fault-isolation path:
+
+- :class:`ImageTooLarge` — per-item pixel budget breached, detected from
+  the format header in O(header) time (lineage ``failure_kind='too_large'``)
+- :class:`ImageDecodeError` — anything else malformed/unsupported
+  (lineage ``failure_kind='decode_error'``)
+
+PNG stays on the lazy scanline-buffer path (``png.py``); JPEG/BMP decode
+to a materialized array behind the same crop/view interface.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .bmp import BmpError, BmpTooLarge, decode_bmp
+from .jpeg import JpegError, JpegTooLarge, decode_jpeg
+from .png import PngError, PngTooLarge, decode_png_lazy
+
+__all__ = [
+    "ImageDecodeError",
+    "ImageTooLarge",
+    "decode_image_lazy",
+    "sniff_format",
+]
+
+
+class ImageDecodeError(ValueError):
+    """Unified decode failure (malformed/unsupported/unknown format)."""
+
+
+class ImageTooLarge(ImageDecodeError):
+    """Unified per-item pixel-budget breach (header-time check)."""
+
+
+class DecodedImage:
+    """Materialized decoded image behind the PngImage crop interface."""
+
+    __slots__ = ("arr", "h", "w")
+
+    def __init__(self, arr: np.ndarray) -> None:
+        self.arr = arr
+        self.h, self.w = arr.shape[:2]
+
+    def crop(self, y0: int, y1: int, x0: int, x1: int) -> np.ndarray:
+        return self.arr[y0:y1, x0:x1]
+
+    def view(self) -> np.ndarray:
+        return self.arr
+
+    def full(self) -> np.ndarray:
+        return self.arr
+
+
+def sniff_format(data: bytes) -> str | None:
+    """'png' | 'jpeg' | 'bmp' | None from magic bytes."""
+    if len(data) >= 8 and data[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if len(data) >= 3 and data[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if len(data) >= 2 and data[:2] == b"BM":
+        return "bmp"
+    return None
+
+
+def decode_image_lazy(data: bytes, max_pixels: int = 64_000_000):
+    """Sniff + decode to an object with ``.h .w .crop() .view() .full()``.
+
+    Raises :class:`ImageTooLarge` (budget) or :class:`ImageDecodeError`.
+    """
+    if not isinstance(data, (bytes, bytearray, memoryview)):
+        raise ImageDecodeError("not bytes")
+    data = bytes(data)
+    fmt = sniff_format(data)
+    try:
+        if fmt == "png":
+            return decode_png_lazy(data, max_pixels)
+        if fmt == "jpeg":
+            return DecodedImage(decode_jpeg(data, max_pixels))
+        if fmt == "bmp":
+            return DecodedImage(decode_bmp(data, max_pixels))
+    except (PngTooLarge, JpegTooLarge, BmpTooLarge) as exc:
+        raise ImageTooLarge(str(exc)) from exc
+    except (PngError, JpegError, BmpError) as exc:
+        raise ImageDecodeError(str(exc)) from exc
+    raise ImageDecodeError("unknown image format")

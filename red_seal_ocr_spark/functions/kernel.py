@@ -40,8 +40,8 @@ from .imageops import (
     rgb_red_mask,
     uint8_stats,
 )
+from .codecs import ImageDecodeError, ImageTooLarge, decode_image_lazy
 from .ocr import decode_seal_with_confidence
-from .png import PngError, PngTooLarge, decode_png_lazy
 
 OK = 0
 DECODE_ERROR = 1
@@ -99,15 +99,17 @@ def process_image(content: bytes | None, cfg: EngineConfig = DEFAULT_CONFIG) -> 
     if not isinstance(content, (bytes, bytearray, memoryview)) or len(content) == 0:
         return ImageResult(None, DECODE_ERROR)
     try:
-        src = decode_png_lazy(bytes(content), cfg.max_pixels)
-    except PngTooLarge:
+        # format-sniffing dispatch: png/jpeg/bmp, matching the reference's
+        # accepted upload formats (main.py:218-226)
+        src = decode_image_lazy(bytes(content), cfg.max_pixels)
+    except ImageTooLarge:
         # deterministic per-item cost budget (header check, O(1)): the
         # span passes through unchanged and lineage counts it, exactly
         # like any other failure — one pathological image can never stall
         # a task (reference ocr_pool.py:56-98 reinit-on-hang semantics,
         # mapped to an a-priori budget because the kernel is O(pixels))
         return ImageResult(None, TOO_LARGE)
-    except PngError:
+    except ImageDecodeError:
         return ImageResult(None, DECODE_ERROR)
     h, w = src.h, src.w
 

@@ -790,6 +790,33 @@ def q45_embedding_near_dups(spark, sf):
 SPARK_QUERIES_2["q45_embedding_near_dups"] = q45_embedding_near_dups
 
 
+def q50_mixed_format_extract(spark, sf):
+    """S2 format parity (reference main.py:218-226 accepts jpg/jpeg/png/
+    bmp): the extraction pipeline over a media table whose container
+    format varies per ref (deterministic ~60/25/15 png/jpeg/bmp mix via
+    datagen.media_format), including in-format corrupt/truncated bytes.
+    Same output shape as q20; oracled by reference_extract over the same
+    mixed bytes (tools/gen_oracles.py).  Kept to 12 docs: the pure-python
+    JPEG entropy decode (~0.4 s/Mpx) exists for format coverage — the PNG
+    lazy scanline path remains the throughput path."""
+    from ..operators.extract import extract_documents
+    from ..sources.spark_tables import documents_df, media_df
+
+    docs = documents_df(spark, 12)
+    media = media_df(spark, 12, fmt="auto")
+    out = extract_documents(spark, docs, media)
+    return out.select(
+        "doc_id",
+        "n_spans",
+        "n_media",
+        "n_failures",
+        F.to_json("spans").alias("spans_json"),
+    ).orderBy("doc_id")
+
+
+SPARK_QUERIES_2["q50_mixed_format_extract"] = q50_mixed_format_extract
+
+
 def q46_stratified_sample(spark, sf):
     """Deterministic content-keyed stratified sampling (data mixing):
     per-source rates, reproducible across engines — the DuckDB oracle

@@ -164,13 +164,35 @@ def render_text_block(text: str, scale: int, rgb: tuple) -> np.ndarray:
     return block
 
 
-def render_media(media_ref: str, seed: int = 42,
-                 cfg: EngineConfig = DEFAULT_CONFIG) -> bytes:
-    """Deterministically rasterize the PNG bytes for one media ref.
+def media_format(media_ref: str, seed: int = 42) -> str:
+    """Deterministic container format for one media ref under fmt='auto':
+    ~60%% png / ~25%% jpeg / ~15%% bmp (the reference's accepted upload
+    set, main.py:218-226)."""
+    r = _rng(seed, f"fmt:{media_ref}").random()
+    if r < 0.60:
+        return "png"
+    if r < 0.85:
+        return "jpeg"
+    return "bmp"
 
-    ~3%% of refs yield corrupt bytes (empty / garbage / truncated PNG) to
-    exercise the decode-failure path (FIXTURES.md section 2).
+
+def render_media(media_ref: str, seed: int = 42,
+                 cfg: EngineConfig = DEFAULT_CONFIG,
+                 fmt: str | None = None) -> bytes:
+    """Deterministically rasterize the encoded bytes for one media ref.
+
+    ``fmt``: None -> png (back-compat: every existing fixture/oracle pins
+    png bytes); 'auto' -> :func:`media_format`'s per-ref choice; or an
+    explicit 'png' / 'jpeg' / 'bmp'.  JPEG encodes at quality 100 / 4:4:4
+    — the synthetic glyph strokes are 1-2 px, far below what lossy chroma
+    subsampling preserves (measured: q100/444 keeps all span texts; q95
+    keeps 9/40), and fixture fidelity is the point here.
+
+    ~3%% of refs yield corrupt bytes (empty / garbage / truncated-in-format
+    encoding) to exercise the decode-failure path (FIXTURES.md section 2).
     """
+    if fmt == "auto":
+        fmt = media_format(media_ref, seed)
     spec = media_spec(media_ref, seed, cfg)
     if spec["corrupt"] is not None:
         kind = spec["corrupt"]
@@ -179,7 +201,7 @@ def render_media(media_ref: str, seed: int = 42,
         if kind == 1:
             return bytes(_rng(seed, f"garbage:{media_ref}").integers(0, 256, size=64,
                                                                      dtype=np.uint8))
-        good = render_media(media_ref + ":inner", seed, cfg)
+        good = render_media(media_ref + ":inner", seed, cfg, fmt)
         return good[: max(16, len(good) // 2)]
     h, w = spec["h"], spec["w"]
     canvas = np.full((h, w, 3), 255, dtype=np.uint8)
@@ -195,7 +217,17 @@ def render_media(media_ref: str, seed: int = 42,
         canvas[y : y + bh, x : x + bw] = np.array(OFF_RED, dtype=np.uint8)
     for y, x in spec["specks"]:
         canvas[y, x] = np.array(SEAL_REDS[0], dtype=np.uint8)
-    return encode_png(canvas)
+    if fmt in (None, "png"):
+        return encode_png(canvas)
+    if fmt == "jpeg":
+        from ..functions.jpeg import encode_jpeg
+
+        return encode_jpeg(canvas, quality=100, subsampling="444")
+    if fmt == "bmp":
+        from ..functions.bmp import encode_bmp
+
+        return encode_bmp(canvas)
+    raise ValueError(f"unknown media format {fmt!r}")
 
 
 def media_seal_texts(media_ref: str, seed: int = 42,
@@ -249,12 +281,13 @@ def doc_media_refs(doc: dict) -> list[str]:
     return [s["media_ref"] for s in doc["spans"] if s["kind"] == "media"]
 
 
-def build_local(n_docs: int, seed: int = 42, cfg: EngineConfig = DEFAULT_CONFIG):
+def build_local(n_docs: int, seed: int = 42, cfg: EngineConfig = DEFAULT_CONFIG,
+                fmt: str | None = None):
     """Single-process tables for unit tests: (docs, media dict ref->bytes)."""
     docs = [gen_document(i, seed) for i in range(n_docs)]
     media: dict[str, bytes] = {}
     for d in docs:
         for ref in doc_media_refs(d):
             if not media_is_dangling(ref, seed):
-                media[ref] = render_media(ref, seed, cfg)
+                media[ref] = render_media(ref, seed, cfg, fmt)
     return docs, media

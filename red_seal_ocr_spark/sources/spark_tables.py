@@ -36,7 +36,7 @@ def documents_df(spark, n_docs: int, seed: int = 42, partitions: int | None = No
 
 
 def media_df(spark, n_docs: int, seed: int = 42, partitions: int | None = None,
-             cfg=DEFAULT_CONFIG):
+             cfg=DEFAULT_CONFIG, fmt: str | None = None):
     """Media side table for the same n_docs, rendered where the doc lives.
 
     Regenerates each document's media refs locally (pure function), so no
@@ -56,7 +56,7 @@ def media_df(spark, n_docs: int, seed: int = 42, partitions: int | None = None,
                     if media_is_dangling(ref, seed):
                         continue
                     refs.append(ref)
-                    blobs.append(render_media(ref, seed, cfg))
+                    blobs.append(render_media(ref, seed, cfg, fmt))
             yield pd.DataFrame({"media_ref": refs, "content": blobs})
 
     return spark.range(n_docs, numPartitions=partitions).mapInPandas(

@@ -1,0 +1,161 @@
+"""BMP codec + format-sniffing dispatch tests (functions/bmp.py, codecs.py).
+
+Completes the reference's accepted-format surface jpg/jpeg/png/bmp
+(``main.py:218-226``) and pins the kernel's per-format fault-isolation
+behavior.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from red_seal_ocr_spark.functions.bmp import (
+    BmpError,
+    BmpTooLarge,
+    decode_bmp,
+    encode_bmp,
+)
+from red_seal_ocr_spark.functions.codecs import (
+    ImageDecodeError,
+    ImageTooLarge,
+    decode_image_lazy,
+    sniff_format,
+)
+
+RNG = np.random.Generator(np.random.PCG64(77))
+
+
+def test_bmp_roundtrip_exact():
+    img = RNG.integers(0, 256, (33, 47, 3), dtype=np.uint8)  # odd width: row padding
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+def test_bmp_gray_roundtrip():
+    g = RNG.integers(0, 256, (20, 21), dtype=np.uint8)
+    out = decode_bmp(encode_bmp(g))
+    assert np.array_equal(out[:, :, 0], g)
+    assert np.array_equal(out[:, :, 0], out[:, :, 2])
+
+
+def test_bmp_top_down_height():
+    img = RNG.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    data = bytearray(encode_bmp(img))
+    # negate height -> top-down; rows must then read in reverse
+    (h,) = struct.unpack("<i", data[22:26])
+    data[22:26] = struct.pack("<i", -h)
+    assert np.array_equal(decode_bmp(bytes(data)), img[::-1])
+
+
+def test_bmp_8bit_palette():
+    # hand-crafted 4x2 paletted image: palette entries are BGR0
+    pal = bytes([10, 20, 30, 0, 200, 100, 50, 0])  # idx0=(30,20,10) idx1=(50,100,200) RGB
+    rows = bytes([0, 1, 1, 0]) + bytes([1, 0, 0, 1])  # width 4 = already 4-aligned
+    info = struct.pack("<IiiHHIIiiII", 40, 4, 2, 1, 8, 0, 8, 0, 0, 2, 0)
+    offset = 14 + 40 + len(pal)
+    hdr = struct.pack("<2sIHHI", b"BM", offset + 8, 0, 0, offset)
+    img = decode_bmp(hdr + info + pal + rows)
+    assert img.shape == (2, 4, 3)
+    # bottom-up: file row 0 is image row 1
+    assert tuple(img[1, 0]) == (30, 20, 10)
+    assert tuple(img[1, 1]) == (50, 100, 200)
+    assert tuple(img[0, 0]) == (50, 100, 200)
+
+
+def test_bmp_failures():
+    img = RNG.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    data = encode_bmp(img)
+    with pytest.raises(BmpError):
+        decode_bmp(data[: len(data) // 2])  # truncated pixel array
+    with pytest.raises(BmpError):
+        decode_bmp(b"BMxx")
+    with pytest.raises(BmpTooLarge):
+        decode_bmp(data, max_pixels=10)
+
+
+# ---------------------------------------------------------------------------
+# dispatch
+# ---------------------------------------------------------------------------
+
+
+def test_sniff_format():
+    from red_seal_ocr_spark.functions.jpeg import encode_jpeg
+    from red_seal_ocr_spark.functions.png import encode_png
+
+    img = RNG.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    assert sniff_format(encode_png(img)) == "png"
+    assert sniff_format(encode_jpeg(img)) == "jpeg"
+    assert sniff_format(encode_bmp(img)) == "bmp"
+    assert sniff_format(b"GIF89a") is None
+    assert sniff_format(b"") is None
+
+
+def test_dispatch_decodes_all_formats_identically():
+    from red_seal_ocr_spark.functions.jpeg import encode_jpeg
+    from red_seal_ocr_spark.functions.png import encode_png
+
+    img = RNG.integers(0, 256, (24, 31, 3), dtype=np.uint8)
+    png = decode_image_lazy(encode_png(img)).full()
+    bmp = decode_image_lazy(encode_bmp(img)).full()
+    assert np.array_equal(png, img)
+    assert np.array_equal(bmp, img)
+    jpg = decode_image_lazy(encode_jpeg(img, 100)).full()
+    assert jpg.shape == img.shape  # lossy: shape only
+
+
+def test_dispatch_unified_errors():
+    from red_seal_ocr_spark.functions.jpeg import encode_jpeg
+    from red_seal_ocr_spark.functions.png import encode_png
+
+    img = RNG.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    with pytest.raises(ImageDecodeError):
+        decode_image_lazy(b"not an image at all")
+    for data in (encode_png(img), encode_jpeg(img), encode_bmp(img)):
+        with pytest.raises(ImageTooLarge):
+            decode_image_lazy(data, max_pixels=100)
+        with pytest.raises(ImageDecodeError):
+            decode_image_lazy(data[: len(data) // 3])
+
+
+def test_kernel_mixed_format_span_equality():
+    """The S2 parity 'done' criterion (VERDICT r02 #2): the same scene
+    flows through process_image in all three containers and yields the
+    same seal text (JPEG at fixture quality 100/4:4:4)."""
+    from red_seal_ocr_spark.functions.jpeg import encode_jpeg
+    from red_seal_ocr_spark.functions.kernel import OK, process_image
+    from red_seal_ocr_spark.functions.png import decode_png
+    from red_seal_ocr_spark.sources.datagen import media_spec, render_media
+
+    checked = 0
+    for i in range(10):
+        ref = f"m-{i:08d}-00"
+        if media_spec(ref)["corrupt"] is not None:
+            continue
+        png_bytes = render_media(ref)
+        base = process_image(png_bytes)
+        assert base.status == OK
+        img = decode_png(png_bytes)
+        for data in (encode_jpeg(img, 100, "444"), encode_bmp(img)):
+            r = process_image(data)
+            assert r.status == OK
+            assert r.text == base.text, f"{ref}: {r.text!r} != {base.text!r}"
+        checked += 1
+    assert checked >= 5
+
+
+def test_render_media_mixed_formats():
+    """fmt='auto' renders a deterministic png/jpeg/bmp mix; corrupt refs
+    stay corrupt in-format."""
+    from red_seal_ocr_spark.sources.datagen import media_format, render_media
+
+    fmts = {media_format(f"m-{i:08d}-00") for i in range(40)}
+    assert fmts == {"png", "jpeg", "bmp"}
+    # determinism across calls
+    a = render_media("m-00000002-00", fmt="auto")
+    b = render_media("m-00000002-00", fmt="auto")
+    assert a == b
+    assert render_media("m-00000002-00") != render_media(
+        "m-00000002-00", fmt="jpeg"
+    )

@@ -1,0 +1,87 @@
+"""Ground-truth span goldens (VERDICT r02 #4).
+
+``tests/fixtures/hand_goldens.json`` records, as literal JSON, the span
+output the fixture author intended at creation time — derived from the
+generative scene spec alone (the text the renderer DREW), never from the
+kernel (see tools/gen_hand_goldens.py).  These tests anchor the whole
+extraction chain (decode -> mask -> components -> OCR -> splice) to that
+ground truth, so a kernel bug that the kernel-mirroring oracles would
+reproduce faithfully still fails here.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+
+FIXTURE = Path(__file__).parent / "fixtures" / "hand_goldens.json"
+GOLDEN = json.loads(FIXTURE.read_text())
+
+
+def test_golden_file_shape():
+    assert GOLDEN["seed"] == 42
+    assert len(GOLDEN["documents"]) == GOLDEN["n_docs"] == 10
+    # at least one media span must be an expected pass-through (corrupt or
+    # dangling) so the failure path is anchored too
+    pass_throughs = sum(
+        1 for d in GOLDEN["documents"].values()
+        for s in d["expected_spans"] if s["kind"] == "media"
+    )
+    extractions = sum(
+        1 for d in GOLDEN["documents"].values()
+        for s in d["expected_spans"]
+        if s["kind"] == "text" and s["media_ref"] is not None
+    )
+    assert pass_throughs >= 1
+    assert extractions >= 10
+
+
+def test_single_process_pipeline_matches_hand_goldens():
+    """reference_extract (kernel chain) == ground truth for all 10 docs."""
+    from red_seal_ocr_spark.oracle import reference_extract
+    from red_seal_ocr_spark.sources.datagen import build_local
+
+    docs, media = build_local(GOLDEN["n_docs"], seed=GOLDEN["seed"])
+    for d in docs:
+        got = reference_extract(d, media)
+        exp = GOLDEN["documents"][d["doc_id"]]["expected_spans"]
+        assert got == exp, d["doc_id"]
+
+
+def test_correlation_decoder_matches_hand_goldens():
+    """The second decoder reads the same ground truth on clean fixtures."""
+    from red_seal_ocr_spark.config import EngineConfig
+    from red_seal_ocr_spark.functions.ocr_correlation import decode_seal_correlation
+    from red_seal_ocr_spark.oracle import reference_extract
+    from red_seal_ocr_spark.sources.datagen import build_local
+
+    cfg = EngineConfig(decoder=decode_seal_correlation)
+    docs, media = build_local(GOLDEN["n_docs"], seed=GOLDEN["seed"])
+    for d in docs:
+        got = reference_extract(d, media, cfg)
+        exp = GOLDEN["documents"][d["doc_id"]]["expected_spans"]
+        assert got == exp, d["doc_id"]
+
+
+def test_spark_pipeline_matches_hand_goldens(spark):
+    """The distributed pipeline reproduces the hand goldens end-to-end
+    (kind, text, media_ref, order) — the north-rule equality tuple against
+    values that never flowed through the kernel."""
+    from red_seal_ocr_spark.operators.extract import extract_documents
+    from red_seal_ocr_spark.sources.spark_tables import documents_df, media_df
+
+    n = GOLDEN["n_docs"]
+    out = extract_documents(
+        spark, documents_df(spark, n), media_df(spark, n)
+    ).collect()
+    assert len(out) == n
+    for row in out:
+        exp = GOLDEN["documents"][row.doc_id]["expected_spans"]
+        got = [
+            {"kind": s.kind, "text": s.text, "media_ref": s.media_ref,
+             "offset": s.offset}
+            for s in row.spans
+        ]
+        assert got == exp, row.doc_id

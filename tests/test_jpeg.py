@@ -1,0 +1,195 @@
+"""Baseline JPEG codec tests (functions/jpeg.py).
+
+The reference accepts jpg/jpeg uploads (``main.py:218-226``) and decodes
+via PIL/cv2 (``src/preprocess.py:335-361``); the engine's pure-numpy codec
+must round-trip faithfully and fail loudly on corrupt bytes.  The DCT is
+cross-checked against a naive O(n^4) transform written straight from the
+T.81 definition — an independent mirror, so encode/decode errors cannot
+cancel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from red_seal_ocr_spark.functions.jpeg import (
+    _A,
+    JpegError,
+    JpegTooLarge,
+    decode_jpeg,
+    encode_jpeg,
+    jpeg_dimensions,
+)
+
+RNG = np.random.Generator(np.random.PCG64(1234))
+
+
+def _gradient(h=96, w=144):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(yy * 255 // h), (xx * 255 // w), ((yy + xx) * 255 // (h + w))], axis=2
+    ).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# DCT correctness — independent naive mirror
+# ---------------------------------------------------------------------------
+
+
+def _naive_dct2(block: np.ndarray) -> np.ndarray:
+    """O(n^4) forward DCT-II straight from the T.81 A.3.3 formula."""
+    out = np.zeros((8, 8))
+    for u in range(8):
+        for v in range(8):
+            cu = 1 / np.sqrt(2) if u == 0 else 1.0
+            cv = 1 / np.sqrt(2) if v == 0 else 1.0
+            s = 0.0
+            for x in range(8):
+                for y in range(8):
+                    s += (
+                        block[x, y]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                    )
+            out[u, v] = cu * cv * s / 4.0
+    return out
+
+
+def test_dct_matrix_matches_naive_formula():
+    block = RNG.standard_normal((8, 8)) * 100
+    fast = _A @ block @ _A.T
+    assert np.allclose(fast, _naive_dct2(block), atol=1e-9)
+
+
+def test_dct_roundtrip_identity():
+    block = RNG.standard_normal((8, 8)) * 100
+    assert np.allclose(_A.T @ (_A @ block @ _A.T) @ _A, block, atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# round trips
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sub", ["444", "420", "422", "440"])
+@pytest.mark.parametrize("rst", [0, 4])
+def test_roundtrip_gradient(sub, rst):
+    img = _gradient()
+    out = decode_jpeg(encode_jpeg(img, 92, sub, restart_interval=rst))
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int)).max()
+    assert err <= 10, f"sub={sub} rst={rst} maxerr={err}"
+
+
+def test_flat_color_exact():
+    img = np.full((64, 64, 3), (220, 20, 30), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, 90))
+    assert np.array_equal(out, img)
+
+
+def test_gray_roundtrip_broadcasts_rgb():
+    g = (np.arange(96)[:, None] * np.ones(80)[None, :] * 2.5).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(g, 95))
+    assert out.shape == (96, 80, 3)
+    assert np.abs(out[:, :, 0].astype(int) - g.astype(int)).max() <= 2
+    assert np.array_equal(out[:, :, 0], out[:, :, 1])
+    assert np.array_equal(out[:, :, 0], out[:, :, 2])
+
+
+@pytest.mark.parametrize("shape", [(1, 1, 3), (7, 9, 3), (17, 31, 3), (16, 15, 3)])
+def test_odd_sizes(shape):
+    img = RNG.integers(0, 256, shape, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, 95, "420"))
+    assert out.shape == shape
+
+
+def test_quality_monotone_size():
+    img = _gradient()
+    sizes = [len(encode_jpeg(img, q)) for q in (30, 60, 90)]
+    assert sizes[0] < sizes[1] < sizes[2]
+
+
+def test_q100_high_fidelity_on_sharp_edges():
+    # 1px glyph-like strokes — the fixture-critical case
+    img = np.full((40, 40, 3), 255, dtype=np.uint8)
+    img[10:30:3, 5:35] = (220, 20, 30)
+    out = decode_jpeg(encode_jpeg(img, 100, "444"))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 16
+
+
+def test_jpeg_dimensions_header_only():
+    img = _gradient(50, 70)
+    data = encode_jpeg(img, 90)
+    assert jpeg_dimensions(data) == (50, 70)
+    # dims readable even when entropy data is truncated away
+    assert jpeg_dimensions(data[: len(data) // 2]) == (50, 70)
+
+
+# ---------------------------------------------------------------------------
+# failure paths
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("frac", [0.3, 0.6, 0.9, 0.98])
+def test_truncation_raises(frac):
+    data = encode_jpeg(_gradient(), 92, "420", restart_interval=5)
+    with pytest.raises(JpegError):
+        decode_jpeg(data[: int(len(data) * frac)])
+
+
+def test_garbage_raises():
+    with pytest.raises(JpegError):
+        decode_jpeg(b"\xff\xd8\xff" + bytes(RNG.integers(0, 256, 100, dtype=np.uint8)))
+    with pytest.raises(JpegError):
+        decode_jpeg(b"")
+    with pytest.raises(JpegError):
+        decode_jpeg(b"\x89PNG\r\n\x1a\n")
+
+
+def test_progressive_rejected_with_clear_error():
+    data = bytearray(encode_jpeg(_gradient(), 90))
+    idx = bytes(data).find(b"\xff\xc0")
+    data[idx + 1] = 0xC2  # SOF0 -> SOF2
+    with pytest.raises(JpegError, match="progressive"):
+        decode_jpeg(bytes(data))
+
+
+def test_pixel_budget_at_header_time():
+    data = encode_jpeg(_gradient(64, 64), 90)
+    with pytest.raises(JpegTooLarge):
+        decode_jpeg(data, max_pixels=1000)
+    # corrupt the entropy tail: the budget check must still fire first
+    with pytest.raises(JpegTooLarge):
+        decode_jpeg(data[:-30] + bytes(30), max_pixels=1000)
+
+
+def test_16bit_dqt_precision_decodes():
+    """Rewrite the luma DQT to 16-bit precision; pixels must not change."""
+    import struct
+
+    data = encode_jpeg(_gradient(), 90)
+    base = decode_jpeg(data)
+    idx = data.find(b"\xff\xdb")
+    (length,) = struct.unpack(">H", data[idx + 2 : idx + 4])
+    tid = data[idx + 4]
+    vals = data[idx + 5 : idx + 5 + 64]
+    wide = b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 128, (1 << 4) | tid) + b"".join(
+        struct.pack(">H", v) for v in vals
+    )
+    patched = data[:idx] + wide + data[idx + 2 + length :]
+    assert np.array_equal(decode_jpeg(patched), base)
+
+
+# ---------------------------------------------------------------------------
+# pipeline integration
+# ---------------------------------------------------------------------------
+
+
+def test_process_image_jpeg_too_large_status():
+    from red_seal_ocr_spark.config import EngineConfig
+    from red_seal_ocr_spark.functions.kernel import TOO_LARGE, process_image
+
+    data = encode_jpeg(_gradient(64, 64), 90)
+    r = process_image(data, EngineConfig(max_pixels=1000))
+    assert r.status == TOO_LARGE

@@ -537,6 +537,21 @@ def main() -> int:
     from red_seal_ocr_spark.sources.datagen import build_local
 
     docs24, media24 = build_local(24, seed=42)
+    # anchor to the hand-authored ground truth (tests/fixtures/
+    # hand_goldens.json, derived from the generative spec WITHOUT the
+    # kernel): if the kernel chain drifts from what the fixtures drew,
+    # refuse to regenerate a kernel-mirroring oracle that would hide it
+    golden = json.loads(
+        (REPO / "tests" / "fixtures" / "hand_goldens.json").read_text()
+    )
+    for d in docs24[: golden["n_docs"]]:
+        got = reference_extract(d, media24)
+        exp = golden["documents"][d["doc_id"]]["expected_spans"]
+        assert got == exp, (
+            f"kernel output drifted from hand goldens on {d['doc_id']} — "
+            "fix the kernel (or regenerate goldens ONLY for an intentional "
+            "spec change)"
+        )
     rows = []
     for d in docs24:
         out = reference_extract(d, media24)
@@ -553,6 +568,29 @@ def main() -> int:
          ("n_failures", "INT"), ("spans_json", "VARCHAR")],
     )
     print(f"q20: {len(rows)} documents")
+
+    # ---- q50: same pipeline over the mixed-format (png/jpeg/bmp) table -----
+    docs12, media12 = build_local(12, seed=42, fmt="auto")
+    rows = []
+    for d in docs12:
+        out = reference_extract(d, media12)
+        spans_json = json.dumps(
+            [{k: v for k, v in s.items() if v is not None} for s in out],
+            separators=(",", ":"), ensure_ascii=False,
+        )
+        n_media = sum(1 for s in d["spans"] if s["kind"] == "media")
+        rows.append((d["doc_id"], len(d["spans"]), n_media,
+                     extract_failure_count(d, media12), spans_json))
+    oracles["q50_mixed_format_extract"] = values_sql(
+        rows,
+        [("doc_id", "VARCHAR"), ("n_spans", "INT"), ("n_media", "INT"),
+         ("n_failures", "INT"), ("spans_json", "VARCHAR")],
+    )
+    from red_seal_ocr_spark.sources.datagen import media_format
+
+    mix = [media_format(r) for r in media12]
+    print(f"q50: {len(rows)} documents, media mix: "
+          f"png={mix.count('png')} jpeg={mix.count('jpeg')} bmp={mix.count('bmp')}")
 
     # ---- emit ---------------------------------------------------------------
     out_path = REPO / "red_seal_ocr_spark" / "plans" / "generated_oracles.py"
