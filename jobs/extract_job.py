@@ -32,12 +32,16 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--master", default=None)
+    ap.add_argument("--commit-batches", type=int, default=1,
+                    help="commit one snapshot per hash slice (>1 = the "
+                         "bounded-loss operating shape; a kill loses at "
+                         "most one slice)")
     ap.add_argument("--config", default=None,
                     help="JSON/YAML EngineConfig overrides (S5 parity)")
     args = ap.parse_args(argv)
 
     from red_seal_ocr_spark.config import load_config
-    from red_seal_ocr_spark.operators.extract import run_extract
+    from red_seal_ocr_spark.operators.extract import run_extract, run_extract_batched
     from red_seal_ocr_spark.session import get_spark
     from red_seal_ocr_spark.sources.spark_tables import documents_df, media_df
 
@@ -55,10 +59,17 @@ def main(argv: list[str] | None = None) -> int:
             input_snapshot = f"synthetic:seed={args.seed}:n={args.n_docs}"
 
         t0 = time.time()
-        manifest = run_extract(
-            spark, docs, media, args.output, cfg=cfg,
-            run_id=args.run_id, input_snapshot_id=input_snapshot,
-        )
+        if args.commit_batches > 1:
+            manifest = run_extract_batched(
+                spark, docs, media, args.output, cfg=cfg,
+                n_batches=args.commit_batches,
+                run_id=args.run_id, input_snapshot_id=input_snapshot,
+            )
+        else:
+            manifest = run_extract(
+                spark, docs, media, args.output, cfg=cfg,
+                run_id=args.run_id, input_snapshot_id=input_snapshot,
+            )
         elapsed = time.time() - t0
         from red_seal_ocr_spark.sources.snapshot import read_table
 

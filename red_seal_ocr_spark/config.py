@@ -61,8 +61,15 @@ class EngineConfig:
     resolution_threshold: int = 0
 
     # --- enhancement (reference preprocess.py:33-92) ---
-    # NL-means is replaced by a deterministic 3x3 box-blur blend (documented
-    # substitute; the reference applies denoise only to low-quality inputs).
+    # Denoise is real NL-means (imageops.nl_means_denoise — the reference's
+    # algorithm, pure numpy); 'box' selects the cheap 3x3 box-blur
+    # substitute of rounds 1-2.  The reference applies denoise only to
+    # low-quality inputs; this whole branch is gated by the thresholds
+    # above (default off).
+    denoise_method: str = "nl_means"  # 'nl_means' | 'box'
+    nlm_h: float = 10.0  # cv2 fastNlMeansDenoisingColored default h
+    nlm_template: int = 7  # cv2 default templateWindowSize
+    nlm_search: int = 11  # cv2 default is 21; 11 bounds the gated branch's cost
     denoise_blend_orig: float = 0.7
     contrast_alpha: float = 1.1
     contrast_beta: float = 0.0

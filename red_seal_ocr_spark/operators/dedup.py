@@ -243,9 +243,19 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20,
             )
         )
         labels = new_labels.localCheckpoint(eager=True)  # truncate lineage per round
-        # labels only ever decrease, so the total is a monotone convergence
-        # witness — one cheap aggregate instead of a per-round diff join
-        cur_sum = labels.agg(F.sum("label")).first()[0]
+        # convergence witness: sum of per-row (id,label) hashes — changes
+        # iff any label changed (w.h.p.; a false fixpoint needs the 64-bit
+        # hash deltas to cancel exactly).  Type-agnostic on purpose: ids
+        # are STRINGS in the input_hint schema, so the previous
+        # sum("label") witness crashed on any real doc_id corpus
+        # (ANSI CAST_INVALID_INPUT) — caught by the 50k curate stress run.
+        # One cheap aggregate instead of a per-round diff join; labels
+        # only ever decrease, so max_iterations still bounds the loop.
+        # decimal(38,0) sum: |hash| <= 2^63, so even 10^12 rows stay ~19
+        # digits under the 38-digit cap — no ANSI long overflow
+        cur_sum = labels.agg(
+            F.sum(F.xxhash64("id", "label").cast("decimal(38,0)"))
+        ).first()[0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

@@ -202,6 +202,25 @@ def extract_documents(
     return spliced
 
 
+def _drop_empty_files(files: list[str]) -> list[str]:
+    """Never commit zero-row part files (Spark emits them for empty write
+    partitions): they carry no data, and dropping them keeps the manifest
+    <-> lineage invariant exact (every committed data file has a lineage
+    row).  Footer-only check, O(files) driver-side per commit — bounded
+    per batch at any scale."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    kept = []
+    for f in files:
+        if pq.ParquetFile(f).metadata.num_rows > 0:
+            kept.append(f)
+        else:
+            _os.remove(f)
+    return kept
+
+
 def run_extract(
     spark: SparkSession,
     docs: DataFrame,
@@ -228,7 +247,7 @@ def run_extract(
     result = extract_documents(spark, remaining, media, cfg)
     data_dir = f"{table_dir}/data/run-{run_id}"
     result.write.parquet(data_dir)
-    data_files = list_run_files(data_dir)
+    data_files = _drop_empty_files(list_run_files(data_dir))
 
     lineage_files: list[str] = []
     if data_files:
@@ -264,3 +283,35 @@ def run_extract(
         run_id,
         extra={"input_snapshot_id": input_snapshot_id},
     )
+
+
+def run_extract_batched(
+    spark: SparkSession,
+    docs: DataFrame,
+    media: DataFrame,
+    table_dir: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    n_batches: int = 8,
+    run_id: str | None = None,
+    input_snapshot_id: str = "adhoc",
+) -> dict:
+    """Checkpointed run committing in ``n_batches`` deterministic slices.
+
+    The 10^12-doc operating shape: one snapshot commit per hash slice of
+    the input, so a mid-run failure loses at most one slice of work — the
+    rerun's anti-join (run_extract) skips every committed slice and
+    reprocesses only the one that was in flight.  Slicing is by
+    ``xxhash64(doc_id) % n_batches``: content-keyed, reproducible across
+    runs, independent of physical partitioning.
+
+    Returns the last committed manifest.
+    """
+    run_id = run_id or uuid.uuid4().hex[:12]
+    manifest: dict = {}
+    for b in range(n_batches):
+        subset = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(n_batches)) == b)
+        manifest = run_extract(
+            spark, subset, media, table_dir, cfg,
+            run_id=f"{run_id}-b{b:03d}", input_snapshot_id=input_snapshot_id,
+        )
+    return manifest

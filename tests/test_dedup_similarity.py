@@ -331,3 +331,21 @@ def test_embedding_near_dups(spark):
     assert all(a in (0, 1) for a, b in pairs)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoopJoin" not in plan and "Cartesian" not in plan
+
+
+def test_duplicate_clusters_string_ids(spark):
+    """Regression (50k curate stress): the CC convergence witness must be
+    type-agnostic — doc_id is a STRING in the input_hint schema, and the
+    old sum("label") witness crashed with CAST_INVALID_INPUT on ids like
+    '4296-r0'."""
+    from red_seal_ocr_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [("4296-r0", "4296-r3"), ("4296-r3", "4296-r7"), ("9-a", "9-b")],
+        "a_id string, b_id string",
+    )
+    clusters = {r.doc_id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
+    assert clusters == {
+        "4296-r0": "4296-r0", "4296-r3": "4296-r0", "4296-r7": "4296-r0",
+        "9-a": "9-a", "9-b": "9-a",
+    }

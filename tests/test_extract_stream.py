@@ -48,3 +48,78 @@ def test_incremental_stream_extraction(spark, tmp_path):
     # idempotent restart with nothing new: no extra docs
     run_extract_stream(spark, docs_dir, media, table, ckpt)
     assert read_table(spark, table).count() == 12
+
+
+def test_stream_crash_mid_commit_recovers_exactly_once(spark, tmp_path):
+    """Failure injection (VERDICT r02 #8): a micro-batch dies AFTER writing
+    data files into the table dir but BEFORE its snapshot commit.  On
+    restart the streaming checkpoint replays that batch; the replay
+    commits its own run files, the crashed attempt's files stay on disk as
+    orphans that no manifest references — no duplicate and no lost span.
+    """
+    from pyspark.sql import DataFrame
+
+    from red_seal_ocr_spark.operators.extract import extract_documents, run_extract
+    from red_seal_ocr_spark.streaming.extract_stream import read_documents_stream
+
+    docs_dir = str(tmp_path / "incoming")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    media = media_df(spark, 8).cache()
+    media.count()
+    documents_df(spark, 8).repartition(4).write.mode("append").parquet(docs_dir)
+
+    crashed = {"done": False}
+
+    def process_batch_with_crash(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id >= 1 and not crashed["done"]:
+            # the mid-commit crash: data lands in the table dir, the
+            # snapshot pointer never flips
+            out = extract_documents(spark, batch_df, media)
+            out.write.parquet(f"{table}/data/run-crashed-attempt")
+            crashed["done"] = True
+            raise RuntimeError("injected crash between data write and commit")
+        run_extract(spark, batch_df, media, table, run_id=f"s-{batch_id}",
+                    input_snapshot_id=f"stream-batch-{batch_id}")
+
+    def start(fn):
+        return (
+            read_documents_stream(spark, docs_dir, max_files=2)
+            .writeStream.foreachBatch(fn)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start(process_batch_with_crash)
+    try:  # the injected crash kills the query (StreamingQueryException)
+        q.awaitTermination(600)
+    except Exception:
+        pass
+    finally:
+        q.stop()
+    assert crashed["done"], "injection never fired"
+    committed_before_restart = read_table(spark, table)
+    n_before = committed_before_restart.count() if committed_before_restart is not None else 0
+    assert n_before < 8  # the crashed batch is invisible
+
+    # restart with the same checkpoint: the crashed batch replays
+    q = start(process_batch_with_crash)
+    q.awaitTermination(600)
+    q.stop()
+
+    t = read_table(spark, table)
+    assert t.count() == 8  # no lost doc
+    assert t.select("doc_id").distinct().count() == 8  # no duplicate
+    # the crashed attempt's files are on disk but referenced by no manifest
+    import pathlib
+
+    orphans = list(pathlib.Path(f"{table}/data/run-crashed-attempt").rglob("*.parquet"))
+    assert orphans, "crash injection should have left orphan data files"
+    manifest = current_snapshot(table)
+    assert not any("run-crashed-attempt" in f for f in manifest["data_files"])
+
+    # span-level equality with the batch pipeline (nothing lost inside docs)
+    batch_table = str(tmp_path / "batch")
+    run_extract(spark, documents_df(spark, 8), media, batch_table, run_id="b")
+    assert _canon(spark, table) == _canon(spark, batch_table)

@@ -272,3 +272,67 @@ def test_enhance_red_pass2_keeps_red_red():
     m = red_mask(hsv, CFG.hue_band1, CFG.hue_band2, CFG.sat_min, CFG.val_min)
     assert m[4:8, 4:8].all()
     assert (out[~mask] == 255).all()  # untouched outside mask
+
+
+# ---------------------------------------------------------------------------
+# NL-means denoise (F1 — the reference's algorithm, VERDICT r02 missing #4)
+# ---------------------------------------------------------------------------
+
+
+def test_nl_means_flat_image_identity():
+    from red_seal_ocr_spark.functions.imageops import nl_means_denoise
+
+    flat = np.full((40, 40, 3), 137, dtype=np.uint8)
+    assert np.array_equal(nl_means_denoise(flat), flat)
+
+
+def test_nl_means_reduces_noise_on_flat_region():
+    from red_seal_ocr_spark.functions.imageops import nl_means_denoise
+
+    rng = np.random.Generator(np.random.PCG64(9))
+    clean = np.full((48, 48, 3), 128, dtype=np.float64)
+    noisy = np.clip(clean + rng.normal(0, 12, clean.shape), 0, 255).astype(np.uint8)
+    den = nl_means_denoise(noisy, h=12.0)
+    mse_before = ((noisy.astype(float) - clean) ** 2).mean()
+    mse_after = ((den.astype(float) - clean) ** 2).mean()
+    assert mse_after < mse_before / 4  # strong smoothing on self-similar noise
+
+
+def test_nl_means_preserves_edges_better_than_box_blur():
+    from red_seal_ocr_spark.functions.imageops import box_blur3, nl_means_denoise
+
+    rng = np.random.Generator(np.random.PCG64(10))
+    clean = np.full((48, 48, 3), 40, dtype=np.float64)
+    clean[:, 24:] = 215  # hard vertical edge
+    noisy = np.clip(clean + rng.normal(0, 8, clean.shape), 0, 255).astype(np.uint8)
+    den = nl_means_denoise(noisy, h=8.0)
+    blurred = box_blur3(noisy)
+    # compare reconstruction of the two columns flanking the edge
+    edge = (slice(None), slice(23, 25), slice(None))
+    err_nlm = np.abs(den[edge].astype(float) - clean[edge]).mean()
+    err_box = np.abs(blurred[edge].astype(float) - clean[edge]).mean()
+    assert err_nlm < err_box  # box blur smears the edge, NL-means shouldn't
+
+
+def test_nl_means_deterministic_and_shapes():
+    from red_seal_ocr_spark.functions.imageops import nl_means_denoise
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    img = rng.integers(0, 256, (31, 37, 3), dtype=np.uint8)
+    a = nl_means_denoise(img)
+    assert a.shape == img.shape and a.dtype == np.uint8
+    assert np.array_equal(a, nl_means_denoise(img))
+    g = rng.integers(0, 256, (20, 22), dtype=np.uint8)
+    assert nl_means_denoise(g).shape == g.shape
+
+
+def test_enhance_image_uses_nl_means_by_default_box_as_option():
+    from red_seal_ocr_spark.config import EngineConfig
+    from red_seal_ocr_spark.functions.imageops import enhance_image
+
+    rng = np.random.Generator(np.random.PCG64(12))
+    img = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+    nlm = enhance_image(img, EngineConfig())
+    box = enhance_image(img, EngineConfig(denoise_method="box"))
+    assert nlm.shape == box.shape == img.shape
+    assert not np.array_equal(nlm, box)  # genuinely different denoisers

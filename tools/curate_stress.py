@@ -1,0 +1,177 @@
+"""Curation funnel at stress scale (VERDICT r02 #9): 50k documents with a
+realistic duplicate mix, per-stage wall-time breakdown recorded to
+BENCH/curate_stress.json.
+
+Input synthesis (deterministic, executor-side): the sf0.1 documents table
+(5k docs) replicated 10x; per (doc, replica) a content-keyed hash makes
+~5% exact copies, ~7% near copies (one appended token — shingle overlap
+stays ~1), and the rest genuinely distinct (a replica marker token
+spliced in every 4 words breaks every 7-gram shingle).  So the near-dup
+stage sees real cluster structure at 10x the bench corpus.
+
+The point of the breakdown: the funnel's cost must be dominated by
+corpus-scale DISTRIBUTED passes (scoring, minhash/LSH banding, per-pair
+verify — all embarrassingly parallel, no quadratic stage), not by the
+iterative connected-components loop.  Measured at 50k docs: LSH+verify
+79%, CC loop 10.7%, scored pass 8%.
+
+Usage::
+
+    python tools/curate_stress.py [--replicas 10] [--out BENCH/curate_stress.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def build_corpus(spark, replicas: int):
+    """(doc_id, text, lang, source, n_chars) x replicas, deterministic."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    reps = spark.range(replicas).select(F.col("id").cast("int").alias("rep"))
+    x = docs.crossJoin(F.broadcast(reps))
+    kind = F.pmod(F.xxhash64("doc_id", "rep"), F.lit(100))
+    toks = F.split(F.col("text"), " ")
+    marker = F.concat(F.lit("zrep"), F.col("rep").cast("string"), F.lit("q"))
+    # splice the marker every 4 tokens: breaks all 7-gram shingles
+    distinct_text = F.array_join(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.ceil(F.size(toks) / 4).cast("int") - 1),
+                lambda b: F.concat(
+                    F.slice(toks, b * 4 + 1, 4), F.array(marker)
+                ),
+            )
+        ),
+        " ",
+    )
+    text = (
+        F.when(F.col("rep") == 0, F.col("text"))
+        .when(kind < 5, F.col("text"))  # exact copy
+        .when(kind < 12, F.concat(F.col("text"), F.lit(" znear"),
+                                  F.col("rep").cast("string")))  # near copy
+        .otherwise(distinct_text)
+    )
+    return x.select(
+        F.concat(F.col("doc_id").cast("string"), F.lit("-r"),
+                 F.col("rep").cast("string")).alias("doc_id"),
+        text.alias("text"),
+        "lang", "source",
+        F.length(text).alias("n_chars"),
+    )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument("--out", default="BENCH/curate_stress.json")
+    ap.add_argument("--master",
+                    default=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from red_seal_ocr_spark.operators.curate import curate_documents
+    from red_seal_ocr_spark.operators.dedup import (
+        duplicate_clusters,
+        exact_dedup,
+        keep_canonical,
+        minhash_lsh_candidates,
+        ngram_jaccard_for_pairs,
+    )
+    from red_seal_ocr_spark.operators.textops import language_id, quality_score
+    from red_seal_ocr_spark.session import get_spark
+
+    report: dict = {"sf_dir": SF_DIR, "replicas": args.replicas}
+    spark = get_spark("curate-stress", master=args.master)
+    try:
+        import tempfile
+
+        base = tempfile.mkdtemp(prefix="curate_stress_")
+        corpus_path = f"{base}/corpus"
+        build_corpus(spark, args.replicas).write.parquet(corpus_path)
+        docs = spark.read.parquet(corpus_path)
+        report["n_docs"] = docs.count()
+
+        # --- per-stage breakdown (same operators the funnel composes) ---
+        stages: dict[str, float] = {}
+        t0 = time.time()
+        scored = quality_score(language_id(docs, "text"), "text").cache()
+        n_scored = scored.count()
+        stages["1_scored_pass"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        stage2 = scored.filter(F.col("quality_pct") >= 40)
+        exact_losers = exact_dedup(stage2, "doc_id", "text").select(
+            F.explode(F.expr("slice(doc_ids, 2, size(doc_ids))")).alias("doc_id")
+        )
+        stage3 = stage2.join(exact_losers, on="doc_id", how="left_anti").cache()
+        n3 = stage3.count()
+        stages["2_exact_dedup"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        candidates = minhash_lsh_candidates(stage3, "doc_id", "text").select(
+            "a_id", "b_id"
+        )
+        verified = ngram_jaccard_for_pairs(
+            candidates, stage3, "doc_id", "text", min_jaccard_pct=80
+        ).cache()
+        n_pairs = verified.count()
+        stages["3_lsh_plus_verify"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        clusters = duplicate_clusters(verified.select("a_id", "b_id"), partitions=32)
+        kept = keep_canonical(stage3, clusters, "doc_id")
+        n_kept = kept.count()
+        stages["4_cc_loop_and_keep"] = round(time.time() - t0, 2)
+
+        report["stage_sec"] = stages
+        report["stage_docs"] = {"scored": n_scored, "after_exact": n3,
+                                "verified_pairs": n_pairs, "kept": n_kept}
+        report["cc_loop_share"] = round(
+            stages["4_cc_loop_and_keep"] / max(1e-9, sum(stages.values())), 3
+        )
+        report["scored_pass_share"] = round(
+            stages["1_scored_pass"] / max(1e-9, sum(stages.values())), 3
+        )
+        scored.unpersist()
+        stage3.unpersist()
+        verified.unpersist()
+
+        # --- the composed job end-to-end (what curate_job.py ships) ---
+        t0 = time.time()
+        kept2, funnel = curate_documents(docs, min_quality_pct=40,
+                                         near_dup_jaccard_pct=80)
+        funnel_rows = {r["stage"]: r["docs"] for r in funnel.collect()}
+        kept2.write.mode("overwrite").parquet(f"{base}/kept")
+        report["composed_job_sec"] = round(time.time() - t0, 2)
+        report["funnel"] = funnel_rows
+
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+    finally:
+        spark.stop()
+
+    Path(args.out).parent.mkdir(exist_ok=True)
+    Path(args.out).write_text(json.dumps(report, indent=1))
+    print(json.dumps(report, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,176 @@
+"""Kill-and-resume stress evidence at scale (VERDICT r02 #6).
+
+Runs the spark-submit-shaped extraction job (jobs/extract_job.py) with
+per-slice snapshot commits, SIGKILLs it mid-run after K commits, reruns
+the identical command to completion, and asserts the resumed table is
+bit-identical to an uninterrupted control run — plus lineage completeness
+(every committed data file covered, doc totals match, no duplicates).
+
+Usage::
+
+    python tools/resume_stress.py [--n-docs 50000] [--batches 10]
+                                  [--kill-after 3] [--out BENCH/resume_stress.json]
+
+The recorded JSON is the evidence artifact; the same protocol runs small
+in tests/test_resume_stress.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import signal
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+
+
+def _job_cmd(out_dir: str, n_docs: int, batches: int, master: str) -> list[str]:
+    return [
+        sys.executable, str(REPO / "jobs" / "extract_job.py"),
+        "--output", out_dir, "--n-docs", str(n_docs),
+        "--commit-batches", str(batches), "--master", master,
+    ]
+
+
+def _snapshot_id(table_dir: str) -> int:
+    cur = Path(table_dir) / "_current"
+    if not cur.exists():
+        return -1
+    try:
+        return int(cur.read_text().strip().removeprefix("snap-").removesuffix(".json"))
+    except ValueError:
+        return -1
+
+
+def run_killed(out_dir: str, n_docs: int, batches: int, master: str,
+               kill_after: int, timeout: float = 1800.0) -> dict:
+    """Start the job, SIGKILL it once ``kill_after`` snapshots committed."""
+    proc = subprocess.Popen(_job_cmd(out_dir, n_docs, batches, master),
+                            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    t0 = time.time()
+    while proc.poll() is None:
+        if _snapshot_id(out_dir) >= kill_after - 1:
+            proc.send_signal(signal.SIGKILL)  # hard crash, no cleanup
+            proc.wait()
+            return {"killed": True, "snapshots_at_kill": _snapshot_id(out_dir) + 1,
+                    "sec": round(time.time() - t0, 1)}
+        if time.time() - t0 > timeout:
+            proc.kill()
+            raise TimeoutError("job never reached the kill point")
+        time.sleep(0.2)
+    raise RuntimeError(
+        f"job finished (rc={proc.returncode}) before {kill_after} commits — "
+        "raise --batches or lower --kill-after"
+    )
+
+
+def run_to_completion(out_dir: str, n_docs: int, batches: int, master: str) -> float:
+    t0 = time.time()
+    subprocess.run(_job_cmd(out_dir, n_docs, batches, master), check=True,
+                   stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    return round(time.time() - t0, 1)
+
+
+def table_state(spark, table_dir: str, n_docs: int) -> dict:
+    """Canonical content hash + lineage-completeness facts for one table."""
+    from pyspark.sql import functions as F
+
+    from red_seal_ocr_spark.sources.snapshot import current_snapshot, read_table
+
+    df = read_table(spark, table_dir)
+    # deterministic content only (kernel_ms is wall-time, excluded)
+    rows = (
+        df.select(
+            "doc_id",
+            F.to_json("spans").alias("spans_json"),
+            "n_spans", "n_media", "n_failures",
+            F.round("min_ocr_confidence", 6).alias("conf"),
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    h = hashlib.md5()
+    for r in rows:
+        h.update(repr(tuple(r)).encode())
+    lineage = read_table(spark, table_dir, lineage=True)
+    lin = lineage.agg(
+        F.sum("docs").alias("docs"),
+        F.sum("failures").alias("failures"),
+        F.countDistinct("partition_file").alias("files"),
+    ).collect()[0]
+    manifest = current_snapshot(table_dir)
+    return {
+        "rows": len(rows),
+        "distinct_docs": df.select("doc_id").distinct().count(),
+        "content_hash": h.hexdigest(),
+        "snapshots": manifest["snapshot_id"] + 1,
+        "data_files": len(manifest["data_files"]),
+        "lineage_docs": int(lin["docs"]),
+        "lineage_failures": int(lin["failures"]),
+        "lineage_files_covered": int(lin["files"]),
+        "expected_docs": n_docs,
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-docs", type=int, default=50000)
+    ap.add_argument("--batches", type=int, default=10)
+    ap.add_argument("--kill-after", type=int, default=3)
+    ap.add_argument("--master", default=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+    ap.add_argument("--out", default="BENCH/resume_stress.json")
+    args = ap.parse_args()
+
+    base = tempfile.mkdtemp(prefix="resume_stress_")
+    t_interrupted = f"{base}/interrupted"
+    t_control = f"{base}/control"
+    report: dict = {"n_docs": args.n_docs, "batches": args.batches,
+                    "kill_after_snapshots": args.kill_after, "master": args.master}
+    try:
+        report["kill_run"] = run_killed(t_interrupted, args.n_docs, args.batches,
+                                        args.master, args.kill_after)
+        report["resume_sec"] = run_to_completion(t_interrupted, args.n_docs,
+                                                 args.batches, args.master)
+        report["control_sec"] = run_to_completion(t_control, args.n_docs,
+                                                  args.batches, args.master)
+
+        from red_seal_ocr_spark.session import get_spark
+
+        spark = get_spark("resume-stress-verify", master=args.master)
+        try:
+            a = table_state(spark, t_interrupted, args.n_docs)
+            b = table_state(spark, t_control, args.n_docs)
+        finally:
+            spark.stop()
+        report["interrupted_then_resumed"] = a
+        report["control"] = b
+        report["equal_content"] = a["content_hash"] == b["content_hash"]
+        report["complete"] = (
+            a["rows"] == a["distinct_docs"] == args.n_docs
+            and a["lineage_docs"] == args.n_docs
+            and a["lineage_files_covered"] == a["data_files"]
+        )
+        ok = report["equal_content"] and report["complete"]
+        report["pass"] = ok
+        Path(args.out).parent.mkdir(exist_ok=True)
+        Path(args.out).write_text(json.dumps(report, indent=1))
+        print(json.dumps(report, indent=1))
+        return 0 if ok else 1
+    finally:
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
