@@ -32,7 +32,13 @@ def test_minhash_lsh_finds_near_dups(docs):
 
     pairs = {(r.a_id, r.b_id) for r in minhash_lsh_candidates(docs).collect()}
     assert (1, 2) in pairs          # identical docs always collide
-    assert (1, 3) in pairs          # 1-token-different docs collide w.h.p.
+    assert (1, 6) in pairs          # normalization dup always collides
+    # long near-dup (jaccard ~0.975): band collision w.p. ~0.9 per band,
+    # miss-all-8 ~1e-8.  The short pair (1,3) at jaccard ~0.54 is a coin
+    # flip by LSH design (any-band p ~0.5) and is deliberately NOT
+    # asserted — the old assertion was tuned to one permutation family's
+    # lucky draw.
+    assert (7, 8) in pairs
     assert (4, 5) not in pairs      # unrelated docs don't
 
 
@@ -41,8 +47,15 @@ def test_minhash_signature_properties(docs):
 
     sigs = {r.doc_id: r.signature for r in minhash_signatures(docs).collect()}
     assert sigs[1] == sigs[2]       # identical text -> identical signature
-    same = sum(a == b for a, b in zip(sigs[1], sigs[3]))
-    assert same >= 16               # near-dup -> most hashes agree
+    # strong near-dup (docs 7/8: 120 tokens, 1 changed -> jaccard ~0.975,
+    # E[agreement] ~31/32, P[<24] astronomically small — robust to any
+    # permutation-family draw, unlike a threshold tuned to a short pair)
+    same78 = sum(a == b for a, b in zip(sigs[7], sigs[8]))
+    assert same78 >= 24
+    # moderate pair (docs 1/3: jaccard ~0.54): only an unbiased-estimator
+    # sanity band (E=17.2, sigma=2.8; +-4 sigma)
+    same13 = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    assert 6 <= same13 <= 28
     diff = sum(a == b for a, b in zip(sigs[1], sigs[4]))
     assert diff <= 8
 
@@ -172,8 +185,16 @@ def test_duplicate_clusters_long_chain_converges(spark):
 def test_curate_documents_funnel(spark):
     from red_seal_ocr_spark.operators.curate import curate_documents
 
+    # ~70 tokens so a 1-word change keeps jaccard ~0.92: band-collision
+    # probability per band ~0.7, P[LSH misses all 8 bands] ~7e-5 — robust
+    # to any permutation-family draw (a ~24-token base made the near-dup
+    # collision a ~60/40 coin flip by LSH design)
     base = ("the quick brown fox jumps over the lazy dog and then the fox "
-            "runs to the old barn near the river where the other animals wait")
+            "runs to the old barn near the river where the other animals wait "
+            "for the morning light while the farmer walks along the quiet road "
+            "and the birds sing from the tall trees above the green field as "
+            "the wind moves softly through the valley and the water flows past "
+            "the stones under the wooden bridge beside the mill")
     rows = [
         (1, base),
         (2, base),                                   # exact dup of 1
@@ -236,7 +257,11 @@ def test_curate_no_driver_count_actions(spark, monkeypatch):
         DataFrame, "count", lambda self: (counts.append(1), orig(self))[1]
     )
     base = ("the quick brown fox jumps over the lazy dog and then the fox "
-            "runs to the old barn near the river where the other animals wait")
+            "runs to the old barn near the river where the other animals wait "
+            "for the morning light while the farmer walks along the quiet road "
+            "and the birds sing from the tall trees above the green field as "
+            "the wind moves softly through the valley and the water flows past "
+            "the stones under the wooden bridge beside the mill")
     docs = spark.createDataFrame(
         [(1, base), (2, base), (3, base.replace("barn", "shed")), (4, "short")],
         "doc_id bigint, text string",

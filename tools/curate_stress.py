@@ -13,7 +13,10 @@ The point of the breakdown: the funnel's cost must be dominated by
 corpus-scale DISTRIBUTED passes (scoring, minhash/LSH banding, per-pair
 verify — all embarrassingly parallel, no quadratic stage), not by the
 iterative connected-components loop.  Measured at 50k docs: LSH+verify
-79%, CC loop 10.7%, scored pass 8%.
+61%, scored pass 20%, CC loop 14.5% (funnel total 70 s; it was 172 s
+before this profile caught _shingles' lambda-var slice falling out of
+codegen — 56 s for the shingle pass alone — and the 32x re-hashing of
+shingle strings in minhash_signatures).
 
 Usage::
 

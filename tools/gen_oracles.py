@@ -82,8 +82,11 @@ def shingles(text: str, k: int = 3) -> list[str]:
 
 
 def minhash_signature(text: str, num_hashes: int = 32, k: int = 3) -> list[int]:
+    """Mirror of dedup.minhash_signatures: hash each shingle once, then H
+    two-long folds (xxhash64(h, long(i)))."""
     sh = shingles(text, k)
-    return [min(spark_xxhash64(s, i) for s in sh) for i in range(num_hashes)]
+    hs = [spark_xxhash64(s) for s in sh]
+    return [min(spark_xxhash64_long(h, i) for h in hs) for i in range(num_hashes)]
 
 
 def minhash_lsh_candidates(docs: dict[int, str], num_hashes: int = 32,

@@ -34,12 +34,33 @@ sys.path.insert(0, str(REPO))
 os.environ.setdefault("OMP_NUM_THREADS", "1")
 
 
-def _job_cmd(out_dir: str, n_docs: int, batches: int, master: str) -> list[str]:
-    return [
+def _job_cmd(out_dir: str, n_docs: int, batches: int, master: str,
+             docs_path: str | None = None, media_path: str | None = None) -> list[str]:
+    cmd = [
         sys.executable, str(REPO / "jobs" / "extract_job.py"),
         "--output", out_dir, "--n-docs", str(n_docs),
         "--commit-batches", str(batches), "--master", master,
     ]
+    if docs_path:
+        cmd += ["--docs", docs_path, "--media", media_path]
+    return cmd
+
+
+def materialize(base: str, n_docs: int, master: str) -> tuple[str, str]:
+    """Write the synthesized input ONCE (untimed): batched reruns then
+    re-read cheap parquet instead of re-rendering every media image per
+    batch (rendering 10x per run turned a ~300 docs/s job into ~86)."""
+    from red_seal_ocr_spark.session import get_spark
+    from red_seal_ocr_spark.sources.spark_tables import documents_df, media_df
+
+    docs_path, media_path = f"{base}/docs_in", f"{base}/media_in"
+    spark = get_spark("resume-stress-datagen", master=master)
+    try:
+        documents_df(spark, n_docs).write.parquet(docs_path)
+        media_df(spark, n_docs).write.parquet(media_path)
+    finally:
+        spark.stop()
+    return docs_path, media_path
 
 
 def _snapshot_id(table_dir: str) -> int:
@@ -53,10 +74,12 @@ def _snapshot_id(table_dir: str) -> int:
 
 
 def run_killed(out_dir: str, n_docs: int, batches: int, master: str,
-               kill_after: int, timeout: float = 1800.0) -> dict:
+               kill_after: int, timeout: float = 1800.0,
+               docs_path: str | None = None, media_path: str | None = None) -> dict:
     """Start the job, SIGKILL it once ``kill_after`` snapshots committed."""
-    proc = subprocess.Popen(_job_cmd(out_dir, n_docs, batches, master),
-                            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    proc = subprocess.Popen(
+        _job_cmd(out_dir, n_docs, batches, master, docs_path, media_path),
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
     t0 = time.time()
     while proc.poll() is None:
         if _snapshot_id(out_dir) >= kill_after - 1:
@@ -74,10 +97,12 @@ def run_killed(out_dir: str, n_docs: int, batches: int, master: str,
     )
 
 
-def run_to_completion(out_dir: str, n_docs: int, batches: int, master: str) -> float:
+def run_to_completion(out_dir: str, n_docs: int, batches: int, master: str,
+                      docs_path: str | None = None,
+                      media_path: str | None = None) -> float:
     t0 = time.time()
-    subprocess.run(_job_cmd(out_dir, n_docs, batches, master), check=True,
-                   stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    subprocess.run(_job_cmd(out_dir, n_docs, batches, master, docs_path, media_path),
+                   check=True, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
     return round(time.time() - t0, 1)
 
 
@@ -137,12 +162,19 @@ def main() -> int:
     report: dict = {"n_docs": args.n_docs, "batches": args.batches,
                     "kill_after_snapshots": args.kill_after, "master": args.master}
     try:
+        t0 = time.time()
+        dp, mp = materialize(base, args.n_docs, args.master)
+        report["materialize_sec"] = round(time.time() - t0, 1)
         report["kill_run"] = run_killed(t_interrupted, args.n_docs, args.batches,
-                                        args.master, args.kill_after)
+                                        args.master, args.kill_after,
+                                        docs_path=dp, media_path=mp)
         report["resume_sec"] = run_to_completion(t_interrupted, args.n_docs,
-                                                 args.batches, args.master)
+                                                 args.batches, args.master,
+                                                 docs_path=dp, media_path=mp)
         report["control_sec"] = run_to_completion(t_control, args.n_docs,
-                                                  args.batches, args.master)
+                                                  args.batches, args.master,
+                                                  docs_path=dp, media_path=mp)
+        report["control_docs_per_sec"] = round(args.n_docs / report["control_sec"], 1)
 
         from red_seal_ocr_spark.session import get_spark
 
