@@ -65,14 +65,15 @@ def image_metadata(media: DataFrame) -> DataFrame:
         import pandas as pd
 
         from ..config import DEFAULT_CONFIG as cfg
+        from ..functions.codecs import ImageDecodeError, decode_image_lazy
         from ..functions.imageops import rgb_red_mask
-        from ..functions.png import PngError, decode_png
 
         for b in batches:
             rows = []
             for ref, content in zip(b["media_ref"], b["content"]):
                 try:
-                    img = decode_png(bytes(content))
+                    # format-sniffing dispatch (png/jpeg/bmp — S2 parity)
+                    img = decode_image_lazy(bytes(content)).full()
                     red = rgb_red_mask(img, cfg.hue_band1, cfg.hue_band2,
                                        cfg.sat_min, cfg.val_min)
                     means = img.reshape(-1, 3).mean(axis=0)
@@ -81,7 +82,7 @@ def image_metadata(media: DataFrame) -> DataFrame:
                          float(means[0]), float(means[1]), float(means[2]),
                          float(red.mean()))
                     )
-                except (PngError, TypeError):
+                except (ImageDecodeError, TypeError):
                     rows.append((ref, False, None, None, None, None, None, None, None))
             yield pd.DataFrame(
                 rows,
@@ -98,15 +99,16 @@ def image_thumbnails(media: DataFrame, max_side: int = 64) -> DataFrame:
     def run(batches):
         import pandas as pd
 
+        from ..functions.codecs import ImageDecodeError, decode_image_lazy
         from ..functions.imageops import resize_area
-        from ..functions.png import PngError, decode_png, encode_png
+        from ..functions.png import encode_png
 
         for b in batches:
             refs, oks, blobs = [], [], []
             for ref, content in zip(b["media_ref"], b["content"]):
                 refs.append(ref)
                 try:
-                    img = decode_png(bytes(content))
+                    img = decode_image_lazy(bytes(content)).full()
                     h, w = img.shape[:2]
                     scale = max_side / max(h, w)
                     if scale < 1.0:
@@ -115,7 +117,7 @@ def image_thumbnails(media: DataFrame, max_side: int = 64) -> DataFrame:
                         )
                     oks.append(True)
                     blobs.append(encode_png(img))
-                except (PngError, TypeError):
+                except (ImageDecodeError, TypeError):
                     oks.append(False)
                     blobs.append(None)
             yield pd.DataFrame({"media_ref": refs, "ok": oks, "thumb": blobs})

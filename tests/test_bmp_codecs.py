@@ -159,3 +159,31 @@ def test_render_media_mixed_formats():
     assert render_media("m-00000002-00") != render_media(
         "m-00000002-00", fmt="jpeg"
     )
+
+
+def test_multimodal_image_ops_mixed_formats(spark):
+    """image_metadata / image_thumbnails decode all three containers (the
+    multimodal tier shares the S2 dispatch, not a PNG-only path)."""
+    import numpy as np
+
+    from red_seal_ocr_spark.functions.jpeg import encode_jpeg
+    from red_seal_ocr_spark.functions.png import encode_png
+    from red_seal_ocr_spark.operators.multimodal import (
+        image_metadata,
+        image_thumbnails,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(21))
+    img = rng.integers(0, 256, (90, 120, 3), dtype=np.uint8)
+    rows = [("png", encode_png(img)), ("jpeg", encode_jpeg(img, 95)),
+            ("bmp", encode_bmp(img)), ("bad", b"not an image")]
+    media = spark.createDataFrame(rows, "media_ref string, content binary")
+    meta = {r.media_ref: r for r in image_metadata(media).collect()}
+    assert meta["bad"].ok is False
+    for fmt in ("png", "jpeg", "bmp"):
+        assert meta[fmt].ok and (meta[fmt].width, meta[fmt].height) == (120, 90)
+    assert abs(meta["png"].mean_r - meta["jpeg"].mean_r) < 2.0  # lossy but close
+    thumbs = {r.media_ref: r for r in image_thumbnails(media).collect()}
+    for fmt in ("png", "jpeg", "bmp"):
+        assert thumbs[fmt].ok and thumbs[fmt].thumb is not None
+    assert thumbs["bad"].ok is False
