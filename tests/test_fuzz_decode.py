@@ -1,0 +1,99 @@
+"""Decode-path fuzzing (hypothesis): the fault-isolation contract.
+
+At 10^12-document scale the media column WILL contain every kind of
+garbage; the kernel's contract is that arbitrary bytes either decode or
+surface as a counted failure — never an unhandled exception, never a
+hang.  These properties drive random corruptions (truncation, byte
+flips, junk splices, pure noise) through all three codecs and the full
+kernel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from red_seal_ocr_spark.functions.bmp import encode_bmp
+from red_seal_ocr_spark.functions.codecs import ImageDecodeError, decode_image_lazy
+from red_seal_ocr_spark.functions.jpeg import encode_jpeg
+from red_seal_ocr_spark.functions.kernel import (
+    DECODE_ERROR,
+    OK,
+    TOO_LARGE,
+    process_image,
+)
+from red_seal_ocr_spark.functions.png import encode_png
+
+
+def _base_image(seed: int) -> np.ndarray:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    h, w = int(rng.integers(8, 48)), int(rng.integers(8, 48))
+    return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+def _encoded(seed: int, fmt: int) -> bytes:
+    img = _base_image(seed)
+    if fmt == 0:
+        return encode_png(img)
+    if fmt == 1:
+        return encode_jpeg(img, 90, ["444", "420"][seed % 2],
+                           restart_interval=seed % 3)
+    return encode_bmp(img)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    seed=st.integers(0, 2**16),
+    fmt=st.integers(0, 2),
+    cut=st.floats(0.01, 0.999),
+)
+def test_truncation_never_escapes_the_error_contract(seed, fmt, cut):
+    data = _encoded(seed, fmt)
+    trunc = data[: max(1, int(len(data) * cut))]
+    try:
+        out = decode_image_lazy(trunc)
+        # a prefix that still decodes must be a fully intact image
+        assert out.full().shape[2] == 3
+    except ImageDecodeError:
+        pass  # the ONLY allowed failure type
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    seed=st.integers(0, 2**16),
+    fmt=st.integers(0, 2),
+    flips=st.lists(st.tuples(st.floats(0, 0.999), st.integers(0, 255)),
+                   min_size=1, max_size=8),
+)
+def test_byte_flips_never_escape_the_error_contract(seed, fmt, flips):
+    data = bytearray(_encoded(seed, fmt))
+    for pos_frac, val in flips:
+        data[int(pos_frac * len(data))] = val
+    try:
+        out = decode_image_lazy(bytes(data))
+        assert out.full().dtype == np.uint8
+    except ImageDecodeError:
+        pass
+
+
+@settings(max_examples=80, deadline=None)
+@given(junk=st.binary(min_size=0, max_size=256))
+def test_pure_noise_is_a_counted_decode_failure(junk):
+    r = process_image(junk)
+    assert r.status in (DECODE_ERROR, TOO_LARGE)
+    assert r.text is None
+
+
+@settings(max_examples=60, deadline=None)
+@given(seed=st.integers(0, 2**16), fmt=st.integers(0, 2),
+       cut=st.floats(0.05, 0.95))
+def test_kernel_never_raises_on_corrupt_media(seed, fmt, cut):
+    """The full kernel path: corrupt bytes -> ImageResult with a failure
+    status (the span passes through unchanged upstream), never an
+    exception."""
+    data = _encoded(seed, fmt)
+    r = process_image(data[: int(len(data) * cut)])
+    assert r.status in (OK, DECODE_ERROR, TOO_LARGE)
+    r2 = process_image(data)
+    assert r2.status == OK  # the uncorrupted original always decodes
