@@ -198,7 +198,7 @@ class _DecodeLUT:
     is then one peek + one array index per symbol.
     """
 
-    __slots__ = ("table",)
+    __slots__ = ("table", "lst")
 
     def __init__(self, bits: list[int], vals: list[int]) -> None:
         if sum(bits) != len(vals):
@@ -216,73 +216,9 @@ class _DecodeLUT:
             if code > (1 << length):
                 raise JpegError("DHT: over-subscribed code lengths")
             code <<= 1
-
-
-class _BitReader:
-    """MSB-first bit reader over unstuffed entropy bytes.
-
-    Zero-pads past the stream end so the final block's peek16 works, but
-    *consuming* padded bits (skip/receive reaching past the real data —
-    i.e. a truncated stream) raises :class:`JpegError`: corrupt bytes must
-    fail loudly into the kernel's fault-isolation path, never decode
-    silently from padding.
-    """
-
-    __slots__ = ("data", "n", "pos", "virtual", "buf", "cnt")
-
-    def __init__(self, data: bytes) -> None:
-        self.data = data
-        self.n = len(data)
-        self.pos = 0
-        self.virtual = 0  # padding bytes fed past the end
-        self.buf = 0
-        self.cnt = 0
-
-    def _fill(self) -> None:
-        while self.cnt <= 48:
-            if self.pos < self.n:
-                self.buf = (self.buf << 8) | self.data[self.pos]
-                self.pos += 1
-            else:
-                self.buf <<= 8
-                self.virtual += 1
-            self.cnt += 8
-
-    def _check(self) -> None:
-        # bits consumed so far = bits fed - bits still buffered; only the
-        # final byte's pad bits (< 8) may legally be consumed
-        if self.virtual:
-            consumed = 8 * (self.pos + self.virtual) - self.cnt
-            if consumed > 8 * self.n + 7:
-                raise JpegError("entropy data exhausted (truncated stream)")
-
-    def peek16(self) -> int:
-        if self.cnt < 16:
-            self._fill()
-        return (self.buf >> (self.cnt - 16)) & 0xFFFF
-
-    def skip(self, nbits: int) -> None:
-        self.cnt -= nbits
-        self.buf &= (1 << self.cnt) - 1
-        self._check()
-
-    def receive(self, nbits: int) -> int:
-        if nbits == 0:
-            return 0
-        if self.cnt < nbits:
-            self._fill()
-        self.cnt -= nbits
-        v = self.buf >> self.cnt
-        self.buf &= (1 << self.cnt) - 1
-        self._check()
-        return v
-
-
-def _extend(v: int, t: int) -> int:
-    """T.81 F.12 sign extension of a t-bit magnitude."""
-    if t == 0:
-        return 0
-    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+        # hot-loop form: a plain Python list indexes ~3x faster than a
+        # numpy array when the consumer is a scalar Python loop
+        self.lst = self.table.tolist()
 
 
 # ---------------------------------------------------------------------------
@@ -459,25 +395,38 @@ def decode_jpeg(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
     for comp_idx, dc_id, ac_id in sel:
         _, hf, vf, _ = comps[comp_idx]
         try:
-            dc_lut = huff[(0, dc_id)].table
-            ac_lut = huff[(1, ac_id)].table
+            dc_lut = huff[(0, dc_id)].lst
+            ac_lut = huff[(1, ac_id)].lst
         except KeyError as exc:
             raise JpegError(f"missing Huffman table {exc}") from exc
         for dy in range(vf):
             for dx in range(hf):
                 block_plan.append((comp_idx, dc_lut, ac_lut, dy, dx))
 
+    # --- entropy decode hot loop ---
+    # Bit state lives in LOCAL ints (buf/cnt/pos/virt) and the Huffman
+    # LUTs are Python lists: method calls on a reader object plus numpy
+    # scalar indexing measured ~2.5x slower than this inlined form — this
+    # loop is the whole cost of a JPEG decode, everything after it is
+    # vectorized numpy.  Bit-stream contract: zero-pad past the stream end
+    # for the final peeks, but CONSUMING more than the final byte's pad
+    # bits (a truncated stream) raises — corrupt bytes must fail loudly
+    # into the kernel's fault-isolation path, never decode from padding.
     preds = [0] * len(comps)
     mcu = 0
     span_idx = 0
-    rdr = _BitReader(spans[0])
     per_seg = restart_interval if restart_interval else n_mcus
+    sdata = spans[0]
+    dlen = len(sdata)
+    pos = buf = cnt = virt = 0
     while mcu < n_mcus:
         if restart_interval and mcu and mcu % restart_interval == 0:
             span_idx += 1
             if span_idx >= len(spans):
                 raise JpegError("missing restart segment")
-            rdr = _BitReader(spans[span_idx])
+            sdata = spans[span_idx]
+            dlen = len(sdata)
+            pos = buf = cnt = virt = 0
             preds = [0] * len(comps)
         seg_end = min(mcu + per_seg, n_mcus)
         while mcu < seg_end:
@@ -486,36 +435,84 @@ def decode_jpeg(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
                 _, hf, vf, _ = comps[comp_idx]
                 row = my * vf + dy
                 col = mx * hf + dx
-                blk = coefs[comp_idx][row * blocks_wide[comp_idx] + col]
-                # DC
-                v = int(dc_lut[rdr.peek16()])
+                tmp = [0] * 64
+                # DC (fill to 16-bit peek + up to 11 magnitude bits; the
+                # 4-byte batched refill halves fill overhead vs per-byte)
+                if cnt < 27:
+                    if pos + 4 <= dlen:
+                        buf = (buf << 32) | int.from_bytes(sdata[pos : pos + 4], "big")
+                        pos += 4
+                        cnt += 32
+                    else:
+                        while cnt < 27:
+                            if pos < dlen:
+                                buf = (buf << 8) | sdata[pos]
+                                pos += 1
+                            else:
+                                buf <<= 8
+                                virt += 1
+                            cnt += 8
+                v = dc_lut[(buf >> (cnt - 16)) & 0xFFFF]
                 if v == 0:
                     raise JpegError("invalid DC Huffman code")
-                rdr.skip(v & 31)
                 t = v >> 5
                 if t > 11:
                     raise JpegError("bad DC magnitude category")
-                preds[comp_idx] += _extend(rdr.receive(t), t)
-                blk[0] = preds[comp_idx]
+                cnt -= (v & 31) + t
+                if virt and 8 * (pos + virt) - cnt > 8 * dlen + 7:
+                    raise JpegError("entropy data exhausted (truncated stream)")
+                if t:
+                    mag = (buf >> cnt) & ((1 << t) - 1)
+                    diff = mag if mag >= (1 << (t - 1)) else mag - (1 << t) + 1
+                    preds[comp_idx] += diff
+                buf &= (1 << cnt) - 1
+                tmp[0] = preds[comp_idx]
                 # AC
                 k = 1
                 while k < 64:
-                    v = int(ac_lut[rdr.peek16()])
+                    if cnt < 26:  # 16-bit peek + up to 10 magnitude bits
+                        if pos + 4 <= dlen:
+                            buf = (buf << 32) | int.from_bytes(
+                                sdata[pos : pos + 4], "big")
+                            pos += 4
+                            cnt += 32
+                        else:
+                            while cnt < 26:
+                                if pos < dlen:
+                                    buf = (buf << 8) | sdata[pos]
+                                    pos += 1
+                                else:
+                                    buf <<= 8
+                                    virt += 1
+                                cnt += 8
+                    v = ac_lut[(buf >> (cnt - 16)) & 0xFFFF]
                     if v == 0:
                         raise JpegError("invalid AC Huffman code")
-                    rdr.skip(v & 31)
                     rs = v >> 5
-                    r, size = rs >> 4, rs & 0x0F
+                    size = rs & 0x0F
                     if size == 0:
-                        if r == 15:
+                        cnt -= v & 31
+                        buf &= (1 << cnt) - 1
+                        if virt and 8 * (pos + virt) - cnt > 8 * dlen + 7:
+                            raise JpegError(
+                                "entropy data exhausted (truncated stream)")
+                        if rs >> 4 == 15:
                             k += 16  # ZRL
                             continue
                         break  # EOB
-                    k += r
+                    k += rs >> 4
                     if k > 63:
                         raise JpegError("AC run past block end")
-                    blk[k] = _extend(rdr.receive(size), size)
+                    cnt -= (v & 31) + size
+                    if virt and 8 * (pos + virt) - cnt > 8 * dlen + 7:
+                        raise JpegError(
+                            "entropy data exhausted (truncated stream)")
+                    mag = (buf >> cnt) & ((1 << size) - 1)
+                    buf &= (1 << cnt) - 1
+                    tmp[k] = (mag if mag >= (1 << (size - 1))
+                              else mag - (1 << size) + 1)
                     k += 1
+                coefs[comp_idx][row * blocks_wide[comp_idx] + col] = tmp
             mcu += 1
 
     # vectorized: dequant -> un-zigzag -> batched IDCT -> assemble planes
