@@ -304,6 +304,14 @@ def run_extract_batched(
     ``xxhash64(doc_id) % n_batches``: content-keyed, reproducible across
     runs, independent of physical partitioning.
 
+    Scale note: the hash filter cannot prune the scan, so this shape
+    costs n_batches passes over the input — fine when the kernel
+    dominates (it does here: the scan is a pruned three-column read) or
+    when the input is parquet in page cache.  At 100 TB you would
+    instead bucket/partition the input table by the slice key once (one
+    shuffle, amortized across every downstream run) so each batch scan
+    prunes to its own files; the commit/anti-join protocol is unchanged.
+
     Returns the last committed manifest.
     """
     run_id = run_id or uuid.uuid4().hex[:12]
