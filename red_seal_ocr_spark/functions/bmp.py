@@ -82,6 +82,11 @@ def decode_bmp(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
             raise BmpError("truncated palette")
         pal = np.frombuffer(data, dtype=np.uint8, count=4 * n_colors,
                             offset=palette_off).reshape(n_colors, 4)[:, 2::-1]
+        if n_colors < 256:
+            # pixel indices are unvalidated bytes: pad the palette so an
+            # index >= biClrUsed decodes as black instead of escaping as
+            # IndexError (the decode contract allows only BmpError)
+            pal = np.vstack([pal, np.zeros((256 - n_colors, 3), np.uint8)])
         row_bytes = (w + 3) & ~3
         need = offset + row_bytes * h
         if len(data) < need:

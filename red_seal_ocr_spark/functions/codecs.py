@@ -77,6 +77,8 @@ def decode_image_lazy(data: bytes, max_pixels: int = 64_000_000):
         raise ImageDecodeError("not bytes")
     data = bytes(data)
     fmt = sniff_format(data)
+    import struct
+
     try:
         if fmt == "png":
             return decode_png_lazy(data, max_pixels)
@@ -88,4 +90,11 @@ def decode_image_lazy(data: bytes, max_pixels: int = 64_000_000):
         raise ImageTooLarge(str(exc)) from exc
     except (PngError, JpegError, BmpError) as exc:
         raise ImageDecodeError(str(exc)) from exc
+    except (struct.error, IndexError, ValueError, OverflowError) as exc:
+        # defense in depth: NO exception a decoder hits on untrusted bytes
+        # may escape the decode contract (a corrupt blob must become a
+        # counted failure, never a dead Spark task).  The codecs validate
+        # their headers and raise typed errors; this net catches whatever
+        # a fuzzer has not found yet.
+        raise ImageDecodeError(f"malformed {fmt}: {type(exc).__name__}: {exc}") from exc
     raise ImageDecodeError("unknown image format")

@@ -221,6 +221,23 @@ class _DecodeLUT:
         self.lst = self.table.tolist()
 
 
+_LUT_CACHE: dict[bytes, _DecodeLUT] = {}
+
+
+def _lut_cached(key: bytes, bits: list[int], vals: list[int]) -> _DecodeLUT:
+    """Per-process cache keyed on the raw BITS+HUFFVAL bytes: building the
+    64K peek LUT costs ~0.9 ms, which dominated small-image decode, and
+    real corpora (and every file this encoder emits) reuse the same
+    Annex-K tables across millions of images."""
+    lut = _LUT_CACHE.get(key)
+    if lut is None:
+        if len(_LUT_CACHE) >= 64:  # bound a pathological many-tables corpus
+            _LUT_CACHE.clear()
+        lut = _DecodeLUT(bits, vals)
+        _LUT_CACHE[key] = lut
+    return lut
+
+
 # ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
@@ -257,6 +274,8 @@ def jpeg_dimensions(data: bytes) -> tuple[int, int]:
     """(height, width) from the SOF header — O(headers), no entropy work."""
     for marker, s, e in _parse_segments(bytes(data)):
         if marker in (0xC0, 0xC1):
+            if e - s < 5:
+                raise JpegError("truncated SOF")
             _, h, w = struct.unpack(">BHH", data[s : s + 5])
             return h, w
         if marker == 0xC2:
@@ -309,9 +328,13 @@ def decode_jpeg(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
                 pq, tq = seg[p] >> 4, seg[p] & 0x0F
                 p += 1
                 if pq == 0:
+                    if len(seg) - p < 64:
+                        raise JpegError("truncated DQT")
                     t = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(np.int64)
                     p += 64
                 elif pq == 1:
+                    if len(seg) - p < 128:
+                        raise JpegError("truncated DQT")
                     t = np.frombuffer(seg[p : p + 128], dtype=">u2").astype(np.int64)
                     p += 128
                 else:
@@ -320,6 +343,8 @@ def decode_jpeg(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
                     raise JpegError("truncated DQT")
                 qtables[tq] = t
         elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline & extended sequential
+            if len(seg) < 6:
+                raise JpegError("truncated SOF")
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise JpegError(f"unsupported sample precision {prec}")
@@ -330,6 +355,8 @@ def decode_jpeg(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
                 raise JpegTooLarge(f"{w}x{h} exceeds pixel budget {max_pixels}")
             if nc not in (1, 3):
                 raise JpegError(f"unsupported component count {nc}")
+            if len(seg) < 6 + 3 * nc:
+                raise JpegError("truncated SOF component list")
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
@@ -351,14 +378,21 @@ def decode_jpeg(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
                 vals = list(seg[p + 17 : p + 17 + nv])
                 if len(vals) != nv:
                     raise JpegError("truncated DHT")
-                huff[(tc, th)] = _DecodeLUT(bits, vals)
+                huff[(tc, th)] = _lut_cached(bytes(seg[p + 1 : p + 17 + nv]),
+                                             bits, vals)
                 p += 17 + nv
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise JpegError("truncated DRI")
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise JpegError("SOS before SOF")
+            if len(seg) < 1:
+                raise JpegError("truncated SOS")
             ns = seg[0]
+            if len(seg) < 1 + 2 * ns:
+                raise JpegError("truncated SOS component list")
             sel = []
             by_id = {c[0]: i for i, c in enumerate(frame[2])}
             for i in range(ns):
@@ -375,6 +409,12 @@ def decode_jpeg(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
         raise JpegError("missing SOF/SOS")
     h, w, comps = frame
     sel, entropy_start = scan
+    for _, _, _, tq in comps:
+        if tq not in qtables:
+            # fail in O(headers): running the whole entropy hot loop first
+            # (the entire cost of a decode) for a file that can never
+            # dequantize would waste the per-item budget
+            raise JpegError(f"missing quant table {tq}")
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -515,14 +555,22 @@ def decode_jpeg(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
                 coefs[comp_idx][row * blocks_wide[comp_idx] + col] = tmp
             mcu += 1
 
-    # vectorized: dequant -> un-zigzag -> batched IDCT -> assemble planes
+    # vectorized: dequant -> un-zigzag -> batched IDCT -> assemble planes.
+    # Memory discipline (the pixel budget is calibrated on the PNG path's
+    # ~3 bytes/px): IDCT math stays float64 for exactness, but assembled
+    # planes are stored float32, the color convert runs one CHANNEL at a
+    # time into a preallocated uint8 cube, and each component's
+    # coefficient store is freed as soon as its plane exists — peak
+    # allocation drops from ~5 GB to ~1.2 GB for a budget-sized (64 Mpx)
+    # frame.
     planes = []
     for ci, (cid, hf, vf, tq) in enumerate(comps):
-        if tq not in qtables:
-            raise JpegError(f"missing quant table {tq}")
         deq = (coefs[ci] * qtables[tq][None, :]).astype(np.float64)
+        coefs[ci] = None  # freed: the int32 store is 256 MB at 64 Mpx
         nat = deq[:, _UNZIGZAG].reshape(-1, 8, 8)
+        del deq
         spatial = _A.T @ nat @ _A + 128.0
+        del nat
         bw, bh = blocks_wide[ci], blocks_high[ci]
         plane = (
             spatial.reshape(bh, bw, 8, 8)
@@ -532,24 +580,33 @@ def decode_jpeg(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
         # crop to this component's true size, then upsample to frame size
         cw = (w * hf + hmax - 1) // hmax
         ch = (h * vf + vmax - 1) // vmax
-        plane = plane[:ch, :cw]
+        plane = plane[:ch, :cw].astype(np.float32)
+        del spatial
         if hf != hmax:
             plane = np.repeat(plane, hmax // hf, axis=1)
         if vf != vmax:
             plane = np.repeat(plane, vmax // vf, axis=0)
-        planes.append(plane[:h, :w])
+        planes.append(np.ascontiguousarray(plane[:h, :w]))
 
     if len(planes) == 1:
         y = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
         return np.repeat(y[:, :, None], 3, axis=2)
     y, cb, cr = planes
-    cb = cb - 128.0
-    cr = cr - 128.0
-    rgb = np.empty((h, w, 3), dtype=np.float64)
-    rgb[:, :, 0] = y + 1.402 * cr
-    rgb[:, :, 1] = y - 0.344136 * cb - 0.714136 * cr
-    rgb[:, :, 2] = y + 1.772 * cb
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    cb -= np.float32(128.0)
+    cr -= np.float32(128.0)
+    out = np.empty((h, w, 3), dtype=np.uint8)
+
+    def store(c: int, tmp: np.ndarray) -> None:
+        np.round(tmp, out=tmp)
+        np.clip(tmp, 0, 255, out=tmp)
+        out[:, :, c] = tmp
+
+    # one channel temp alive at a time (lazy: each expression allocates
+    # only inside its store call)
+    store(0, y + np.float32(1.402) * cr)
+    store(1, y - np.float32(0.344136) * cb - np.float32(0.714136) * cr)
+    store(2, y + np.float32(1.772) * cb)
+    return out
 
 
 # ---------------------------------------------------------------------------

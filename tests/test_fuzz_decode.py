@@ -11,6 +11,7 @@ kernel.
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -97,3 +98,84 @@ def test_kernel_never_raises_on_corrupt_media(seed, fmt, cut):
     assert r.status in (OK, DECODE_ERROR, TOO_LARGE)
     r2 = process_image(data)
     assert r2.status == OK  # the uncorrupted original always decodes
+
+
+# ---------------------------------------------------------------------------
+# crafted header mutations (round-3 code review: these seven inputs escaped
+# the error contract as struct.error / IndexError / numpy ValueError before
+# the header validations + the dispatch safety net landed)
+# ---------------------------------------------------------------------------
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    import struct
+
+    return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(payload)) + payload
+
+
+def test_crafted_header_mutations_stay_inside_the_contract():
+    from red_seal_ocr_spark.functions.jpeg import JpegError, decode_jpeg, jpeg_dimensions
+
+    soi = b"\xff\xd8"
+    crafted = {
+        "short_sof": soi + _seg(0xC0, b"\x08\x00"),  # SOF claims 2 payload bytes
+        "short_sof_components": soi + _seg(0xC0, b"\x08\x00\x10\x00\x10\x03\x01\x11"),
+        "empty_sos": soi + _seg(0xC0, b"\x08\x00\x10\x00\x10\x01\x01\x11\x00")
+                     + _seg(0xC4, bytes([0x00]) + bytes(16) )  # degenerate DHT
+                     + _seg(0xDA, b""),
+        "short_sos_components": soi + _seg(0xC0, b"\x08\x00\x10\x00\x10\x01\x01\x11\x00")
+                     + _seg(0xDA, b"\x01\x01"),
+        "short_dri": soi + _seg(0xDD, b"\x05"),
+        "odd_16bit_dqt": soi + _seg(0xDB, bytes([0x10]) + bytes(127)),
+    }
+    for name, data in crafted.items():
+        with pytest.raises(JpegError):
+            decode_jpeg(data)
+    with pytest.raises(JpegError):
+        jpeg_dimensions(crafted["short_sof"])
+    # process_image must count every one of them, never raise
+    for data in crafted.values():
+        r = process_image(data)
+        assert r.status == DECODE_ERROR
+
+
+def test_bmp_palette_index_beyond_clrused_decodes_black():
+    import struct
+
+    pal = bytes([10, 20, 30, 0] * 4)  # biClrUsed = 4
+    rows = bytes([0, 200, 3, 255])  # indices 200/255 are out of the palette
+    info = struct.pack("<IiiHHIIiiII", 40, 4, 1, 1, 8, 0, 4, 0, 0, 4, 0)
+    offset = 14 + 40 + len(pal)
+    hdr = struct.pack("<2sIHHI", b"BM", offset + 4, 0, 0, offset)
+    from red_seal_ocr_spark.functions.bmp import decode_bmp
+
+    img = decode_bmp(hdr + info + pal + rows)
+    assert tuple(img[0, 0]) == (30, 20, 10)
+    assert tuple(img[0, 1]) == (0, 0, 0)  # padded palette, not IndexError
+    r = process_image(hdr + info + pal + rows)
+    assert r.status in (OK, DECODE_ERROR)  # in-contract either way
+
+
+def test_missing_quant_table_fails_in_header_time():
+    """A file whose SOF references an absent DQT must fail BEFORE the
+    entropy hot loop (O(headers), per-item budget discipline)."""
+    import time
+
+    from red_seal_ocr_spark.functions.jpeg import JpegError, decode_jpeg, encode_jpeg
+
+    img = np.zeros((512, 512, 3), np.uint8)
+    data = bytearray(encode_jpeg(img, 90))
+    # strip every DQT segment
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        if data[i] == 0xFF and i + 3 < len(data) and data[i + 1] == 0xDB:
+            ln = (data[i + 2] << 8) | data[i + 3]
+            i += 2 + ln
+            continue
+        out.append(data[i])
+        i += 1
+    t0 = time.time()
+    with pytest.raises(JpegError, match="quant"):
+        decode_jpeg(bytes(out))
+    assert time.time() - t0 < 0.05  # header-time, not after the MCU loop
