@@ -264,9 +264,10 @@ def scaling_pair(n_lo: int, n_hi: int, docs_path: str, media_path: str,
     MEDIAN across rounds as the headline, never the best.  An untimed
     primer pair runs before round 1 (the first timed run after session
     warmup was still ~1.8x slow in ~1 of 3 benches).  When ``target`` is
-    set and the median is below it, up to ``max_extra`` extra rounds run —
-    extra sampling moves the median toward the true central value, it
-    cannot cherry-pick.
+    set, ``max_extra`` extra rounds ALWAYS run — the round count is fixed
+    before measuring, so the reported median cannot be shaped by when the
+    loop chose to stop (optional stopping conditioned on clearing the
+    target would bias the headline upward).
     """
     t_lo: list[float] = []
     t_hi: list[float] = []
@@ -300,12 +301,14 @@ def scaling_pair(n_lo: int, n_hi: int, docs_path: str, media_path: str,
             effs_avg.append(round(
                 (t_lo[-1] / ((t_hi[-2] + t_hi[-1]) / 2)) / ratio, 4))
 
-        for _ in range(repeats):
+        # Fixed round count decided BEFORE measuring: when a target is
+        # set the extra rounds always run, regardless of where the median
+        # sits.  Optional stopping conditioned on the favorable outcome
+        # (the old "stop once median >= target") biases the reported
+        # median upward even though each round is individually fair.
+        extra = max_extra if target is not None else 0
+        for _ in range(repeats + extra):
             one_round()
-        extra = 0
-        while target is not None and median() < target and extra < max_extra:
-            one_round()
-            extra += 1
     finally:
         lo.close()
         hi.close()

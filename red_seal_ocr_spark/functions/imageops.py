@@ -555,7 +555,8 @@ def nl_means_denoise(img: np.ndarray, h: float = 10.0, template: int = 7,
     cost of the config-gated low-quality branch — O(search^2) passes;
     pass ``search=21`` for full-window parity.
     """
-    if img.ndim == 2:
+    was_2d = img.ndim == 2
+    if was_2d:
         img = img[:, :, None]
     f32 = img.astype(np.float32)
     hh, ww, nc = f32.shape
@@ -575,7 +576,9 @@ def nl_means_denoise(img: np.ndarray, h: float = 10.0, template: int = 7,
             wsum += w
             acc += w[..., None] * shifted[t2 : t2 + hh, t2 : t2 + ww]
     out = np.clip(np.rint(acc / wsum[..., None]), 0, 255).astype(np.uint8)
-    return out[:, :, 0] if nc == 1 and img.shape[2] == 1 else out
+    # Only squeeze when the CALLER passed 2D input: an HxWx1 3D input
+    # keeps its 3D shape (output ndim mirrors input ndim).
+    return out[:, :, 0] if was_2d else out
 
 
 def convert_scale_abs(img: np.ndarray, alpha: float, beta: float) -> np.ndarray:

@@ -530,6 +530,14 @@ def decode_jpeg(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
                         raise JpegError("invalid AC Huffman code")
                     rs = v >> 5
                     size = rs & 0x0F
+                    if size > 10:
+                        # Baseline AC magnitude categories stop at 10
+                        # (ITU-T T.81 F.1.2.2.1).  A crafted DHT can emit
+                        # larger sizes; without this check a long code +
+                        # size 11..15 can drive cnt negative and escape as
+                        # a bare ValueError('negative shift count') instead
+                        # of the module's JpegError contract.
+                        raise JpegError("bad AC magnitude category")
                     if size == 0:
                         cnt -= v & 31
                         buf &= (1 << cnt) - 1

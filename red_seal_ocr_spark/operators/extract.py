@@ -318,8 +318,16 @@ def run_extract_batched(
     manifest: dict = {}
     for b in range(n_batches):
         subset = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(n_batches)) == b)
+        # Salt each batch's run id with a fresh uuid component: a resume
+        # with a caller-pinned --run-id must never target the same
+        # data/run-<id>-bNNN directory a crashed attempt already created
+        # (the default-mode parquet write would fail).  Slice membership
+        # stays deterministic (the hash filter above); only the staging
+        # directory name is salted, and uncommitted orphan directories are
+        # invisible to readers (manifest lists files explicitly).
         manifest = run_extract(
             spark, subset, media, table_dir, cfg,
-            run_id=f"{run_id}-b{b:03d}", input_snapshot_id=input_snapshot_id,
+            run_id=f"{run_id}-b{b:03d}-{uuid.uuid4().hex[:6]}",
+            input_snapshot_id=input_snapshot_id,
         )
     return manifest

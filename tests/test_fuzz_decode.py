@@ -179,3 +179,40 @@ def test_missing_quant_table_fails_in_header_time():
     with pytest.raises(JpegError, match="quant"):
         decode_jpeg(bytes(out))
     assert time.time() - t0 < 0.05  # header-time, not after the MCU loop
+
+
+def test_crafted_ac_magnitude_category_raises_jpeg_error():
+    """ADVICE r03 (medium): a crafted DHT whose AC table emits a magnitude
+    size in 11..15 must raise JpegError, not escape as a bare
+    ValueError('negative shift count') when the bit reservoir underflows.
+    Baseline AC size categories stop at 10 (ITU-T T.81 F.1.2.2.1).
+
+    The crafted stream lands exactly on the escape: after 9 short AC
+    codes the reservoir holds 30 bits (>= 26, so no refill), then a
+    16-bit code carrying size 15 consumes 31 -> cnt = -1 -> the
+    magnitude shift blew up as a bare ValueError before the category
+    check existed."""
+    from red_seal_ocr_spark.functions.jpeg import JpegError, decode_jpeg
+
+    crafted = (
+        b"\xff\xd8"
+        # DQT: 8-bit table 0, all ones (trivial dequant)
+        + _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+        # SOF0: 8x8, 1 component, no subsampling, quant table 0
+        + _seg(0xC0, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+        # DHT DC0: one 1-bit code -> symbol 6 (category 6)
+        + _seg(0xC4, bytes([0x00, 1] + [0] * 15 + [6]))
+        # DHT AC0: one 2-bit code -> 0x01 (run 0, size 1),
+        #          one 16-bit code -> 0x0F (run 0, size 15: INVALID)
+        + _seg(0xC4, bytes([0x10, 0, 1] + [0] * 13 + [1, 0x01, 0x0F]))
+        # SOS: component 1, DC0/AC0
+        + _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        # entropy: DC "0"+6 mag bits, 9x ("00"+1 mag bit), then the
+        # 16-bit AC code 0x4000 hit with exactly 30 reservoir bits
+        + bytes.fromhex("0000000010003ffe")
+        + b"\xff\xd9"
+    )
+    with pytest.raises(JpegError):
+        decode_jpeg(crafted)
+    # and the kernel counts it, never raises
+    assert process_image(crafted).status == DECODE_ERROR

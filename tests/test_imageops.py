@@ -336,3 +336,20 @@ def test_enhance_image_uses_nl_means_by_default_box_as_option():
     box = enhance_image(img, EngineConfig(denoise_method="box"))
     assert nlm.shape == box.shape == img.shape
     assert not np.array_equal(nlm, box)  # genuinely different denoisers
+
+
+def test_nl_means_output_ndim_mirrors_input_ndim():
+    """ADVICE r03: an HxWx1 3D input must come back 3D (only genuinely
+    2D callers get a 2D result)."""
+    import numpy as np
+
+    from red_seal_ocr_spark.functions.imageops import nl_means_denoise
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    g2d = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    g3d = g2d[:, :, None]
+    out2d = nl_means_denoise(g2d)
+    out3d = nl_means_denoise(g3d)
+    assert out2d.shape == (16, 16)
+    assert out3d.shape == (16, 16, 1)
+    assert np.array_equal(out3d[:, :, 0], out2d)

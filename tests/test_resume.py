@@ -176,3 +176,25 @@ def test_curate_job_end_to_end(tmp_path):
     assert ids == [1, 4]  # 2 exact-dup dropped, 3 near-dup clustered with 1
     funnel = {r.stage: r.docs for r in read_table(spark, out, lineage=True).collect()}
     assert funnel["0_input"] == 4 and funnel["4_near_dedup"] == 2
+
+
+def test_batched_resume_with_pinned_run_id(spark, tmp_path):
+    """ADVICE r03: a caller-pinned --run-id must survive a crash-resume.
+    Pre-fix, the second batched run reused the same data/run-<id>-bNNN
+    staging directory and the default-mode parquet write failed."""
+    from red_seal_ocr_spark.operators.extract import run_extract_batched
+
+    docs = documents_df(spark, N)
+    media = media_df(spark, N)
+    table = str(tmp_path / "out")
+
+    # crashed attempt: only some slices committed (simulate by running
+    # the batched job over a subset, same pinned id)
+    run_extract_batched(spark, docs.limit(N // 2), media, table,
+                        n_batches=3, run_id="pinned")
+    # resume with the SAME pinned run id over the full input
+    run_extract_batched(spark, docs, media, table,
+                        n_batches=3, run_id="pinned")
+    t = read_table(spark, table)
+    assert t.count() == N
+    assert t.select("doc_id").distinct().count() == N
