@@ -115,6 +115,63 @@ def lsh_signature(vec_col, planes: list[list[float]], bits_per_band: int = 4):
     return F.array(*bands)
 
 
+def broadcast_hyperplanes(spark, planes: list[list[float]]):
+    """Ship the hyperplane matrix as ONE Spark broadcast, reusable across
+    every signature UDF built from it (the banding twin of
+    :func:`broadcast_centroids`)."""
+    P = np.ascontiguousarray(np.asarray(planes, dtype=np.float64))
+    return spark.sparkContext.broadcast(P)
+
+
+def lsh_signature_gemm_udf(spark, planes: list[list[float]],
+                           bits_per_band: int = 4, bc=None):
+    """Sign-bit band signature as a vectorized pandas UDF: one GEMM per
+    Arrow batch against the broadcast hyperplane matrix.
+
+    The 10^9-vector scale path for banding.  :func:`lsh_signature`'s
+    expression form ships one literal array per hyperplane and pays
+    per-element higher-order-function overhead — fine at the tested
+    32 bits x dim 64 (a few KB of plan), but at production
+    256 bits x dim 768 the plan would carry ~200k literals, the same
+    codegen explosion plan-literal IVF centroids had before
+    :func:`nearest_lists_udf`.  Here the plan carries ZERO per-plane
+    expressions: the hyperplanes ride a broadcast variable and the dot
+    products are one BLAS matmul per batch (exactly the
+    ``nearest_lists_udf`` pattern).
+
+    Output contract matches :func:`lsh_signature` exactly: array<int> of
+    band values, bit b of a band weighted ``1 << b`` in signature order,
+    sign convention ``dot >= 0``.  Sign agreement with the expression
+    form is exact except where a dot product sits within float-summation
+    error of zero (the expression form folds left in doubles, BLAS sums
+    pairwise); measure-zero for continuous embeddings, and pinned by a
+    band-for-band agreement test on the sf0.01 embeddings table.  q26/q45
+    keep the expression form because their IEEE-fold oracle mirrors pin
+    that float order bit-for-bit.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    n_bits = len(planes)
+    if n_bits % bits_per_band:
+        raise ValueError("n_bits must be divisible by bits_per_band")
+    if bc is None:
+        bc = broadcast_hyperplanes(spark, planes)
+    n_bands = n_bits // bits_per_band
+    weights = (1 << np.arange(bits_per_band, dtype=np.int64))
+
+    @pandas_udf("array<int>")
+    def sig(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        P = bc.value
+        X = np.stack(emb.to_numpy()).astype(np.float64, copy=False)  # B x d
+        bits = (X @ P.T >= 0).astype(np.int64)  # B x n_bits
+        bands = bits.reshape(len(emb), n_bands, bits_per_band) @ weights
+        return pd.Series(list(bands.astype("int32")))
+
+    return sig
+
+
 def broadcast_centroids(spark, centers: "np.ndarray"):
     """Ship the centroid matrix (plus precomputed row norms) as ONE Spark
     broadcast, reusable across every assignment UDF built from it."""
@@ -232,6 +289,17 @@ def ivf_topk(
     )
 
 
+def _signature_col(spark, emb_col, planes, bits_per_band, banding):
+    """Signature column in the chosen banding form: 'expr' (plan-literal
+    hyperplanes, IEEE-left-fold — the oracle-pinned default) or 'gemm'
+    (broadcast-matrix pandas UDF — the large-n_bits/dim scale path)."""
+    if banding == "expr":
+        return lsh_signature(emb_col, planes, bits_per_band)
+    if banding == "gemm":
+        return lsh_signature_gemm_udf(spark, planes, bits_per_band)(emb_col)
+    raise ValueError(f"banding must be 'expr' or 'gemm', got {banding!r}")
+
+
 def embedding_near_dups(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -241,6 +309,7 @@ def embedding_near_dups(
     dim: int = 64,
     seed: int = 42,
     bits_per_band: int = 4,
+    banding: str = "expr",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the 5th dedup family).
 
@@ -261,9 +330,10 @@ def embedding_near_dups(
     banded = vectors.select(F.col(id_col).alias("_id"), emb.alias("_emb")).select(
         "_id",
         "_emb",
-        F.posexplode(lsh_signature(F.col("_emb"), planes, bits_per_band)).alias(
-            "band", "bucket"
-        ),
+        F.posexplode(
+            _signature_col(vectors.sparkSession, F.col("_emb"), planes,
+                           bits_per_band, banding)
+        ).alias("band", "bucket"),
     )
     a = banded.select(
         F.col("_id").alias("a_id"), F.col("_emb").alias("a_emb"), "band", "bucket"
@@ -301,6 +371,7 @@ def lsh_topk(
     dim: int = 64,
     seed: int = 42,
     bits_per_band: int = 4,
+    banding: str = "expr",
 ) -> DataFrame:
     """LSH-bucketed approximate cosine top-k (same output shape as
     :func:`cosine_topk`; recall < 1 by design, measured in tests)."""
@@ -314,7 +385,8 @@ def lsh_topk(
             f"{prefix}_id",
             f"{prefix}_emb",
             F.posexplode(
-                lsh_signature(F.col(f"{prefix}_emb"), planes, bits_per_band)
+                _signature_col(df.sparkSession, F.col(f"{prefix}_emb"),
+                               planes, bits_per_band, banding)
             ).alias("band", "bucket"),
         )
 

@@ -374,3 +374,118 @@ def test_duplicate_clusters_string_ids(spark):
         "4296-r0": "4296-r0", "4296-r3": "4296-r0", "4296-r7": "4296-r0",
         "9-a": "9-a", "9-b": "9-a",
     }
+
+
+# ---------------------------------------------------------------------------
+# GEMM banding path (VERDICT r03 #1: the 10^9-vector scale form)
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_gemm_band_agreement_on_real_embeddings(spark):
+    """Band-for-band sign agreement between the expression form and the
+    broadcast-GEMM pandas UDF on the sf0.01 embeddings table.  Rows whose
+    dot product sits within float-summation error of zero are exempt
+    (left-fold vs BLAS pairwise order may legitimately differ there);
+    on this data no dot is anywhere near that margin."""
+    import numpy as np
+
+    from red_seal_ocr_spark.operators.similarity import (
+        _dbl,
+        _hyperplanes,
+        lsh_signature,
+        lsh_signature_gemm_udf,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .limit(500)
+        .select("vec_id", _dbl(F.col("embedding")).alias("embedding"))
+    )
+    planes = _hyperplanes(64, 32, seed=42)
+    sig_gemm = lsh_signature_gemm_udf(spark, planes, bits_per_band=4)
+    both = emb.select(
+        "vec_id",
+        "embedding",
+        lsh_signature(F.col("embedding"), planes, 4).alias("sig_expr"),
+        sig_gemm(F.col("embedding")).alias("sig_gemm"),
+    ).collect()
+    assert both
+    P = np.asarray(planes)
+    margin_rows = 0
+    for r in both:
+        dots = P @ np.asarray(r.embedding)
+        if np.min(np.abs(dots)) < 1e-9 * np.max(np.abs(dots)):
+            margin_rows += 1  # deterministically exempt near-zero dots
+            continue
+        assert list(r.sig_expr) == list(r.sig_gemm), r.vec_id
+    assert margin_rows == 0  # and on this data the exemption never fires
+
+
+def test_lsh_gemm_plan_stays_flat_at_production_dims(spark):
+    """At n_bits=256 x dim=768 the expression form would carry ~200k plan
+    literals; the GEMM plan must stay smaller than the expression plan is
+    at even the tiny tested config (32 x 64)."""
+    import numpy as np
+
+    from red_seal_ocr_spark.operators.similarity import (
+        _hyperplanes,
+        lsh_signature,
+        lsh_signature_gemm_udf,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    rows = [(i, [float(x) for x in rng.standard_normal(768)]) for i in range(4)]
+    emb768 = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    big_planes = _hyperplanes(768, 256, seed=1)
+    gemm_plan = emb768.select(
+        lsh_signature_gemm_udf(spark, big_planes, 4)(F.col("embedding"))
+    )._jdf.queryExecution().analyzed().toString()
+
+    small_planes = _hyperplanes(64, 32, seed=1)
+    rows64 = [(i, [float(x) for x in rng.standard_normal(64)]) for i in range(4)]
+    emb64 = spark.createDataFrame(rows64, "vec_id bigint, embedding array<double>")
+    expr_plan = emb64.select(
+        lsh_signature(F.col("embedding"), small_planes, 4)
+    )._jdf.queryExecution().analyzed().toString()
+
+    assert len(gemm_plan) < 20_000
+    assert len(gemm_plan) < len(expr_plan)
+
+
+def test_banding_switch_same_results_at_tested_config(spark):
+    """embedding_near_dups / lsh_topk accept banding='gemm' and agree with
+    the expression path row-for-row at the tested config (the two forms
+    compute identical band values when no dot sits on the zero margin)."""
+    from red_seal_ocr_spark.operators.similarity import embedding_near_dups, lsh_topk
+
+    base = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .filter("vec_id < 150")
+        .select("vec_id", F.transform(
+            "embedding", lambda x: x.cast("double")).alias("embedding"))
+    )
+    # the raw table has no high-cos pairs; union a small-shift copy so
+    # every original/copy pair is a true near-dup (the q45 construction)
+    shifted = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.01)).alias("embedding"),
+    )
+    emb = base.unionByName(shifted)
+
+    def canon_pairs(df):
+        return sorted((r.a_id, r.b_id, r.cos_bps) for r in df.collect())
+
+    expr = canon_pairs(embedding_near_dups(emb, min_cos_bps=9000, banding="expr"))
+    gemm = canon_pairs(embedding_near_dups(emb, min_cos_bps=9000, banding="gemm"))
+    assert expr == gemm
+    assert expr  # non-vacuous: the sf0.01 table does contain near-dups
+
+    queries = emb.filter("vec_id < 3")
+    def canon_topk(df):
+        return sorted((r.query_id, r.rank, r.neighbor_id) for r in df.collect())
+    assert canon_topk(lsh_topk(queries, emb, k=5, banding="expr")) == \
+        canon_topk(lsh_topk(queries, emb, k=5, banding="gemm"))
+
+    with pytest.raises(ValueError):
+        embedding_near_dups(emb, banding="nope").collect()
