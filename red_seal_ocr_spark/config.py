@@ -114,6 +114,18 @@ class EngineConfig:
     # here without touching the kernel chain (contract-tested). ---
     decoder: object = None
 
+    # --- image codec swap-in point (S2): callable
+    # (content: bytes, max_pixels: int) -> decoded image exposing
+    # .h .w .crop(y0,y1,x0,x1) .view() .full(), raising
+    # codecs.ImageTooLarge / codecs.ImageDecodeError on bad input;
+    # None = the built-in format-sniffing dispatch (codecs.decode_image_lazy).
+    # The production 100 TB path swaps in a native (libjpeg-turbo-class)
+    # decoder here — JPEG decode IS the hot path at that scale, and the
+    # reference's own precedent is its dual PIL/OpenCV load path
+    # (src/preprocess.py:335-361, dup src/ocr_engine.py:214-240).
+    # Contract-tested end-to-end through the Spark pipeline. ---
+    codec: object = None
+
     # --- template OCR ---
     ocr_max_hamming: int = 6  # of 35 cells; worse -> glyph dropped
 

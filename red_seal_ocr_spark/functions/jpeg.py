@@ -273,13 +273,11 @@ def _parse_segments(data: bytes):
 def jpeg_dimensions(data: bytes) -> tuple[int, int]:
     """(height, width) from the SOF header — O(headers), no entropy work."""
     for marker, s, e in _parse_segments(bytes(data)):
-        if marker in (0xC0, 0xC1):
+        if marker in (0xC0, 0xC1, 0xC2):
             if e - s < 5:
                 raise JpegError("truncated SOF")
             _, h, w = struct.unpack(">BHH", data[s : s + 5])
             return h, w
-        if marker == 0xC2:
-            raise JpegError("progressive JPEG not supported")
     raise JpegError("missing SOF")
 
 
@@ -307,6 +305,72 @@ def _entropy_spans(data: bytes, start: int):
     return [s.replace(b"\xff\x00", b"\xff") for s in spans]
 
 
+def _parse_dqt(seg: bytes, qtables: dict[int, np.ndarray]) -> None:
+    """Parse one DQT segment body into ``qtables`` (shared with the
+    progressive decoder)."""
+    p = 0
+    while p < len(seg):
+        pq, tq = seg[p] >> 4, seg[p] & 0x0F
+        p += 1
+        if pq == 0:
+            if len(seg) - p < 64:
+                raise JpegError("truncated DQT")
+            t = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(np.int64)
+            p += 64
+        elif pq == 1:
+            if len(seg) - p < 128:
+                raise JpegError("truncated DQT")
+            t = np.frombuffer(seg[p : p + 128], dtype=">u2").astype(np.int64)
+            p += 128
+        else:
+            raise JpegError("bad DQT precision")
+        if len(t) != 64:
+            raise JpegError("truncated DQT")
+        qtables[tq] = t
+
+
+def _parse_dht(seg: bytes, huff: dict[tuple[int, int], "_DecodeLUT"]) -> None:
+    """Parse one DHT segment body into ``huff`` (shared with the
+    progressive decoder)."""
+    p = 0
+    while p + 17 <= len(seg):
+        tc, th = seg[p] >> 4, seg[p] & 0x0F
+        bits = list(seg[p + 1 : p + 17])
+        nv = sum(bits)
+        vals = list(seg[p + 17 : p + 17 + nv])
+        if len(vals) != nv:
+            raise JpegError("truncated DHT")
+        huff[(tc, th)] = _lut_cached(bytes(seg[p + 1 : p + 17 + nv]), bits, vals)
+        p += 17 + nv
+
+
+def _parse_sof(seg: bytes, max_pixels: int):
+    """Parse a SOF segment body -> (h, w, comps); shared validations
+    (precision, dimensions, pixel budget, component count, sampling)."""
+    if len(seg) < 6:
+        raise JpegError("truncated SOF")
+    prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+    if prec != 8:
+        raise JpegError(f"unsupported sample precision {prec}")
+    if h <= 0 or w <= 0:
+        raise JpegError("bad dimensions")
+    if h * w > max_pixels:
+        # budget enforced BEFORE any entropy work (png.py analog)
+        raise JpegTooLarge(f"{w}x{h} exceeds pixel budget {max_pixels}")
+    if nc not in (1, 3):
+        raise JpegError(f"unsupported component count {nc}")
+    if len(seg) < 6 + 3 * nc:
+        raise JpegError("truncated SOF component list")
+    comps = []
+    for i in range(nc):
+        cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
+        hf, vf = hv >> 4, hv & 0x0F
+        if not (1 <= hf <= 2 and 1 <= vf <= 2):
+            raise JpegError(f"unsupported sampling {hf}x{vf}")
+        comps.append((cid, hf, vf, tq))
+    return h, w, comps
+
+
 def decode_jpeg(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
     """Decode baseline JPEG bytes to an HxWx3 uint8 RGB array.
 
@@ -323,64 +387,17 @@ def decode_jpeg(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
     for marker, s, e in _parse_segments(data):
         seg = data[s:e]
         if marker == 0xDB:  # DQT
-            p = 0
-            while p < len(seg):
-                pq, tq = seg[p] >> 4, seg[p] & 0x0F
-                p += 1
-                if pq == 0:
-                    if len(seg) - p < 64:
-                        raise JpegError("truncated DQT")
-                    t = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(np.int64)
-                    p += 64
-                elif pq == 1:
-                    if len(seg) - p < 128:
-                        raise JpegError("truncated DQT")
-                    t = np.frombuffer(seg[p : p + 128], dtype=">u2").astype(np.int64)
-                    p += 128
-                else:
-                    raise JpegError("bad DQT precision")
-                if len(t) != 64:
-                    raise JpegError("truncated DQT")
-                qtables[tq] = t
+            _parse_dqt(seg, qtables)
         elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline & extended sequential
-            if len(seg) < 6:
-                raise JpegError("truncated SOF")
-            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
-            if prec != 8:
-                raise JpegError(f"unsupported sample precision {prec}")
-            if h <= 0 or w <= 0:
-                raise JpegError("bad dimensions")
-            if h * w > max_pixels:
-                # budget enforced BEFORE any entropy work (png.py analog)
-                raise JpegTooLarge(f"{w}x{h} exceeds pixel budget {max_pixels}")
-            if nc not in (1, 3):
-                raise JpegError(f"unsupported component count {nc}")
-            if len(seg) < 6 + 3 * nc:
-                raise JpegError("truncated SOF component list")
-            comps = []
-            for i in range(nc):
-                cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
-                hf, vf = hv >> 4, hv & 0x0F
-                if not (1 <= hf <= 2 and 1 <= vf <= 2):
-                    raise JpegError(f"unsupported sampling {hf}x{vf}")
-                comps.append((cid, hf, vf, tq))
-            frame = (h, w, comps)
-        elif marker == 0xC2:
-            raise JpegError("progressive JPEG not supported")
+            frame = _parse_sof(seg, max_pixels)
+        elif marker == 0xC2:  # SOF2: delegate to the progressive decoder
+            from .jpeg_progressive import decode_jpeg_progressive
+
+            return decode_jpeg_progressive(data, max_pixels)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegError(f"unsupported SOF marker {marker:#x}")
         elif marker == 0xC4:  # DHT
-            p = 0
-            while p + 17 <= len(seg):
-                tc, th = seg[p] >> 4, seg[p] & 0x0F
-                bits = list(seg[p + 1 : p + 17])
-                nv = sum(bits)
-                vals = list(seg[p + 17 : p + 17 + nv])
-                if len(vals) != nv:
-                    raise JpegError("truncated DHT")
-                huff[(tc, th)] = _lut_cached(bytes(seg[p + 1 : p + 17 + nv]),
-                                             bits, vals)
-                p += 17 + nv
+            _parse_dht(seg, huff)
         elif marker == 0xDD:  # DRI
             if len(seg) < 2:
                 raise JpegError("truncated DRI")
@@ -563,14 +580,22 @@ def decode_jpeg(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
                 coefs[comp_idx][row * blocks_wide[comp_idx] + col] = tmp
             mcu += 1
 
-    # vectorized: dequant -> un-zigzag -> batched IDCT -> assemble planes.
-    # Memory discipline (the pixel budget is calibrated on the PNG path's
-    # ~3 bytes/px): IDCT math stays float64 for exactness, but assembled
-    # planes are stored float32, the color convert runs one CHANNEL at a
-    # time into a preallocated uint8 cube, and each component's
-    # coefficient store is freed as soon as its plane exists — peak
-    # allocation drops from ~5 GB to ~1.2 GB for a budget-sized (64 Mpx)
-    # frame.
+    return _assemble_image(coefs, comps, qtables, blocks_wide, blocks_high,
+                           h, w, hmax, vmax)
+
+
+def _assemble_image(coefs, comps, qtables, blocks_wide, blocks_high,
+                    h, w, hmax, vmax) -> np.ndarray:
+    """Shared back half of a JPEG decode (baseline AND progressive):
+    vectorized dequant -> un-zigzag -> batched IDCT -> assemble planes.
+
+    Memory discipline (the pixel budget is calibrated on the PNG path's
+    ~3 bytes/px): IDCT math stays float64 for exactness, but assembled
+    planes are stored float32, the color convert runs one CHANNEL at a
+    time into a preallocated uint8 cube, and each component's
+    coefficient store is freed as soon as its plane exists — peak
+    allocation drops from ~5 GB to ~1.2 GB for a budget-sized (64 Mpx)
+    frame."""
     planes = []
     for ci, (cid, hf, vf, tq) in enumerate(comps):
         deq = (coefs[ci] * qtables[tq][None, :]).astype(np.float64)

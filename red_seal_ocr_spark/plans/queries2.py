@@ -792,8 +792,9 @@ SPARK_QUERIES_2["q45_embedding_near_dups"] = q45_embedding_near_dups
 
 def q50_mixed_format_extract(spark, sf):
     """S2 format parity (reference main.py:218-226 accepts jpg/jpeg/png/
-    bmp): the extraction pipeline over a media table whose container
-    format varies per ref (deterministic ~60/25/15 png/jpeg/bmp mix via
+    bmp; PIL decodes baseline AND progressive JPEG alike): the extraction
+    pipeline over a media table whose container format varies per ref
+    (deterministic ~50/20/15/15 png/jpeg/progressive-jpeg/bmp mix via
     datagen.media_format), including in-format corrupt/truncated bytes.
     Same output shape as q20; oracled by reference_extract over the same
     mixed bytes (tools/gen_oracles.py).  Kept to 12 docs: the pure-python

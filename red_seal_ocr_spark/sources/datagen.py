@@ -166,13 +166,16 @@ def render_text_block(text: str, scale: int, rgb: tuple) -> np.ndarray:
 
 def media_format(media_ref: str, seed: int = 42) -> str:
     """Deterministic container format for one media ref under fmt='auto':
-    ~60%% png / ~25%% jpeg / ~15%% bmp (the reference's accepted upload
-    set, main.py:218-226)."""
+    ~50%% png / ~20%% baseline jpeg / ~15%% progressive jpeg / ~15%% bmp
+    (the reference's accepted upload set, main.py:218-226 — PIL decodes
+    baseline and progressive JPEG alike, src/preprocess.py:335-361)."""
     r = _rng(seed, f"fmt:{media_ref}").random()
-    if r < 0.60:
+    if r < 0.50:
         return "png"
-    if r < 0.85:
+    if r < 0.70:
         return "jpeg"
+    if r < 0.85:
+        return "jpeg_progressive"
     return "bmp"
 
 
@@ -223,6 +226,11 @@ def render_media(media_ref: str, seed: int = 42,
         from ..functions.jpeg import encode_jpeg
 
         return encode_jpeg(canvas, quality=100, subsampling="444")
+    if fmt == "jpeg_progressive":
+        from ..functions.jpeg_progressive import encode_jpeg_progressive
+
+        # same q100/444 coefficients as baseline jpeg, progressive scans
+        return encode_jpeg_progressive(canvas, quality=100, subsampling="444")
     if fmt == "bmp":
         from ..functions.bmp import encode_bmp
 

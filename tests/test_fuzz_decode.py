@@ -18,6 +18,7 @@ from hypothesis import strategies as st
 from red_seal_ocr_spark.functions.bmp import encode_bmp
 from red_seal_ocr_spark.functions.codecs import ImageDecodeError, decode_image_lazy
 from red_seal_ocr_spark.functions.jpeg import encode_jpeg
+from red_seal_ocr_spark.functions.jpeg_progressive import encode_jpeg_progressive
 from red_seal_ocr_spark.functions.kernel import (
     DECODE_ERROR,
     OK,
@@ -40,13 +41,15 @@ def _encoded(seed: int, fmt: int) -> bytes:
     if fmt == 1:
         return encode_jpeg(img, 90, ["444", "420"][seed % 2],
                            restart_interval=seed % 3)
+    if fmt == 3:
+        return encode_jpeg_progressive(img, 90, ["444", "420"][seed % 2])
     return encode_bmp(img)
 
 
 @settings(max_examples=120, deadline=None)
 @given(
     seed=st.integers(0, 2**16),
-    fmt=st.integers(0, 2),
+    fmt=st.integers(0, 3),
     cut=st.floats(0.01, 0.999),
 )
 def test_truncation_never_escapes_the_error_contract(seed, fmt, cut):
@@ -63,7 +66,7 @@ def test_truncation_never_escapes_the_error_contract(seed, fmt, cut):
 @settings(max_examples=120, deadline=None)
 @given(
     seed=st.integers(0, 2**16),
-    fmt=st.integers(0, 2),
+    fmt=st.integers(0, 3),
     flips=st.lists(st.tuples(st.floats(0, 0.999), st.integers(0, 255)),
                    min_size=1, max_size=8),
 )
@@ -87,7 +90,7 @@ def test_pure_noise_is_a_counted_decode_failure(junk):
 
 
 @settings(max_examples=60, deadline=None)
-@given(seed=st.integers(0, 2**16), fmt=st.integers(0, 2),
+@given(seed=st.integers(0, 2**16), fmt=st.integers(0, 3),
        cut=st.floats(0.05, 0.95))
 def test_kernel_never_raises_on_corrupt_media(seed, fmt, cut):
     """The full kernel path: corrupt bytes -> ImageResult with a failure

@@ -147,11 +147,15 @@ def test_garbage_raises():
         decode_jpeg(b"\x89PNG\r\n\x1a\n")
 
 
-def test_progressive_rejected_with_clear_error():
+def test_sof2_marker_on_baseline_stream_fails_loudly():
+    """A baseline stream mislabeled SOF2 routes to the progressive decoder
+    and must fail as JpegError (its SOS carries baseline Ss/Se that decode
+    garbage or desync — never escape the error contract), since r04 SOF2
+    is a supported format, not an upfront rejection."""
     data = bytearray(encode_jpeg(_gradient(), 90))
     idx = bytes(data).find(b"\xff\xc0")
     data[idx + 1] = 0xC2  # SOF0 -> SOF2
-    with pytest.raises(JpegError, match="progressive"):
+    with pytest.raises(JpegError):
         decode_jpeg(bytes(data))
 
 
