@@ -65,6 +65,77 @@ def encode_png(img: np.ndarray) -> bytes:
     return _SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
+# Adam7 pass geometry: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _adam7_passes(h: int, w: int):
+    """Per-pass (x0, y0, dx, dy, pass_w, pass_h); empty passes have 0."""
+    out = []
+    for x0, y0, dx, dy in _ADAM7:
+        pw = max(0, (w - x0 + dx - 1) // dx)
+        ph = max(0, (h - y0 + dy - 1) // dy)
+        out.append((x0, y0, dx, dy, pw, ph))
+    return out
+
+
+def encode_png_interlaced(img: np.ndarray) -> bytes:
+    """Encode HxW (gray) or HxWx3 (RGB) uint8 as Adam7-interlaced PNG
+    (fixture synthesis — real crawls contain interlaced files; PIL in the
+    reference handles them transparently)."""
+    if img.dtype != np.uint8:
+        raise PngError(f"expected uint8, got {img.dtype}")
+    if img.ndim == 2:
+        color_type, channels = 0, 1
+        img3 = img[:, :, None]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        color_type, channels = 2, 3
+        img3 = img
+    else:
+        raise PngError(f"unsupported shape {img.shape}")
+    h, w = img.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1)
+    parts = []
+    for x0, y0, dx, dy, pw, ph in _adam7_passes(h, w):
+        if pw == 0 or ph == 0:
+            continue
+        sub = img3[y0::dy, x0::dx]
+        raw = np.zeros((ph, 1 + pw * channels), dtype=np.uint8)
+        raw[:, 1:] = sub.reshape(ph, pw * channels)
+        parts.append(raw.tobytes())
+    idat = zlib.compress(b"".join(parts), level=1)
+    return _SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def _deinterlace(decompressed: bytes, h: int, w: int, channels: int) -> np.ndarray:
+    """Adam7 reassembly: unfilter each pass's own scanlines (filters are
+    per-pass — the previous scanline is the previous scanline of the SAME
+    pass), then scatter pass pixels to their final grid positions.
+    Returns the full h x (1 + w*channels) scanline buffer (filter column
+    zeroed) the lazy PngImage expects."""
+    raw_full = np.zeros((h, 1 + w * channels), dtype=np.uint8)
+    off = 0
+    buf = memoryview(decompressed)
+    for x0, y0, dx, dy, pw, ph in _adam7_passes(h, w):
+        if pw == 0 or ph == 0:
+            continue
+        n = ph * (1 + pw * channels)
+        sub = np.frombuffer(buf[off : off + n], dtype=np.uint8).reshape(
+            ph, 1 + pw * channels)
+        off += n
+        if np.all(sub[:, 0] == 0):
+            px = sub[:, 1:]
+        else:
+            px = _unfilter(sub, ph, pw, channels)
+        px = px.reshape(ph, pw, channels)
+        rows = y0 + np.arange(ph) * dy
+        cols = 1 + (x0 + np.arange(pw) * dx) * channels
+        for ch in range(channels):
+            raw_full[np.ix_(rows, cols + ch)] = px[:, :, ch]
+    return raw_full
+
+
 def _unfilter(raw: np.ndarray, h: int, w: int, channels: int) -> np.ndarray:
     """Undo per-scanline PNG filters. raw is h x (1 + w*channels)."""
     stride = w * channels
@@ -187,7 +258,7 @@ def decode_png_lazy(data: bytes, max_pixels: int = 64_000_000) -> PngImage:
     if ihdr is None:
         raise PngError("missing IHDR")
     w, h, depth, color_type, comp, filt, interlace = ihdr
-    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+    if depth != 8 or comp != 0 or filt != 0 or interlace not in (0, 1):
         raise PngError("unsupported IHDR")
     if color_type == 2:
         channels = 3
@@ -203,7 +274,13 @@ def decode_png_lazy(data: bytes, max_pixels: int = 64_000_000) -> PngImage:
         # rejected in O(header) time, so one bad item can never stall a
         # task (reference reinit-on-hang analog, src/ocr_pool.py:56-98).
         raise PngTooLarge(f"{w}x{h} exceeds pixel budget {max_pixels}")
-    expected = h * (1 + w * channels)
+    if interlace:
+        # Adam7: the stream is 7 sub-images, each with its own scanlines
+        expected = sum(ph * (1 + pw * channels)
+                       for _, _, _, _, pw, ph in _adam7_passes(h, w)
+                       if pw and ph)
+    else:
+        expected = h * (1 + w * channels)
     try:
         # bounded inflate: never materialize more than expected+1 bytes no
         # matter what the stream claims (zlib-bomb guard)
@@ -213,6 +290,9 @@ def decode_png_lazy(data: bytes, max_pixels: int = 64_000_000) -> PngImage:
         raise PngError(f"zlib: {exc}") from exc
     if len(decompressed) != expected:
         raise PngError("bad data length")
+    if interlace:
+        return PngImage(_deinterlace(decompressed, h, w, channels),
+                        h, w, channels)
     raw = np.frombuffer(decompressed, dtype=np.uint8).reshape(h, 1 + w * channels)
     if not np.all(raw[:, 0] == 0):
         unfiltered = _unfilter(raw, h, w, channels)

@@ -166,12 +166,15 @@ def render_text_block(text: str, scale: int, rgb: tuple) -> np.ndarray:
 
 def media_format(media_ref: str, seed: int = 42) -> str:
     """Deterministic container format for one media ref under fmt='auto':
-    ~50%% png / ~20%% baseline jpeg / ~15%% progressive jpeg / ~15%% bmp
-    (the reference's accepted upload set, main.py:218-226 — PIL decodes
-    baseline and progressive JPEG alike, src/preprocess.py:335-361)."""
+    ~40%% png / ~10%% Adam7-interlaced png / ~20%% baseline jpeg /
+    ~15%% progressive jpeg / ~15%% bmp (the reference's accepted upload
+    set, main.py:218-226 — PIL decodes interlaced PNG and progressive
+    JPEG alike, src/preprocess.py:335-361)."""
     r = _rng(seed, f"fmt:{media_ref}").random()
-    if r < 0.50:
+    if r < 0.40:
         return "png"
+    if r < 0.50:
+        return "png_interlaced"
     if r < 0.70:
         return "jpeg"
     if r < 0.85:
@@ -222,6 +225,10 @@ def render_media(media_ref: str, seed: int = 42,
         canvas[y, x] = np.array(SEAL_REDS[0], dtype=np.uint8)
     if fmt in (None, "png"):
         return encode_png(canvas)
+    if fmt == "png_interlaced":
+        from ..functions.png import encode_png_interlaced
+
+        return encode_png_interlaced(canvas)
     if fmt == "jpeg":
         from ..functions.jpeg import encode_jpeg
 

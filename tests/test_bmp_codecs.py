@@ -151,7 +151,7 @@ def test_render_media_mixed_formats():
     from red_seal_ocr_spark.sources.datagen import media_format, render_media
 
     fmts = {media_format(f"m-{i:08d}-00") for i in range(40)}
-    assert fmts == {"png", "jpeg", "jpeg_progressive", "bmp"}
+    assert fmts == {"png", "png_interlaced", "jpeg", "jpeg_progressive", "bmp"}
     # determinism across calls
     a = render_media("m-00000002-00", fmt="auto")
     b = render_media("m-00000002-00", fmt="auto")

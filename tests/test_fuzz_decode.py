@@ -25,7 +25,7 @@ from red_seal_ocr_spark.functions.kernel import (
     TOO_LARGE,
     process_image,
 )
-from red_seal_ocr_spark.functions.png import encode_png
+from red_seal_ocr_spark.functions.png import encode_png, encode_png_interlaced
 
 
 def _base_image(seed: int) -> np.ndarray:
@@ -43,13 +43,15 @@ def _encoded(seed: int, fmt: int) -> bytes:
                            restart_interval=seed % 3)
     if fmt == 3:
         return encode_jpeg_progressive(img, 90, ["444", "420"][seed % 2])
+    if fmt == 4:
+        return encode_png_interlaced(img)
     return encode_bmp(img)
 
 
 @settings(max_examples=120, deadline=None)
 @given(
     seed=st.integers(0, 2**16),
-    fmt=st.integers(0, 3),
+    fmt=st.integers(0, 4),
     cut=st.floats(0.01, 0.999),
 )
 def test_truncation_never_escapes_the_error_contract(seed, fmt, cut):
@@ -66,7 +68,7 @@ def test_truncation_never_escapes_the_error_contract(seed, fmt, cut):
 @settings(max_examples=120, deadline=None)
 @given(
     seed=st.integers(0, 2**16),
-    fmt=st.integers(0, 3),
+    fmt=st.integers(0, 4),
     flips=st.lists(st.tuples(st.floats(0, 0.999), st.integers(0, 255)),
                    min_size=1, max_size=8),
 )
@@ -90,7 +92,7 @@ def test_pure_noise_is_a_counted_decode_failure(junk):
 
 
 @settings(max_examples=60, deadline=None)
-@given(seed=st.integers(0, 2**16), fmt=st.integers(0, 3),
+@given(seed=st.integers(0, 2**16), fmt=st.integers(0, 4),
        cut=st.floats(0.05, 0.95))
 def test_kernel_never_raises_on_corrupt_media(seed, fmt, cut):
     """The full kernel path: corrupt bytes -> ImageResult with a failure

@@ -98,3 +98,85 @@ def test_filters_decode():
         + chunk(b"IEND", b"")
     )
     assert (decode_png(data) == img).all()
+
+
+# ---------------------------------------------------------------------------
+# Adam7 interlace (VERDICT r03 #4)
+# ---------------------------------------------------------------------------
+
+
+def test_interlaced_decodes_equal_to_plain_twin():
+    import numpy as np
+
+    from red_seal_ocr_spark.functions.png import (
+        decode_png,
+        encode_png,
+        encode_png_interlaced,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(21))
+    for shape in [(16, 16, 3), (17, 9, 3), (1, 1, 3), (2, 3, 3), (7, 7, 3),
+                  (9, 10, 3), (33, 31, 3), (100, 1, 3), (1, 100, 3),
+                  (5, 5), (13, 21)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(img)),
+                              decode_png(encode_png_interlaced(img))), shape
+
+
+def test_interlaced_lazy_crop_and_view():
+    import numpy as np
+
+    from red_seal_ocr_spark.functions.png import decode_png_lazy, encode_png_interlaced
+
+    rng = np.random.Generator(np.random.PCG64(22))
+    img = rng.integers(0, 256, (40, 60, 3), dtype=np.uint8)
+    li = decode_png_lazy(encode_png_interlaced(img))
+    assert np.array_equal(li.crop(5, 20, 10, 30), img[5:20, 10:30])
+    assert np.array_equal(np.asarray(li.view()), img)
+
+
+def test_interlaced_per_pass_scanline_filters():
+    """Filters are per-pass (the 'previous scanline' is the previous line
+    of the SAME pass): re-filter each pass with Sub (1) and Up (2) by
+    hand and the decoder must undo them against pass-local neighbors."""
+    import zlib as _zlib
+
+    import numpy as np
+
+    from red_seal_ocr_spark.functions.png import (
+        _adam7_passes,
+        decode_png,
+        encode_png_interlaced,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(23))
+    img = rng.integers(0, 256, (19, 14, 3), dtype=np.uint8)
+    data = bytearray(encode_png_interlaced(img))
+    # rebuild the IDAT with filtered pass scanlines
+    parts = []
+    for pi, (x0, y0, dx, dy, pw, ph) in enumerate(_adam7_passes(19, 14)):
+        if pw == 0 or ph == 0:
+            continue
+        sub = img[y0::dy, x0::dx].reshape(ph, pw * 3).astype(np.int32)
+        ftype = 1 if pi % 2 == 0 else 2
+        raw = np.zeros((ph, 1 + pw * 3), dtype=np.uint8)
+        raw[:, 0] = ftype
+        for y in range(ph):
+            if ftype == 1:  # Sub: delta vs pixel to the left (bpp=3)
+                line = sub[y].copy()
+                line[3:] -= sub[y][:-3]
+                raw[y, 1:] = (line & 0xFF).astype(np.uint8)
+            else:  # Up: delta vs previous scanline OF THIS PASS
+                prev = sub[y - 1] if y > 0 else np.zeros(pw * 3, np.int32)
+                raw[y, 1:] = ((sub[y] - prev) & 0xFF).astype(np.uint8)
+        parts.append(raw.tobytes())
+    new_idat = _zlib.compress(b"".join(parts), 1)
+    # splice: keep IHDR, replace IDAT payload
+    import struct as _struct
+
+    sig_ihdr = bytes(data[:8 + 8 + 13 + 4])
+    chunk = (_struct.pack(">I", len(new_idat)) + b"IDAT" + new_idat
+             + _struct.pack(">I", _zlib.crc32(b"IDAT" + new_idat) & 0xFFFFFFFF))
+    iend = _struct.pack(">I", 0) + b"IEND" + _struct.pack(
+        ">I", _zlib.crc32(b"IEND") & 0xFFFFFFFF)
+    assert np.array_equal(decode_png(sig_ihdr + chunk + iend), img)

@@ -593,8 +593,9 @@ def main() -> int:
 
     mix = [media_format(r) for r in media12]
     print(f"q50: {len(rows)} documents, media mix: "
-          f"png={mix.count('png')} jpeg={mix.count('jpeg')} "
-          f"prog={mix.count('jpeg_progressive')} bmp={mix.count('bmp')}")
+          f"png={mix.count('png')} interlaced={mix.count('png_interlaced')} "
+          f"jpeg={mix.count('jpeg')} prog={mix.count('jpeg_progressive')} "
+          f"bmp={mix.count('bmp')}")
 
     # ---- emit ---------------------------------------------------------------
     out_path = REPO / "red_seal_ocr_spark" / "plans" / "generated_oracles.py"
