@@ -5,14 +5,17 @@ operator is a ``mapInPandas`` stage with an explicit output schema so the
 Spark-side plumbing (Arrow batch shape, schema, partitioning) is real and
 tested even where the heavy decoder is not available in this container:
 
-- images: decoded for real by the engine's own PNG codec (header parse,
-  pixel stats, thumbnail resize via INTER_AREA).
-- audio/video: the decode step is gated behind an import-try of the real
-  libraries (soundfile / av); absent those, a clearly-marked
-  deterministic fake parses our fixture header format instead, and
-  :data:`HAVE_AUDIO_LIBS` / :data:`HAVE_VIDEO_LIBS` record which path is
-  live.  Swap-in point: the ``_decode_audio`` / ``_decode_video``
-  functions.
+- images: decoded for real by the engine's own PNG/JPEG/BMP codecs
+  (header parse, pixel stats, thumbnail resize via INTER_AREA).
+- audio: RIFF/WAVE PCM decoded for real in-sandbox by a pure
+  struct/numpy parser (:func:`_decode_wav` — int 8/16/24/32, float
+  32/64, multi-channel downmix); other containers go to soundfile when
+  importable; the deterministic FAKA fake remains as the last-resort
+  fixture path.
+- video: gated behind an import-try of av; absent that, a
+  clearly-marked deterministic fake parses our fixture header format,
+  and :data:`HAVE_VIDEO_LIBS` records which path is live.  Swap-in
+  point: the ``_decode_audio`` / ``_decode_video`` functions.
 
 Fixture formats (deterministic fakes):
 - audio: b"FAKA" + uint32 sample_rate + uint32 n_samples + int16 samples
@@ -125,11 +128,115 @@ def image_thumbnails(media: DataFrame, max_side: int = 64) -> DataFrame:
     return media.mapInPandas(run, schema=THUMBNAIL_SCHEMA)
 
 
-def _decode_audio(content: bytes):
-    """Audio decode: real library if present, else the deterministic fake.
+def _decode_wav(content: bytes):
+    """Real in-sandbox audio decode: RIFF/WAVE PCM parse, pure
+    struct/numpy (VERDICT r03 #5 — WAV/PCM is parseable with stdlib, so
+    the audio ops are real in-sandbox the way images already are).
 
-    Real-path contract: return (sample_rate:int, samples:float ndarray).
+    Supports PCM int 8/16/24/32-bit and IEEE float 32/64-bit, mono or
+    multi-channel (downmixed by mean), WAVE_FORMAT_EXTENSIBLE unwrapping,
+    and word-aligned chunk walking (skips LIST/INFO etc.).  Returns
+    (sample_rate:int, samples: float64 ndarray in [-1, 1]).
     """
+    import numpy as np
+
+    b = bytes(content)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (sz,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        body = b[pos + 8 : pos + 8 + sz]
+        if len(body) < sz:
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            if sz < 16:
+                raise ValueError("short fmt chunk")
+            audio_fmt, n_ch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if audio_fmt == 0xFFFE and sz >= 26:  # WAVE_FORMAT_EXTENSIBLE
+                (audio_fmt,) = struct.unpack("<H", body[24:26])
+            fmt = (audio_fmt, n_ch, rate, bits)
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, n_ch, rate, bits = fmt
+    if n_ch < 1 or rate < 1:
+        raise ValueError("bad WAV fmt fields")
+    if audio_fmt == 1:  # integer PCM
+        if bits == 8:
+            samples = (np.frombuffer(data, np.uint8).astype(np.float64) - 128.0) / 128.0
+        elif bits == 16:
+            samples = np.frombuffer(
+                data[: len(data) // 2 * 2], "<i2").astype(np.float64) / 32768.0
+        elif bits == 24:
+            a = np.frombuffer(data[: len(data) // 3 * 3], np.uint8).reshape(-1, 3)
+            v = (a[:, 0].astype(np.int64) | (a[:, 1].astype(np.int64) << 8)
+                 | (a[:, 2].astype(np.int64) << 16))
+            v = np.where(v & 0x800000, v - (1 << 24), v)
+            samples = v.astype(np.float64) / float(1 << 23)
+        elif bits == 32:
+            samples = np.frombuffer(
+                data[: len(data) // 4 * 4], "<i4").astype(np.float64) / float(1 << 31)
+        else:
+            raise ValueError(f"unsupported PCM bit depth {bits}")
+    elif audio_fmt == 3 and bits in (32, 64):  # IEEE float
+        dt = "<f4" if bits == 32 else "<f8"
+        width = bits // 8
+        samples = np.frombuffer(
+            data[: len(data) // width * width], dt).astype(np.float64)
+    else:
+        raise ValueError(f"unsupported WAV audio format {audio_fmt}")
+    frames = len(samples) // n_ch
+    if n_ch > 1:
+        samples = samples[: frames * n_ch].reshape(-1, n_ch).mean(axis=1)
+    return int(rate), samples
+
+
+def encode_wav(samples, rate: int = 16000, bits: int = 16,
+               n_channels: int = 1) -> bytes:
+    """Serialize float samples in [-1, 1] as a PCM RIFF/WAVE blob
+    (fixture synthesis for the real decode path).  2-D ``(frames, ch)``
+    input interleaves; 1-D mono input with ``n_channels>1`` duplicates."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.float64)
+    if s.ndim == 1 and n_channels > 1:
+        s = np.repeat(s[:, None], n_channels, axis=1)
+    if s.ndim == 2:
+        n_channels = s.shape[1]
+        s = s.reshape(-1)
+    if bits == 16:
+        raw = np.clip(np.rint(s * 32767.0), -32768, 32767).astype("<i2").tobytes()
+    elif bits == 8:
+        raw = np.clip(np.rint(s * 127.0) + 128, 0, 255).astype(np.uint8).tobytes()
+    elif bits == 32:
+        raw = np.clip(np.rint(s * 2147483647.0), -(1 << 31),
+                      (1 << 31) - 1).astype("<i4").tobytes()
+    else:
+        raise ValueError(f"unsupported fixture bit depth {bits}")
+    block_align = n_channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, n_channels, rate,
+                      rate * block_align, block_align, bits)
+    chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(raw)) + raw
+              + (b"\x00" if len(raw) & 1 else b""))
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _decode_audio(content: bytes):
+    """Audio decode: RIFF/WAVE PCM is parsed for real in-sandbox
+    (:func:`_decode_wav`); other containers go to soundfile when
+    importable; the deterministic FAKA fake remains as the last-resort
+    fixture path.
+
+    Contract: return (sample_rate:int, samples:float ndarray).
+    """
+    b = bytes(content)
+    if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return _decode_wav(b)
     if HAVE_AUDIO_LIBS:
         # real path (contract-tested via an injected fake module; the
         # container lacks soundfile, a deployment with it gets this branch)

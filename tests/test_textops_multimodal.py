@@ -237,3 +237,96 @@ def test_pdf_flag_flips_to_real_parser(monkeypatch):
     monkeypatch.setattr(mm, "HAVE_PDF_LIBS", False)
     pages = list(mm._iter_pdf_pages(mm.make_fake_pdf("m-3", n_pages=2)))
     assert len(pages) == 2 and pages[0].startswith("page 0 of m-3")
+
+
+# ---------------------------------------------------------------------------
+# real WAV/PCM decode (VERDICT r03 #5: stdlib-parsed, no optional libs)
+# ---------------------------------------------------------------------------
+
+
+def test_wav_roundtrip_bit_depths_and_channels():
+    import numpy as np
+
+    from red_seal_ocr_spark.operators.multimodal import _decode_wav, encode_wav
+
+    t = np.arange(1600) / 16000.0
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t)
+    for bits, tol in [(16, 1e-4), (8, 1e-2), (32, 1e-8)]:
+        rate, out = _decode_wav(encode_wav(sig, 16000, bits=bits))
+        assert rate == 16000
+        assert len(out) == 1600
+        assert np.max(np.abs(out - sig)) < tol, bits
+    # stereo interleave downmixes by mean
+    stereo = np.stack([sig, -sig], axis=1)
+    rate, out = _decode_wav(encode_wav(stereo, 8000))
+    assert rate == 8000 and len(out) == 1600
+    assert np.max(np.abs(out)) < 1e-4  # L+R cancel
+
+
+def test_wav_24bit_and_float_formats():
+    import struct as _struct
+
+    import numpy as np
+
+    from red_seal_ocr_spark.operators.multimodal import _decode_wav
+
+    vals = np.array([0.0, 0.25, -0.25, 0.999, -0.999])
+
+    def wav(fmt_code, bits, raw):
+        fmt = _struct.pack("<HHIIHH", fmt_code, 1, 8000, 8000 * bits // 8,
+                           bits // 8, bits)
+        body = (b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+                + b"data" + _struct.pack("<I", len(raw)) + raw)
+        return b"RIFF" + _struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    # 24-bit PCM little-endian
+    ints = np.rint(vals * (1 << 23)).astype(np.int64)
+    raw24 = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in ints)
+    rate, out = _decode_wav(wav(1, 24, raw24))
+    assert rate == 8000 and np.max(np.abs(out - vals)) < 1e-6
+    # IEEE float32 / float64
+    rate, out = _decode_wav(wav(3, 32, vals.astype("<f4").tobytes()))
+    assert np.max(np.abs(out - vals)) < 1e-6
+    rate, out = _decode_wav(wav(3, 64, vals.astype("<f8").tobytes()))
+    assert np.array_equal(out, vals)
+
+
+def test_wav_error_contract():
+    import pytest as _pytest
+
+    from red_seal_ocr_spark.operators.multimodal import _decode_wav, encode_wav
+
+    good = encode_wav([0.1, 0.2, -0.1], 8000)
+    with _pytest.raises(ValueError):
+        _decode_wav(b"RIFFxxxxNOPE")
+    with _pytest.raises(ValueError):
+        _decode_wav(good[:20])  # truncated chunk
+    with _pytest.raises(ValueError):
+        _decode_wav(b"not audio at all")
+
+
+def test_audio_metadata_on_real_wav_through_spark(spark):
+    """q27-style metadata computed from real PCM bytes in-sandbox: the
+    audio tier no longer needs the FAKA fake or soundfile."""
+    import numpy as np
+
+    from red_seal_ocr_spark.operators.multimodal import audio_metadata, encode_wav
+
+    t = np.arange(8000) / 8000.0
+    rows = [
+        ("sine", encode_wav(0.5 * np.sin(2 * np.pi * 220 * t), 8000)),
+        ("silence", encode_wav(np.zeros(4000), 16000)),
+        ("stereo", encode_wav(np.stack([0.25 * np.ones(800),
+                                        0.75 * np.ones(800)], axis=1), 8000)),
+        ("bad", b"RIFF\x00\x00\x00\x00WAVEgarbage"),
+    ]
+    df = spark.createDataFrame(rows, "media_ref string, content binary")
+    out = {r.media_ref: r for r in audio_metadata(df).collect()}
+    assert out["sine"].ok and out["sine"].sample_rate == 8000
+    assert out["sine"].duration_ms == 1000
+    assert abs(out["sine"].rms - 0.5 / 2 ** 0.5) < 1e-3  # sine RMS = A/sqrt(2)
+    assert out["silence"].ok and out["silence"].duration_ms == 250
+    assert out["silence"].rms == 0.0
+    assert out["stereo"].ok and out["stereo"].n_samples == 800  # downmixed
+    assert abs(out["stereo"].rms - 0.5) < 1e-3  # mean(0.25, 0.75)
+    assert out["bad"].ok is False
