@@ -126,6 +126,13 @@ class EngineConfig:
     # Contract-tested end-to-end through the Spark pipeline. ---
     codec: object = None
 
+    # --- optional seal-bbox metric column (F12 completion: the reference
+    # reports per-item bboxes, src/ocr_engine.py:705-724).  When set,
+    # extract_documents adds a `seal_bboxes` map column (offset ->
+    # array of [y0, x0, y1, x1] per kept component) gated OFF the
+    # span-equality tuple — the spans schema is unchanged. ---
+    emit_bboxes: bool = False
+
     # --- template OCR ---
     ocr_max_hamming: int = 6  # of 35 cells; worse -> glyph dropped
 

@@ -77,6 +77,13 @@ class ImageResult:
     mean: float = 0.0
     std: float = 0.0
     confidence: float = 1.0  # worst per-glyph template agreement (F14 metric)
+    # per-kept-component bounding boxes (y0, x0, y1, x1) in full-frame
+    # coordinates, deterministic (y0, x0) component order — the F12
+    # completion (reference reports per-item bboxes,
+    # src/ocr_engine.py:705-724).  Metric payload only: NEVER part of the
+    # span-equality tuple; surfaced as an optional column when
+    # cfg.emit_bboxes is set.
+    bboxes: tuple = ()
 
 
 def is_low_quality(n_bytes: int, h: int, w: int, cfg: EngineConfig) -> bool:
@@ -175,9 +182,11 @@ def process_image(content: bytes | None, cfg: EngineConfig = DEFAULT_CONFIG) -> 
     texts = []
     red_px = 0
     confidence = 1.0
+    boxes = []
     for i in kept:  # deterministic (y0, x0) order from filled_components
         st = stats[i]
         y0, x0, y1, x1 = st["y0"], st["x0"], st["y1"], st["x1"]
+        boxes.append((y0, x0, y1, x1))
         comp_mask = paint_runs((y1 - y0, x1 - x0), run_sets[i], origin=(y0, x0))
         red_px += st["area"]
         crop = np.where(comp_mask[..., None], src.crop(y0, y1, x0, x1), np.uint8(255))
@@ -199,7 +208,8 @@ def process_image(content: bytes | None, cfg: EngineConfig = DEFAULT_CONFIG) -> 
         if text.strip():  # P4: drop blank results
             texts.append(text)
             confidence = min(confidence, conf)
-    return ImageResult("".join(texts), OK, len(kept), red_px, mean, std, confidence)
+    return ImageResult("".join(texts), OK, len(kept), red_px, mean, std,
+                       confidence, tuple(boxes))
 
 
 def extract_texts_batch(

@@ -45,6 +45,9 @@ KERNEL_OUT_SCHEMA = (
     "kernel_ms double"
 )
 
+# optional F12 bbox column appended when cfg.emit_bboxes is set
+KERNEL_OUT_SCHEMA_BBOX = KERNEL_OUT_SCHEMA + ", bboxes array<array<int>>"
+
 
 def _kernel_udf(cfg: EngineConfig):
     """mapInPandas kernel: one Arrow batch of media spans -> extracted rows.
@@ -65,6 +68,7 @@ def _kernel_udf(cfg: EngineConfig):
 
         for b in batches:
             texts, oks, fkinds, ncomps, confs, ms = [], [], [], [], [], []
+            boxes = []
             for content in b["content"]:
                 if content is None:
                     texts.append(None)
@@ -73,6 +77,7 @@ def _kernel_udf(cfg: EngineConfig):
                     ncomps.append(0)
                     confs.append(None)
                     ms.append(0.0)
+                    boxes.append(None)
                     continue
                 t0 = time.perf_counter()
                 r = process_image(bytes(content), cfg)
@@ -89,19 +94,21 @@ def _kernel_udf(cfg: EngineConfig):
                 )
                 ncomps.append(r.n_components)
                 confs.append(r.confidence if ok else None)
-            yield pd.DataFrame(
-                {
-                    "doc_id": b["doc_id"],
-                    "offset": b["offset"],
-                    "media_ref": b["media_ref"],
-                    "text": texts,
-                    "ok": oks,
-                    "failure_kind": fkinds,
-                    "n_components": ncomps,
-                    "confidence": confs,
-                    "kernel_ms": ms,
-                }
-            )
+                boxes.append([list(bx) for bx in r.bboxes] if ok else None)
+            cols = {
+                "doc_id": b["doc_id"],
+                "offset": b["offset"],
+                "media_ref": b["media_ref"],
+                "text": texts,
+                "ok": oks,
+                "failure_kind": fkinds,
+                "n_components": ncomps,
+                "confidence": confs,
+                "kernel_ms": ms,
+            }
+            if cfg.emit_bboxes:
+                cols["bboxes"] = boxes
+            yield pd.DataFrame(cols)
 
     return run
 
@@ -147,7 +154,10 @@ def extract_documents(
     salt_n = cfg.salt_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     salted = joined.repartition(salt_n, F.xxhash64("doc_id", "offset"))
 
-    extracted = salted.mapInPandas(_kernel_udf(cfg), schema=KERNEL_OUT_SCHEMA)
+    extracted = salted.mapInPandas(
+        _kernel_udf(cfg),
+        schema=KERNEL_OUT_SCHEMA_BBOX if cfg.emit_bboxes else KERNEL_OUT_SCHEMA,
+    )
 
     # Map-side splice (A3/O2): instead of exploding + re-collecting every
     # span (which shuffles the whole text corpus through collect_list),
@@ -159,18 +169,24 @@ def extract_documents(
     # the input_hint contract) is preserved by construction.  At cluster
     # scale the docs side of this join can additionally be bucketed by
     # doc_id to avoid shuffling the corpus at all (see tests/test_bucketing).
-    results = (
-        extracted.groupBy("doc_id")
-        .agg(
-            # collect_list drops nulls, so failed spans contribute nothing
-            # to the splice map but still feed the watchdog metric below
+    aggs = [
+        # collect_list drops nulls, so failed spans contribute nothing
+        # to the splice map but still feed the watchdog metric below
+        F.map_from_entries(
+            F.collect_list(F.when(F.col("ok"), F.struct("offset", "text")))
+        ).alias("extracted_map"),
+        F.min(F.when(F.col("ok"), F.col("confidence"))).alias("min_ocr_confidence"),
+        F.max("kernel_ms").alias("max_kernel_ms"),
+    ]
+    if cfg.emit_bboxes:
+        # F12 metric payload: offset -> per-component [y0, x0, y1, x1];
+        # rides the same snippets-only aggregate, never touches spans
+        aggs.append(
             F.map_from_entries(
-                F.collect_list(F.when(F.col("ok"), F.struct("offset", "text")))
-            ).alias("extracted_map"),
-            F.min(F.when(F.col("ok"), F.col("confidence"))).alias("min_ocr_confidence"),
-            F.max("kernel_ms").alias("max_kernel_ms"),
+                F.collect_list(F.when(F.col("ok"), F.struct("offset", "bboxes")))
+            ).alias("seal_bboxes")
         )
-    )
+    results = extracted.groupBy("doc_id").agg(*aggs)
 
     spliced = docs.join(results, on="doc_id", how="left").select(
         "doc_id",
@@ -198,6 +214,7 @@ def extract_documents(
         # watchdog: slowest kernel item per doc (metric only — never part
         # of the span-equality tuple; feeds the lineage aggregation)
         F.col("max_kernel_ms"),
+        *([F.col("seal_bboxes")] if cfg.emit_bboxes else []),
     )
     return spliced
 

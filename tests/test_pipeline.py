@@ -114,3 +114,46 @@ def test_custom_config_pipeline_equals_oracle(spark):
                 for s in reference_extract(d, media, cfg)]
         got = [(s.kind, s.text, s.media_ref, s.offset) for s in out[d["doc_id"]].spans]
         assert got == want, d["doc_id"]
+
+
+def test_seal_bboxes_optional_column(spark):
+    """F12 completion (VERDICT r03 #7): cfg.emit_bboxes surfaces per-kept-
+    component (y0, x0, y1, x1) as a metric column; span equality and the
+    default output schema are unchanged."""
+    from red_seal_ocr_spark.config import EngineConfig
+    from red_seal_ocr_spark.functions.kernel import OK, process_image
+    from red_seal_ocr_spark.operators.extract import extract_documents
+    from red_seal_ocr_spark.sources.spark_tables import documents_df, media_df
+
+    docs = documents_df(spark, 6)
+    media = media_df(spark, 6)
+
+    plain = extract_documents(spark, docs, media)
+    assert "seal_bboxes" not in plain.columns  # default schema unchanged
+
+    out = extract_documents(spark, docs, media, EngineConfig(emit_bboxes=True))
+    assert "seal_bboxes" in out.columns
+    rows = {r.doc_id: r for r in out.collect()}
+    # span equality vs the default path
+    for r in plain.collect():
+        assert [tuple(s) for s in rows[r.doc_id].spans] == [tuple(s) for s in r.spans]
+
+    # bboxes agree with the kernel's own filled_components stats, checked
+    # against single-process process_image on the same bytes
+    media_bytes = {r.media_ref: bytes(r.content) for r in media.collect()}
+    checked = 0
+    for r in rows.values():
+        if not r.seal_bboxes:
+            continue
+        for s in r.spans:
+            if s.media_ref is None or s.offset not in r.seal_bboxes:
+                continue
+            got = [tuple(b) for b in r.seal_bboxes[s.offset]]
+            k = process_image(media_bytes[s.media_ref])
+            assert k.status == OK
+            assert got == [tuple(b) for b in k.bboxes]
+            assert len(got) == k.n_components
+            for y0, x0, y1, x1 in got:
+                assert 0 <= y0 < y1 and 0 <= x0 < x1
+            checked += 1
+    assert checked >= 3
