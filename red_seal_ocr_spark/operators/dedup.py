@@ -71,6 +71,7 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 32,
     shingle_k: int = 3,
+    extra_cols: tuple = (),
 ) -> DataFrame:
     """(id, signature array<bigint>) — minhash over k-token shingles.
 
@@ -106,8 +107,14 @@ def minhash_signatures(
         ]
     ).alias("signature")
     # three-step select: "hashes" is referenced H times, so CollapseProject
-    # keeps it materialized (one string-hash pass total)
-    return docs.select(F.col(id_col), sh).select(id_col, hashes).select(id_col, sig)
+    # keeps it materialized (one string-hash pass total).  extra_cols ride
+    # along untouched (streaming_near_dedup threads the event time through).
+    ex = list(extra_cols)
+    return (
+        docs.select(F.col(id_col), *[F.col(c) for c in ex], sh)
+        .select(id_col, *ex, hashes)
+        .select(id_col, *ex, sig)
+    )
 
 
 def minhash_lsh_candidates(

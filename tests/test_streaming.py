@@ -126,3 +126,52 @@ def test_streaming_exact_dedup(spark, tmp_path):
         sum(i in ids for i in (1, 2, 4)) == 1
     )
     assert kept_texts.count("the") == 1
+
+
+def test_streaming_near_dedup_watermark_semantics(spark, tmp_path):
+    """VERDICT r03 #8: a near-duplicate arriving WITHIN the watermark is
+    flagged (>= 1 band-bucket collision with the original); the same
+    near-duplicate arriving AFTER the watermark passed finds evicted
+    state and is not flagged — state is bounded by the watermark."""
+    from datetime import datetime
+
+    from red_seal_ocr_spark.streaming.events import (
+        DOCS_STREAM_SCHEMA,
+        run_stream_once,
+        streaming_near_dedup,
+    )
+
+    base = " ".join(f"token{i}" for i in range(120))
+    near = " ".join(f"token{i}" for i in range(119)) + " tokenX"  # j ~ 0.97
+    unrelated = " ".join(f"zzz{i}" for i in range(80))
+
+    t = lambda h, m: datetime(2026, 1, 1, h, m)  # noqa: E731
+    src = str(tmp_path / "near_stream")
+    write = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, DOCS_STREAM_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    # batch 1: original + in-watermark near-dup (watermark 30 min)
+    write([(1, t(10, 0), base), (2, t(10, 5), near)])
+    # batch 2: unrelated doc far in the future -> advances the watermark
+    # past doc 1/2's bucket-claim timeouts (10:35)
+    write([(3, t(12, 0), unrelated)])
+    # batch 3: same near-dup text again, AFTER the claims expired
+    write([(4, t(12, 5), near)])
+
+    stream = (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = run_stream_once(
+        streaming_near_dedup(stream, watermark="30 minutes"),
+        "near_dedup_sink", timeout_sec=180,
+    ).collect()
+
+    flagged = {r.doc_id for r in out}
+    assert 2 in flagged          # in-watermark near-dup IS flagged
+    assert 4 not in flagged      # post-watermark arrival is NOT
+    assert 3 not in flagged      # unrelated never collides
+    for r in out:
+        if r.doc_id == 2:
+            assert r.first_doc_id == 1
+            assert r.first_ts == t(10, 0)
