@@ -1019,3 +1019,67 @@ ORACLE_SQL_2["q44_percentiles"] = """
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
 """
+
+
+def q51_audio_stats(spark, sf):
+    """Audio-tier correctness gate: real RIFF/WAVE PCM bytes (deterministic
+    integer-ramp samples, synthesized driver-side — 8 tiny blobs) decoded
+    by the stdlib WAV parser inside ``audio_metadata``'s mapInPandas
+    stage.  The oracle is genuinely independent: DuckDB re-derives the
+    same PCM integer sequence with generate_series and computes the
+    duration/RMS analytically — no Python decode anywhere in the oracle
+    path.  rms is compared as round(rms*1e4) (the engine sums float64
+    pairwise, the oracle sums exact integers; both land on the same 4th
+    decimal with ~1e-13 relative margin)."""
+    import numpy as np
+
+    from ..operators.multimodal import audio_metadata, encode_wav
+
+    rows = []
+    for i in range(8):
+        rate = [8000, 16000][i % 2]
+        n = 3000 + 500 * i
+        k = np.arange(n, dtype=np.int64)
+        v = ((k * 7919 + i * 104729) % 65536) - 32768  # exact int16 ramp
+        # v/32767 makes encode_wav's round(s*32767) reproduce v exactly
+        rows.append((f"a{i}", encode_wav(v.astype(np.float64) / 32767.0, rate)))
+    media = spark.createDataFrame(rows, "media_ref string, content binary")
+    return (
+        audio_metadata(media)
+        .select(
+            "media_ref",
+            "ok",
+            "sample_rate",
+            "n_samples",
+            "duration_ms",
+            F.round(F.col("rms") * 10000).cast("bigint").alias("rms_e4"),
+        )
+        .orderBy("media_ref")
+    )
+
+
+SPARK_QUERIES_2["q51_audio_stats"] = q51_audio_stats
+
+ORACLE_SQL_2["q51_audio_stats"] = """
+    WITH params(media_ref, rate, n, seed) AS (VALUES
+        ('a0', 8000, 3000, 0), ('a1', 16000, 3500, 1),
+        ('a2', 8000, 4000, 2), ('a3', 16000, 4500, 3),
+        ('a4', 8000, 5000, 4), ('a5', 16000, 5500, 5),
+        ('a6', 8000, 6000, 6), ('a7', 16000, 6500, 7)
+    ),
+    s AS (
+        SELECT media_ref, rate, n,
+               ((g.k * 7919 + seed * 104729) % 65536) - 32768 AS v
+        FROM params, LATERAL (SELECT unnest(range(n)) AS k) AS g
+    )
+    SELECT media_ref,
+           TRUE AS ok,
+           rate AS sample_rate,
+           n AS n_samples,
+           CAST(floor(1000.0 * n / rate) AS INT) AS duration_ms,
+           CAST(round(sqrt(SUM(CAST(v AS BIGINT) * v)
+                           / (1073741824.0 * n)) * 10000) AS BIGINT) AS rms_e4
+    FROM s
+    GROUP BY media_ref, rate, n
+    ORDER BY media_ref
+"""
