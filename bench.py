@@ -571,8 +571,11 @@ def main() -> int:
             if n_docs != args.docs:
                 sdocs, smedia = materialize_input(n_docs, f"{base}/scale_in")
             result["scaling_docs"] = n_docs
+            # 7 rounds FIXED (repeats + max_extra, decided before measuring
+            # — see scaling_pair: no outcome-conditioned stopping)
             result["scaling_4_16"] = scaling_pair(4, 16, sdocs, smedia, base,
-                                                  n_docs, repeats=5, target=0.805)
+                                                  n_docs, repeats=5,
+                                                  target=0.805, max_extra=2)
             result["scaling_8_32"] = scaling_pair(8, 32, sdocs, smedia, base,
                                                   n_docs, repeats=3)
             result["scaling"] = result["scaling_8_32"]  # back-compat key

@@ -1,0 +1,89 @@
+"""K2: JSON-response sink — per-document API-response records.
+
+The reference serves extraction results as JSON over Flask
+(``api_server.py:255-299``; response shape ``{"success", "data":
+{"results": [{"text", "confidence"}], "total"}, "message"}`` per the
+endpoint docstring at ``api_server.py:264-279``).  The engine's contract
+is the output table, and the serving tier stays out of scope — but the
+response DOCUMENT itself is a sink format users consume, so this job
+materializes it: one JSON line per document in exactly that shape, built
+entirely from JVM-side expressions (``to_json`` over structs, no UDFs),
+written with the ordinary distributed text writer.
+
+Usage::
+
+    python jobs/json_sink.py --table /path/to/output_table --out /path/json
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def response_records(extracted) -> "DataFrame":  # noqa: F821
+    """Extraction output -> (doc_id, response_json) in the reference's
+    API response shape.
+
+    ``results`` carries one entry per successfully extracted media span
+    (kind='text' with a media_ref after the splice) with the document's
+    ``min_ocr_confidence`` (the engine records the per-doc minimum, the
+    conservative bound a consumer wants); ``success`` mirrors the
+    reference's semantics (false when any media span failed);
+    ``message`` uses the reference's own strings
+    (``api_server.py:279,359``).
+    """
+    from pyspark.sql import functions as F
+
+    results = F.transform(
+        F.filter(
+            "spans",
+            lambda s: (s["kind"] == F.lit("text")) & s["media_ref"].isNotNull(),
+        ),
+        lambda s: F.struct(
+            s["text"].alias("text"),
+            F.round(F.coalesce(F.col("min_ocr_confidence"), F.lit(0.0)), 4)
+            .alias("confidence"),
+        ),
+    )
+    payload = F.struct(
+        (F.col("n_failures") == 0).alias("success"),
+        F.struct(
+            results.alias("results"),
+            F.size(results).alias("total"),
+        ).alias("data"),
+        F.when(F.col("n_failures") == 0, F.lit("识别成功"))
+        .otherwise(F.lit("识别失败")).alias("message"),
+    )
+    return extracted.select(
+        "doc_id", F.to_json(payload).alias("response_json")
+    )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--table", required=True)
+    ap.add_argument("--out", required=True)
+    args = ap.parse_args()
+
+    from red_seal_ocr_spark.session import get_spark
+    from red_seal_ocr_spark.sources.snapshot import read_table
+
+    spark = get_spark("json-sink")
+    try:
+        out = read_table(spark, args.table)
+        if out is None:
+            print(f"table {args.table}: no committed snapshot", file=sys.stderr)
+            return 1
+        response_records(out).write.mode("overwrite").json(args.out)
+        print(f"wrote JSON responses -> {args.out}")
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -140,3 +140,37 @@ def test_folder_ingestion_empty_dir(spark, tmp_path):
             or "EMPTY" in str(exc).upper()
     else:
         assert n == 0
+
+
+def test_json_response_sink_shape(spark):
+    """K2 (reference api_server.py:255-299): per-document response records
+    in the documented JSON shape, built JVM-side (to_json over structs)."""
+    import json
+
+    from jobs.json_sink import response_records
+    from red_seal_ocr_spark.operators.extract import extract_documents
+    from red_seal_ocr_spark.sources.spark_tables import documents_df, media_df
+
+    docs = documents_df(spark, 8)
+    media = media_df(spark, 8)
+    out = extract_documents(spark, docs, media)
+    recs = {r.doc_id: json.loads(r.response_json)
+            for r in response_records(out).collect()}
+    assert len(recs) == 8
+    base = {r.doc_id: r for r in out.collect()}
+    for doc_id, resp in recs.items():
+        assert set(resp) == {"success", "data", "message"}
+        assert set(resp["data"]) == {"results", "total"}
+        assert resp["data"]["total"] == len(resp["data"]["results"])
+        row = base[doc_id]
+        n_extracted = sum(1 for s in row.spans
+                          if s.kind == "text" and s.media_ref is not None)
+        assert resp["data"]["total"] == n_extracted
+        assert resp["success"] == (row.n_failures == 0)
+        assert resp["message"] == ("识别成功" if resp["success"] else "识别失败")
+        for item in resp["data"]["results"]:
+            assert set(item) == {"text", "confidence"}
+            assert isinstance(item["text"], str)
+            assert 0.0 <= item["confidence"] <= 1.0
+    # both outcomes present in the fixture set (corrupt refs exist)
+    assert {r["success"] for r in recs.values()} == {True, False}
