@@ -1,0 +1,109 @@
+"""Sequence packing for training-data assembly.
+
+LLM training consumes fixed-length token sequences; packing many short
+documents into each sequence (instead of padding) is a standard
+throughput lever in large-scale data pipelines.  This operator implements
+the deterministic SHARDED GREEDY FILL: documents are hash-sharded, and
+within each shard packed in ``doc_id`` order into bins of at most
+``budget`` tokens (a document alone larger than the budget gets its own
+bin).
+
+Scale shape: the sequential fill is inherently order-dependent, so it is
+the vectorization boundary — but only WITHIN a shard.  Shards are
+independent (``pmod(xxhash64(doc_id), shards)``), so at 100 TB you raise
+``shards`` to the task-parallelism you want and each ``applyInPandas``
+group streams one shard; no global sort, no driver-side loop, state per
+task is one integer pair.  (Globally-optimal bin packing is NP-hard and
+irrelevant here: greedy fill over hash-ordered docs loses a few percent
+of fill and is what production packers do.)
+
+Token counts use :func:`textops.token_count` (whitespace tokenizer), so
+the operator is oracle-able: DuckDB re-derives the same packing with a
+recursive CTE (see q52 in plans/queries2.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textops import token_count
+
+PACKED_SCHEMA = (
+    "doc_id bigint, shard int, n_tokens int, bin_idx int, bin_fill int"
+)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 2048,
+    shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, shard, n_tokens, bin_idx, bin_fill) — deterministic greedy
+    fill per shard.  ``bin_fill`` is the bin's running total AFTER this
+    document (the last doc of a bin carries the bin's final fill)."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    # md5-derived shard (not xxhash64): engine-portable, so the DuckDB
+    # oracle re-derives the identical sharding — same trick as the
+    # deterministic hash sampler (operators/sampling.py)
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(shards),
+    ).cast("int")
+    counted = docs.select(
+        F.col(id_col).alias("doc_id"),
+        shard.alias("shard"),
+        token_count(F.col(text_col)).cast("int").alias("n_tokens"),
+    )
+
+    def pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id")
+        bins, fills = [], []
+        idx, fill = 0, 0
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            if fill > 0 and fill + t > budget:
+                idx += 1
+                fill = 0
+            fill += t
+            bins.append(idx)
+            fills.append(fill)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "shard": pdf["shard"].to_numpy(),
+                "n_tokens": pdf["n_tokens"].to_numpy(),
+                "bin_idx": bins,
+                "bin_fill": fills,
+            }
+        )
+
+    return counted.groupBy("shard").applyInPandas(pack, schema=PACKED_SCHEMA)
+
+
+def packing_stats(packed: DataFrame, budget: int = 2048) -> DataFrame:
+    """Per-shard packing efficiency: bins, docs, fill ratio (the metric a
+    pipeline operator watches — low fill means the budget or sharding is
+    mis-set)."""
+    per_bin = packed.groupBy("shard", "bin_idx").agg(
+        F.max("bin_fill").alias("fill"),
+        F.count("*").alias("docs"),
+    )
+    return (
+        per_bin.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_bins"),
+            F.sum("docs").alias("n_docs"),
+            F.sum("fill").alias("total_tokens"),
+            # integer bps so the oracle comparison is exact
+            F.floor(F.sum("fill") * 10000 / (F.count("*") * budget))
+            .cast("int").alias("fill_bps"),
+        )
+        .orderBy("shard")
+    )

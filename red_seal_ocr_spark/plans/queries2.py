@@ -1083,3 +1083,63 @@ ORACLE_SQL_2["q51_audio_stats"] = """
     GROUP BY media_ref, rate, n
     ORDER BY media_ref
 """
+
+
+def q52_sequence_packing(spark, sf):
+    """Sequence packing (training-data assembly tier): sharded greedy fill
+    of documents into <=512-token bins, plus per-shard fill efficiency.
+    The sequential fill runs per shard inside applyInPandas (shards are
+    the scale dial); the oracle re-derives the identical packing with a
+    DuckDB recursive CTE over the same md5 sharding and whitespace token
+    counts — fully independent of the Python fill loop."""
+    from ..operators.packing import pack_sequences, packing_stats
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    packed = pack_sequences(d, budget=512, shards=4)
+    return packing_stats(packed, budget=512)
+
+
+SPARK_QUERIES_2["q52_sequence_packing"] = q52_sequence_packing
+
+ORACLE_SQL_2["q52_sequence_packing"] = """
+    WITH RECURSIVE toks AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 4 AS shard,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END
+                   AS n_tokens
+        FROM documents
+        WHERE doc_id < 300
+    ),
+    ordered AS (
+        SELECT doc_id, shard, n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+        FROM toks
+    ),
+    packed AS (
+        SELECT doc_id, shard, n_tokens, rn,
+               0 AS bin_idx, n_tokens AS bin_fill
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.doc_id, o.shard, o.n_tokens, o.rn,
+               CASE WHEN p.bin_fill > 0 AND p.bin_fill + o.n_tokens > 512
+                    THEN p.bin_idx + 1 ELSE p.bin_idx END,
+               CASE WHEN p.bin_fill > 0 AND p.bin_fill + o.n_tokens > 512
+                    THEN o.n_tokens ELSE p.bin_fill + o.n_tokens END
+        FROM ordered o
+        JOIN packed p ON o.shard = p.shard AND o.rn = p.rn + 1
+    ),
+    per_bin AS (
+        SELECT shard, bin_idx, MAX(bin_fill) AS fill, COUNT(*) AS docs
+        FROM packed GROUP BY shard, bin_idx
+    )
+    SELECT shard,
+           COUNT(*) AS n_bins,
+           SUM(docs) AS n_docs,
+           SUM(fill) AS total_tokens,
+           CAST(floor(SUM(fill) * 10000 / (COUNT(*) * 512)) AS INT) AS fill_bps
+    FROM per_bin
+    GROUP BY shard
+    ORDER BY shard
+"""

@@ -119,3 +119,57 @@ def test_curate_empty_input(spark):
     assert f == {"0_input": 0, "1_lang": 0, "2_quality": 0,
                  "3_exact_dedup": 0, "4_near_dedup": 0}
     assert kept.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (training-data assembly tier, round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_pack_sequences_greedy_fill_properties(spark):
+    from red_seal_ocr_spark.operators.packing import pack_sequences
+
+    rows = [(i, " ".join(["w"] * n)) for i, n in
+            enumerate([10, 20, 500, 30, 700, 5, 64, 64, 64, 1])]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = pack_sequences(docs, budget=128, shards=2).collect()
+
+    assert sorted(r.doc_id for r in out) == list(range(10))  # all packed once
+    assert {r.doc_id: r.n_tokens for r in out}[2] == 500
+    by_bin = {}
+    for r in out:
+        by_bin.setdefault((r.shard, r.bin_idx), []).append(r)
+    for (shard, b), members in by_bin.items():
+        fill = max(m.bin_fill for m in members)
+        if len(members) > 1:
+            assert fill <= 128  # multi-doc bins respect the budget
+        else:
+            # single-doc bin may exceed only when the doc itself does
+            assert fill <= 128 or members[0].n_tokens > 128
+    # oversize docs (500, 700 tokens) sit alone
+    for big in (2, 4):
+        row = next(r for r in out if r.doc_id == big)
+        assert len(by_bin[(row.shard, row.bin_idx)]) == 1
+    # determinism
+    again = pack_sequences(docs, budget=128, shards=2).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_pack_sequences_shard_independence(spark):
+    """Adding docs to one shard never changes another shard's packing —
+    the property that makes shards the scale dial."""
+    from red_seal_ocr_spark.operators.packing import pack_sequences
+
+    rows = [(i, " ".join(["w"] * (10 + i))) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    base = {r.doc_id: (r.shard, r.bin_idx)
+            for r in pack_sequences(docs, budget=64, shards=4).collect()}
+    shard_of = {r.doc_id: r.shard
+                for r in pack_sequences(docs, budget=64, shards=4).collect()}
+    # drop every doc of shard 0; other shards must pack identically
+    keep = [r for r in rows if shard_of[r[0]] != 0]
+    sub = spark.createDataFrame(keep, "doc_id bigint, text string")
+    sub_pack = {r.doc_id: (r.shard, r.bin_idx)
+                for r in pack_sequences(sub, budget=64, shards=4).collect()}
+    for doc_id, assignment in sub_pack.items():
+        assert base[doc_id] == assignment
