@@ -1136,8 +1136,8 @@ ORACLE_SQL_2["q52_sequence_packing"] = """
     )
     SELECT shard,
            COUNT(*) AS n_bins,
-           SUM(docs) AS n_docs,
-           SUM(fill) AS total_tokens,
+           CAST(SUM(docs) AS BIGINT) AS n_docs,
+           CAST(SUM(fill) AS BIGINT) AS total_tokens,
            CAST(floor(SUM(fill) * 10000 / (COUNT(*) * 512)) AS INT) AS fill_bps
     FROM per_bin
     GROUP BY shard
