@@ -66,3 +66,54 @@ def stratified_hash_sample(
             F.col(strata_col) == value, F.lit(hex_threshold(bps))
         ).otherwise(threshold)
     return df.filter(sample_key(F.col(key_col), salt) < threshold)
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    splits: dict[str, int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "split",
+) -> DataFrame:
+    """Train/val/test split with an exact-duplicate leakage guard.
+
+    A naive per-document hash split leaks: exact duplicates of a training
+    document land in the eval split and inflate every metric.  Here the
+    split key is the GROUP's canonical id (min ``id_col`` per
+    ``dedup.normalized_fingerprint`` group), so a duplicate group can
+    never straddle splits — the standard benchmark-hygiene construction.
+
+    ``splits`` maps name -> basis points (must sum to 10000); assignment
+    is the deterministic hash-band of ``sample_key(canonical, salt)``,
+    giving the same properties as :func:`hash_sample` (reproducible,
+    order-independent, stable under incremental reprocessing — a group's
+    split never changes when other documents appear).
+
+    Scale shape: one groupBy on the fingerprint (map-side combinable
+    min) + one broadcast-or-shuffle join back on the fingerprint; the
+    banding itself is a pure projection.  Output: input columns +
+    ``(fingerprint, canonical_id, split)``.
+    """
+    from .dedup import normalized_fingerprint
+
+    total = sum(splits.values())
+    if total != BPS_DENOM:
+        raise ValueError(f"split weights must sum to {BPS_DENOM}, got {total}")
+    with_fp = df.withColumn("fingerprint", normalized_fingerprint(text_col))
+    canon = with_fp.groupBy("fingerprint").agg(
+        F.min(id_col).alias("canonical_id")
+    )
+    key = sample_key(F.col("canonical_id"), salt)
+    expr = None
+    cum = 0
+    for name, bps in sorted(splits.items()):
+        cum += bps
+        cond = key < F.lit(hex_threshold(cum))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    # cum == BPS_DENOM -> threshold 'g' -> final when() already catches
+    # every key; coalesce guards the impossible fall-through
+    canon = canon.select(
+        "fingerprint", "canonical_id",
+        F.coalesce(expr, F.lit(sorted(splits)[-1])).alias("split"),
+    )
+    return with_fp.join(canon, on="fingerprint")

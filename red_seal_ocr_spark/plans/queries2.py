@@ -1143,3 +1143,80 @@ ORACLE_SQL_2["q52_sequence_packing"] = """
     GROUP BY shard
     ORDER BY shard
 """
+
+
+def q53_leakage_safe_split(spark, sf):
+    """Leakage-safe train/val/test split (benchmark hygiene tier): split
+    key = md5 band of each exact-dup group's canonical id, so duplicate
+    groups can never straddle splits.  Output: per-split doc/group counts
+    plus the global straddling-group count (must be 0 by construction —
+    the leakage guard is part of the compared result).  Oracle mirrors
+    the construction verbatim in SQL."""
+    from ..operators.sampling import leakage_safe_split
+
+    d = _t(spark, sf, "documents")
+    s = leakage_safe_split(d, {"train": 8000, "val": 1000, "test": 1000})
+    per_split = s.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("fingerprint").alias("n_groups"),
+    )
+    straddle = (
+        s.groupBy("fingerprint")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .agg(F.count("*").alias("straddling_groups"))
+    )
+    return (
+        per_split.crossJoin(F.broadcast(straddle))
+        .select("split", "n_docs", "n_groups", "straddling_groups")
+        .orderBy("split")
+    )
+
+
+SPARK_QUERIES_2["q53_leakage_safe_split"] = q53_leakage_safe_split
+
+
+def _q53_oracle() -> str:
+    from ..operators.sampling import hex_threshold
+
+    t_test = hex_threshold(1000)
+    t_train = hex_threshold(9000)
+    return f"""
+        WITH fp AS (
+            SELECT doc_id,
+                   md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+            FROM documents
+        ),
+        canon AS (
+            SELECT fingerprint, MIN(doc_id) AS canonical_id
+            FROM fp GROUP BY fingerprint
+        ),
+        banded AS (
+            SELECT fingerprint,
+                   CASE WHEN substr(md5(CAST(canonical_id AS VARCHAR) || 'split'), 1, 8)
+                             < '{t_test}' THEN 'test'
+                        WHEN substr(md5(CAST(canonical_id AS VARCHAR) || 'split'), 1, 8)
+                             < '{t_train}' THEN 'train'
+                        ELSE 'val' END AS split
+            FROM canon
+        ),
+        joined AS (
+            SELECT f.doc_id, f.fingerprint, b.split
+            FROM fp f JOIN banded b USING (fingerprint)
+        ),
+        straddle AS (
+            SELECT COUNT(*) AS straddling_groups FROM (
+                SELECT fingerprint FROM joined
+                GROUP BY fingerprint HAVING COUNT(DISTINCT split) > 1
+            )
+        )
+        SELECT split, COUNT(*) AS n_docs,
+               COUNT(DISTINCT fingerprint) AS n_groups,
+               (SELECT straddling_groups FROM straddle) AS straddling_groups
+        FROM joined
+        GROUP BY split
+        ORDER BY split
+    """
+
+
+ORACLE_SQL_2["q53_leakage_safe_split"] = _q53_oracle()

