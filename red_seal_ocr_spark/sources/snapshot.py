@@ -45,7 +45,8 @@ def current_snapshot(table_dir: str) -> dict | None:
 def commit_snapshot(table_dir: str, data_files: list[str],
                     lineage_files: list[str], run_id: str,
                     extra: dict | None = None,
-                    lock_timeout_sec: float = 60.0) -> dict:
+                    lock_timeout_sec: float = 60.0,
+                    replace: bool = False) -> dict:
     """Publish a new snapshot = parent files + this run's files (atomic).
 
     Concurrent committers are serialized by an mkdir lock (atomic on
@@ -53,6 +54,11 @@ def commit_snapshot(table_dir: str, data_files: list[str],
     two simultaneous runs both land (no lost update) — the pointer rename
     stays atomic for readers.  On an object store this would be a
     conditional-put / swap-if-parent instead.
+
+    ``replace=True`` publishes a REWRITE snapshot: ``data_files`` is the
+    complete new file list instead of parent+new (the compaction commit
+    shape — Iceberg's rewrite_data_files).  Lineage history is always
+    carried forward.
     """
     import time
 
@@ -76,7 +82,8 @@ def commit_snapshot(table_dir: str, data_files: list[str],
             "parent_snapshot_id": parent["snapshot_id"] if parent else None,
             "run_id": run_id,
             "data_files": sorted(
-                (parent["data_files"] if parent else []) + list(data_files)
+                list(data_files) if replace
+                else (parent["data_files"] if parent else []) + list(data_files)
             ),
             "lineage_files": sorted(
                 (parent["lineage_files"] if parent else []) + list(lineage_files)
@@ -135,3 +142,104 @@ def read_table(spark, table_dir: str, lineage: bool = False,
     if not files:
         return None
     return spark.read.parquet(*files)
+
+
+# ---------------------------------------------------------------------------
+# table maintenance (the Iceberg expire_snapshots / rewrite_data_files pair)
+# ---------------------------------------------------------------------------
+
+
+def compact_table(spark, table_dir: str,
+                  target_file_bytes: int = 128 * 1024 * 1024) -> dict:
+    """Rewrite the current snapshot's data files into ~target-sized files
+    and publish a REPLACE snapshot (Iceberg ``rewrite_data_files``).
+
+    At 10^12-document scale, incremental/batched commits accumulate many
+    small part files; scans then pay per-file open cost and lose
+    ``maxPartitionBytes`` packing.  Compaction is a pure rewrite: row
+    content is untouched (verified by test content-hash), historical
+    snapshots still reference the pre-compaction files (time travel keeps
+    working) until :func:`expire_snapshots` reclaims them.
+
+    Returns the new manifest.  No-op (returns the current manifest) if
+    the table is empty.
+    """
+    snap = current_snapshot(table_dir)
+    if snap is None or not snap["data_files"]:
+        return snap or {}
+    total = sum(os.path.getsize(f) for f in snap["data_files"])
+    n_out = max(1, -(-total // target_file_bytes))
+    df = spark.read.parquet(*snap["data_files"])
+    out_dir = f"{table_dir}/data/run-compact-{uuid.uuid4().hex[:12]}"
+    df.repartition(n_out).write.parquet(out_dir)
+    files = []
+    for f in list_run_files(out_dir):  # never commit zero-row part files
+        import pyarrow.parquet as pq
+
+        if pq.ParquetFile(f).metadata.num_rows > 0:
+            files.append(f)
+        else:
+            os.remove(f)
+    return commit_snapshot(
+        table_dir, files, [], f"compact-{snap['snapshot_id']}",
+        extra={"compaction_of": snap["snapshot_id"],
+               "input_snapshot_id": snap.get("input_snapshot_id", "compact")},
+        replace=True,
+    )
+
+
+def expire_snapshots(table_dir: str, keep_last: int = 2,
+                     lock_timeout_sec: float = 60.0) -> dict:
+    """Expire all but the newest ``keep_last`` snapshots and delete data /
+    lineage files no retained snapshot references (Iceberg
+    ``expire_snapshots`` semantics: the current snapshot is always
+    retained; time travel to an expired id fails; shared files survive).
+
+    Runs under the commit lock so a concurrent commit can't publish a
+    snapshot referencing files being deleted.  Returns
+    ``{"expired": [ids], "deleted_files": n, "kept": [ids]}``.
+    """
+    import time
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    table = Path(table_dir)
+    lock = table / "_commit.lock"
+    deadline = time.time() + lock_timeout_sec
+    while True:
+        try:
+            os.mkdir(lock)
+            break
+        except FileExistsError:
+            if time.time() > deadline:
+                raise TimeoutError(f"commit lock held too long: {lock}") from None
+            time.sleep(0.05)
+    try:
+        cur = current_snapshot(table_dir)
+        if cur is None:
+            return {"expired": [], "deleted_files": 0, "kept": []}
+        sd = _snap_dir(table_dir)
+        ids = sorted(
+            int(p.stem.split("-", 1)[1]) for p in sd.glob("snap-*.json")
+        )
+        kept_ids = ids[-keep_last:]
+        if cur["snapshot_id"] not in kept_ids:  # never expire the current
+            kept_ids.append(cur["snapshot_id"])
+        expired_ids = [i for i in ids if i not in kept_ids]
+        referenced: set[str] = set()
+        for i in kept_ids:
+            m = read_snapshot(table_dir, i)
+            referenced.update(m["data_files"])
+            referenced.update(m["lineage_files"])
+        deleted = 0
+        for i in expired_ids:
+            m = read_snapshot(table_dir, i)
+            for f in set(m["data_files"]) | set(m["lineage_files"]):
+                if f not in referenced and os.path.exists(f):
+                    os.remove(f)
+                    deleted += 1
+            os.remove(sd / f"snap-{i}.json")
+        return {"expired": expired_ids, "deleted_files": deleted,
+                "kept": sorted(kept_ids)}
+    finally:
+        os.rmdir(lock)

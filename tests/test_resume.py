@@ -198,3 +198,89 @@ def test_batched_resume_with_pinned_run_id(spark, tmp_path):
     t = read_table(spark, table)
     assert t.count() == N
     assert t.select("doc_id").distinct().count() == N
+
+
+def test_compaction_preserves_content_and_history(spark, tmp_path):
+    """Iceberg rewrite_data_files semantics: compaction rewrites many
+    small part files into few, content-identical; historical snapshots
+    still time-travel to the pre-compaction files; resume anti-join
+    still sees every doc."""
+    from red_seal_ocr_spark.sources.snapshot import compact_table, read_snapshot
+
+    table = str(tmp_path / "out")
+    docs = documents_df(spark, N)
+    media = media_df(spark, N)
+    # two committing runs -> many part files
+    run_extract(spark, docs.filter(f"doc_id < 'doc-{N//2:08d}'"), media, table, run_id="a")
+    run_extract(spark, docs, media, table, run_id="b")
+
+    def canon(df):
+        return sorted(
+            (r.doc_id, [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans])
+            for r in df.collect()
+        )
+
+    pre_snap = current_snapshot(table)
+    before = canon(read_table(spark, table))
+    n_files_before = len(pre_snap["data_files"])
+
+    m = compact_table(spark, table, target_file_bytes=1 << 30)  # -> 1 file
+    assert m["compaction_of"] == pre_snap["snapshot_id"]
+    post = current_snapshot(table)
+    assert post["snapshot_id"] == pre_snap["snapshot_id"] + 1
+    assert len(post["data_files"]) < n_files_before
+    assert canon(read_table(spark, table)) == before  # content untouched
+    # lineage history carried forward
+    lin = read_table(spark, table, lineage=True)
+    assert {r.run_id for r in lin.collect()} == {"a", "b"}
+    # time travel to the pre-compaction snapshot still works
+    assert canon(read_table(spark, table,
+                            snapshot_id=pre_snap["snapshot_id"])) == before
+    # a later incremental run composes with the compacted base
+    run_extract(spark, docs, media, table, run_id="c")  # no-op commit
+    assert canon(read_table(spark, table)) == before
+
+
+def test_expire_snapshots_reclaims_only_unreferenced(spark, tmp_path):
+    import os
+
+    import pytest as _pytest
+
+    from red_seal_ocr_spark.sources.snapshot import (
+        compact_table,
+        expire_snapshots,
+        read_snapshot,
+    )
+
+    table = str(tmp_path / "out")
+    docs = documents_df(spark, N)
+    media = media_df(spark, N)
+    run_extract(spark, docs.filter(f"doc_id < 'doc-{N//2:08d}'"), media, table, run_id="a")
+    run_extract(spark, docs, media, table, run_id="b")
+    snap0 = read_snapshot(table, 0)
+    compact_table(spark, table, target_file_bytes=1 << 30)
+
+    def canon(df):
+        return sorted(
+            (r.doc_id, [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans])
+            for r in df.collect()
+        )
+
+    before = canon(read_table(spark, table))
+    res = expire_snapshots(table, keep_last=1)
+    assert res["expired"] == [0, 1]
+    assert res["kept"] == [2]
+    # pre-compaction data files are gone from disk...
+    assert all(not os.path.exists(f) for f in snap0["data_files"])
+    # ...and something was actually reclaimed; lineage files survive
+    # (still referenced by the kept snapshot, asserted below)
+    assert res["deleted_files"] > 0
+    assert canon(read_table(spark, table)) == before  # current unaffected
+    lin = read_table(spark, table, lineage=True)
+    assert {r.run_id for r in lin.collect()} == {"a", "b"}
+    # time travel to an expired snapshot now fails loudly
+    with _pytest.raises(ValueError):
+        read_table(spark, table, snapshot_id=0)
+    # idempotent / safe to re-run
+    res2 = expire_snapshots(table, keep_last=1)
+    assert res2["expired"] == [] and res2["deleted_files"] == 0
