@@ -38,6 +38,14 @@ def main(argv: list[str] | None = None) -> int:
                          "most one slice)")
     ap.add_argument("--config", default=None,
                     help="JSON/YAML EngineConfig overrides (S5 parity)")
+    ap.add_argument("--compact", action="store_true",
+                    help="after committing, rewrite the table's data files "
+                         "into ~target-sized files (REPLACE snapshot)")
+    ap.add_argument("--compact-target-mb", type=int, default=128)
+    ap.add_argument("--expire-keep", type=int, default=0,
+                    help="after committing (and compacting), expire all but "
+                         "the newest N snapshots and reclaim unreferenced "
+                         "files (0 = don't expire)")
     args = ap.parse_args(argv)
 
     from red_seal_ocr_spark.config import load_config
@@ -71,7 +79,22 @@ def main(argv: list[str] | None = None) -> int:
                 run_id=args.run_id, input_snapshot_id=input_snapshot,
             )
         elapsed = time.time() - t0
-        from red_seal_ocr_spark.sources.snapshot import read_table
+        from red_seal_ocr_spark.sources.snapshot import (
+            compact_table,
+            expire_snapshots,
+            read_table,
+        )
+
+        if args.compact:
+            manifest = compact_table(
+                spark, args.output,
+                target_file_bytes=args.compact_target_mb * 1024 * 1024)
+            print(f"compacted -> snapshot {manifest['snapshot_id']} "
+                  f"({len(manifest['data_files'])} data files)")
+        if args.expire_keep > 0:
+            res = expire_snapshots(args.output, keep_last=args.expire_keep)
+            print(f"expired snapshots {res['expired']} "
+                  f"(reclaimed {res['deleted_files']} files)")
 
         out = read_table(spark, args.output)
         n = out.count() if out is not None else 0
