@@ -109,3 +109,44 @@ def curate_documents(
         )
     )
     return kept, funnel
+
+
+def curate_to_training_assembly(
+    docs: DataFrame,
+    splits: dict[str, int] | None = None,
+    pack_budget: int = 2048,
+    pack_shards: int = 16,
+    **curate_kwargs,
+) -> tuple[DataFrame, DataFrame]:
+    """The full training-data assembly: curation funnel -> leakage-safe
+    split -> per-split sequence packing.
+
+    Returns ``(assembled, funnel)`` where ``assembled`` carries one row
+    per surviving document with ``(split, shard, n_tokens, bin_idx,
+    bin_fill)`` — everything a training-data loader needs to materialize
+    packed sequences per split.  Composition notes: the split key is the
+    exact-dup group's canonical id, and the funnel's exact-dedup stage
+    has already reduced each group to its canonical member, so split
+    assignment here degenerates to a pure projection per group of one;
+    packing runs independently per (split, shard), keeping the
+    sequential fill confined to one task (operators/packing.py).
+    """
+    from .packing import pack_sequences
+    from .sampling import leakage_safe_split
+
+    kept, funnel = curate_documents(docs, **curate_kwargs)
+    split_df = leakage_safe_split(
+        kept, splits or {"train": 9000, "val": 500, "test": 500}
+    )
+    packed = None
+    names = sorted((splits or {"train": 9000, "val": 500, "test": 500}))
+    for name in names:
+        part = split_df.filter(F.col("split") == name)
+        p = pack_sequences(part, budget=pack_budget, shards=pack_shards)
+        p = p.withColumn("split", F.lit(name))
+        packed = p if packed is None else packed.unionByName(p)
+    assembled = split_df.select("doc_id", "split", "pred_lang", "quality_pct").join(
+        packed.select("doc_id", "shard", "n_tokens", "bin_idx", "bin_fill"),
+        on="doc_id",
+    )
+    return assembled, funnel

@@ -205,3 +205,32 @@ def test_leakage_safe_split_properties(spark):
 
     with _pytest.raises(ValueError):
         leakage_safe_split(docs, {"train": 9000, "val": 2000})
+
+
+def test_curate_to_training_assembly_composes(spark):
+    """Funnel -> leakage-safe split -> per-split packing, end to end."""
+    from red_seal_ocr_spark.operators.curate import curate_to_training_assembly
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assembled, funnel = curate_to_training_assembly(
+        docs, splits={"train": 8000, "val": 2000},
+        pack_budget=256, pack_shards=2, min_quality_pct=0,
+    )
+    rows = assembled.collect()
+    assert rows
+    stages = {r.stage: r.docs for r in funnel.collect()}
+    assert len(rows) == min(stages.values())  # every survivor assembled once
+    assert len({r.doc_id for r in rows}) == len(rows)
+    # bins never mix splits (packing ran per split)
+    seen = {}
+    for r in rows:
+        key = (r.split, r.shard, r.bin_idx)
+        seen.setdefault(key, set()).add(r.split)
+    assert all(len(v) == 1 for v in seen.values())
+    # multi-doc bins respect the budget
+    fills = {}
+    for r in rows:
+        fills.setdefault((r.split, r.shard, r.bin_idx), []).append(r)
+    for members in fills.values():
+        if len(members) > 1:
+            assert max(m.bin_fill for m in members) <= 256
