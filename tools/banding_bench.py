@@ -1,0 +1,84 @@
+"""Measure the LSH banding forms at tested vs production dims.
+
+The expression-form signature (`lsh_signature`) ships one literal array
+per hyperplane; the GEMM form (`lsh_signature_gemm_udf`) ships ONE
+broadcast matrix and does a BLAS matmul per Arrow batch.  At the tested
+32 bits x dim 64 both are fine; this tool records what happens at
+production 256 bits x dim 768 — the expression form's PLAN itself becomes
+the bottleneck (hundreds of thousands of literals through analysis +
+codegen), which is why `banding='gemm'` exists.
+
+Writes one JSON line; saved to BENCH/banding_bench.json by the Makefile-
+less convention `python tools/banding_bench.py > BENCH/banding_bench.json`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from red_seal_ocr_spark.operators.similarity import (
+        _hyperplanes,
+        lsh_signature,
+        lsh_signature_gemm_udf,
+    )
+    from red_seal_ocr_spark.session import get_spark
+
+    n_vec = int(os.environ.get("BANDING_BENCH_VECS", "20000"))
+    spark = get_spark("banding-bench", master=f"local[{os.cpu_count() or 32}]")
+    out: dict = {"n_vec": n_vec}
+    try:
+        for label, dim, bits in (("tested_32x64", 64, 32),
+                                 ("production_256x768", 768, 256)):
+            rng = np.random.Generator(np.random.PCG64(7))
+            rows = [(i, rng.standard_normal(dim).tolist()) for i in range(n_vec)]
+            emb = spark.createDataFrame(
+                rows, "vec_id bigint, embedding array<double>").cache()
+            emb.count()
+            planes = _hyperplanes(dim, bits, seed=1)
+
+            t0 = time.time()
+            sig = lsh_signature_gemm_udf(spark, planes, 4)
+            n = emb.select(F.explode(sig(F.col("embedding")))).count()
+            out[f"{label}_gemm_sec"] = round(time.time() - t0, 2)
+            assert n == n_vec * (bits // 4)
+
+            if label == "tested_32x64":
+                # expression form executed only at the tested config; at
+                # production dims the plan itself is the problem, so we
+                # record plan BUILD+ANALYSIS time there instead of
+                # executing (the plan-size unit test pins the explosion)
+                t0 = time.time()
+                n = emb.select(
+                    F.explode(lsh_signature(F.col("embedding"), planes, 4))
+                ).count()
+                out[f"{label}_expr_sec"] = round(time.time() - t0, 2)
+                assert n == n_vec * (bits // 4)
+            else:
+                t0 = time.time()
+                df = emb.select(
+                    F.explode(lsh_signature(F.col("embedding"), planes, 4)))
+                _ = df.schema  # force analysis of the ~200k-literal plan
+                out[f"{label}_expr_analysis_sec"] = round(time.time() - t0, 2)
+                out[f"{label}_expr_note"] = (
+                    "analysis only — execution not attempted at production "
+                    "dims (plan-literal form; banding='gemm' is the path)")
+            emb.unpersist()
+    finally:
+        spark.stop()
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
