@@ -289,15 +289,27 @@ def ivf_topk(
     )
 
 
+# above this many plan literals (n_bits * dim), the expression form's own
+# PLAN becomes the bottleneck: measured 102.8 s of analysis alone at
+# 256 x 768 vs 0.71 s total for the GEMM form (BENCH/banding_bench.json)
+_EXPR_LITERAL_BUDGET = 16384
+
+
 def _signature_col(spark, emb_col, planes, bits_per_band, banding):
     """Signature column in the chosen banding form: 'expr' (plan-literal
-    hyperplanes, IEEE-left-fold — the oracle-pinned default) or 'gemm'
-    (broadcast-matrix pandas UDF — the large-n_bits/dim scale path)."""
+    hyperplanes, IEEE-left-fold — the oracle-pinned form), 'gemm'
+    (broadcast-matrix pandas UDF — the large-n_bits/dim scale path), or
+    'auto' (expr while the literal count stays inside the plan budget,
+    gemm beyond it — tested configs keep their oracle-pinned expr form,
+    production dims get the scalable one without caller changes)."""
+    if banding == "auto":
+        n_lit = len(planes) * (len(planes[0]) if planes else 0)
+        banding = "expr" if n_lit <= _EXPR_LITERAL_BUDGET else "gemm"
     if banding == "expr":
         return lsh_signature(emb_col, planes, bits_per_band)
     if banding == "gemm":
         return lsh_signature_gemm_udf(spark, planes, bits_per_band)(emb_col)
-    raise ValueError(f"banding must be 'expr' or 'gemm', got {banding!r}")
+    raise ValueError(f"banding must be 'expr', 'gemm' or 'auto', got {banding!r}")
 
 
 def embedding_near_dups(
@@ -309,7 +321,7 @@ def embedding_near_dups(
     dim: int = 64,
     seed: int = 42,
     bits_per_band: int = 4,
-    banding: str = "expr",
+    banding: str = "auto",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the 5th dedup family).
 
@@ -371,7 +383,7 @@ def lsh_topk(
     dim: int = 64,
     seed: int = 42,
     bits_per_band: int = 4,
-    banding: str = "expr",
+    banding: str = "auto",
 ) -> DataFrame:
     """LSH-bucketed approximate cosine top-k (same output shape as
     :func:`cosine_topk`; recall < 1 by design, measured in tests)."""

@@ -489,3 +489,22 @@ def test_banding_switch_same_results_at_tested_config(spark):
 
     with pytest.raises(ValueError):
         embedding_near_dups(emb, banding="nope").collect()
+
+
+def test_banding_auto_selects_by_literal_budget(spark):
+    """'auto' keeps the oracle-pinned expr form at tested dims and flips
+    to gemm past the plan-literal budget — without caller changes."""
+    from red_seal_ocr_spark.operators.similarity import (
+        _EXPR_LITERAL_BUDGET,
+        _hyperplanes,
+        _signature_col,
+    )
+
+    small = _hyperplanes(64, 32, seed=1)       # 2048 literals -> expr
+    big = _hyperplanes(768, 256, seed=1)       # ~200k literals -> gemm
+    assert 64 * 32 <= _EXPR_LITERAL_BUDGET < 768 * 256
+    col_small = _signature_col(spark, F.col("embedding"), small, 4, "auto")
+    col_big = _signature_col(spark, F.col("embedding"), big, 4, "auto")
+    # the gemm form is a pandas-UDF column named sig; the expr form is not
+    assert str(col_big).startswith("Column<'sig(")
+    assert not str(col_small).startswith("Column<'sig(")
