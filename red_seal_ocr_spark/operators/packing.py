@@ -29,8 +29,10 @@ from pyspark.sql import functions as F
 
 from .textops import token_count
 
-PACKED_SCHEMA = (
-    "doc_id bigint, shard int, n_tokens int, bin_idx int, bin_fill int"
+# doc_id's type follows the input (the input_hint's doc_id is STRING;
+# synthetic tables use bigint — both must pack)
+PACKED_SCHEMA_TEMPLATE = (
+    "doc_id {id_type}, shard int, n_tokens int, bin_idx int, bin_fill int"
 )
 
 
@@ -84,7 +86,9 @@ def pack_sequences(
             }
         )
 
-    return counted.groupBy("shard").applyInPandas(pack, schema=PACKED_SCHEMA)
+    id_type = dict(counted.dtypes)["doc_id"]
+    return counted.groupBy("shard").applyInPandas(
+        pack, schema=PACKED_SCHEMA_TEMPLATE.format(id_type=id_type))
 
 
 def packing_stats(packed: DataFrame, budget: int = 2048) -> DataFrame:

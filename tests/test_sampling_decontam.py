@@ -234,3 +234,15 @@ def test_curate_to_training_assembly_composes(spark):
     for members in fills.values():
         if len(members) > 1:
             assert max(m.bin_fill for m in members) <= 256
+
+
+def test_pack_sequences_string_doc_ids(spark):
+    """The input_hint's doc_id is STRING — the packed schema must follow
+    the input id type (caught by the 50k assembly stress run)."""
+    from red_seal_ocr_spark.operators.packing import pack_sequences
+
+    rows = [(f"doc-{i:04d}", " ".join(["w"] * (20 + i))) for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    out = pack_sequences(docs, budget=64, shards=2).collect()
+    assert sorted(r.doc_id for r in out) == sorted(r[0] for r in rows)
+    assert all(isinstance(r.doc_id, str) for r in out)

@@ -1,0 +1,99 @@
+"""Training-assembly tier at stress scale: split + packing on 50k docs.
+
+Reuses curate_stress's deterministic 50k corpus (sf0.1 documents x10
+replicas with exact/near dups injected) and times the round-4 assembly
+operators at that scale:
+
+- ``leakage_safe_split``: one fingerprint groupBy + join; the leakage
+  guard (straddling groups) must be 0 at 50k as at 50.
+- ``pack_sequences``: sharded greedy fill; per-shard fill efficiency
+  must stay high (>= 85%) and every doc packed exactly once.
+
+Usage::
+
+    python tools/assembly_stress.py [--replicas 10] [--out BENCH/assembly_stress.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from curate_stress import build_corpus  # noqa: E402
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument("--out", default="BENCH/assembly_stress.json")
+    ap.add_argument("--master",
+                    default=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from red_seal_ocr_spark.operators.packing import pack_sequences, packing_stats
+    from red_seal_ocr_spark.operators.sampling import leakage_safe_split
+    from red_seal_ocr_spark.session import get_spark
+
+    report: dict = {"replicas": args.replicas}
+    spark = get_spark("assembly-stress", master=args.master)
+    try:
+        import tempfile
+
+        base = tempfile.mkdtemp(prefix="assembly_stress_")
+        corpus_path = f"{base}/corpus"
+        build_corpus(spark, args.replicas).write.parquet(corpus_path)
+        docs = spark.read.parquet(corpus_path)
+        n_docs = docs.count()
+        report["n_docs"] = n_docs
+
+        t0 = time.time()
+        s = leakage_safe_split(docs, {"train": 9000, "val": 500, "test": 500})
+        per_split = {r.split: r.n for r in
+                     s.groupBy("split").agg(F.count("*").alias("n")).collect()}
+        straddle = (
+            s.groupBy("fingerprint")
+            .agg(F.countDistinct("split").alias("k"))
+            .filter(F.col("k") > 1)
+            .count()
+        )
+        report["split_sec"] = round(time.time() - t0, 2)
+        report["split_counts"] = per_split
+        report["straddling_groups"] = straddle
+
+        t0 = time.time()
+        packed = pack_sequences(docs, budget=2048, shards=64)
+        stats = packing_stats(packed, budget=2048).collect()
+        n_packed = packed.count()
+        report["pack_sec"] = round(time.time() - t0, 2)
+        report["n_packed"] = n_packed
+        report["n_shards"] = len(stats)
+        report["total_bins"] = sum(r.n_bins for r in stats)
+        fills = [r.fill_bps for r in stats]
+        report["fill_bps_min"] = min(fills)
+        report["fill_bps_median"] = sorted(fills)[len(fills) // 2]
+
+        report["pass"] = bool(
+            straddle == 0
+            and n_packed == n_docs
+            and sum(per_split.values()) == n_docs
+            and report["fill_bps_min"] >= 8500
+        )
+    finally:
+        spark.stop()
+
+    out = json.dumps(report)
+    print(out)
+    with open(args.out, "w") as f:
+        f.write(out + "\n")
+    return 0 if report.get("pass") else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
