@@ -191,3 +191,66 @@ def winnowing_fingerprints(
         F.col(id_col),
         F.sort_array(F.array_distinct(mins)).alias("fingerprints"),
     )
+
+
+def repetition_scores(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Within-document repetition metrics (the Gopher-style repetition
+    filters: Rae et al. 2021 §A1.1 flag documents whose content repeats
+    itself — boilerplate, listings, spam).
+
+    Adds integer-scaled columns (deterministic for oracle comparison):
+
+    - ``n_lines`` / ``dup_line_pct``: fraction of non-empty lines that
+      are duplicates of an earlier line (floor percent);
+    - ``top_bigram_pct``: share of all word bigrams taken by the single
+      most frequent bigram (floor percent; 0 when < 2 tokens).
+
+    Scale shape: line metrics are pure expressions; the bigram mode
+    needs a per-(doc, bigram) count — explode + two map-side-combinable
+    aggregations keyed by doc_id, then a join back.  Bigrams reuse the
+    fixed-offset-slice construction (codegen-safe, see dedup._shingles).
+    """
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"),
+        lambda ln: F.length(F.trim(ln)) > 0,
+    )
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.size(toks) - F.lit(1)
+    shifted = [F.slice(toks, j + 1, F.size(toks)).alias(f"t{j}") for j in range(2)]
+    bigrams = F.when(n <= 0, F.array()).otherwise(
+        F.transform(
+            F.slice(F.arrays_zip(*shifted), 1, n),
+            lambda s: F.concat_ws(" ", s["t0"], s["t1"]),
+        )
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.size(F.array_distinct(lines)).alias("n_uniq_lines"),
+        bigrams.alias("bigrams"),
+    )
+    per_bigram = (
+        base.select(id_col, F.explode("bigrams").alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count("*").alias("c"))
+    )
+    top = per_bigram.groupBy(id_col).agg(
+        F.max("c").alias("top_c"), F.sum("c").alias("total_c")
+    )
+    return (
+        base.join(top, on=id_col, how="left")
+        .select(
+            id_col,
+            "n_lines",
+            F.when(
+                F.col("n_lines") > 0,
+                F.floor((F.col("n_lines") - F.col("n_uniq_lines")) * 100
+                        / F.col("n_lines")),
+            ).otherwise(F.lit(0)).cast("int").alias("dup_line_pct"),
+            F.when(
+                F.col("total_c").isNotNull(),
+                F.floor(F.col("top_c") * 100 / F.col("total_c")),
+            ).otherwise(F.lit(0)).cast("int").alias("top_bigram_pct"),
+        )
+    )

@@ -1220,3 +1220,50 @@ def _q53_oracle() -> str:
 
 
 ORACLE_SQL_2["q53_leakage_safe_split"] = _q53_oracle()
+
+
+def q54_repetition_filter(spark, sf):
+    """Gopher-style within-document repetition metrics (quality-filter
+    tier): duplicate-line fraction + top-bigram share per document.  The
+    oracle recomputes both from scratch in SQL (list ops + unnest-based
+    bigrams) — independent of the Spark expression/explode construction."""
+    from ..operators.textops import repetition_scores
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return repetition_scores(d).orderBy("doc_id")
+
+
+SPARK_QUERIES_2["q54_repetition_filter"] = q54_repetition_filter
+
+ORACLE_SQL_2["q54_repetition_filter"] = """
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split(text, chr(10)),
+                           x -> length(trim(x)) > 0) AS lines,
+               string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents
+        WHERE doc_id < 200
+    ),
+    bi AS (
+        SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+        FROM base, UNNEST(range(1, len(toks))) AS t(i)
+    ),
+    bc AS (
+        SELECT doc_id, bg, COUNT(*) AS c FROM bi GROUP BY doc_id, bg
+    ),
+    bt AS (
+        SELECT doc_id, MAX(c) AS top_c, SUM(c) AS total_c
+        FROM bc GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           len(b.lines) AS n_lines,
+           CAST(CASE WHEN len(b.lines) > 0
+                     THEN floor((len(b.lines) - len(list_distinct(b.lines)))
+                                * 100 / len(b.lines))
+                     ELSE 0 END AS INT) AS dup_line_pct,
+           CAST(CASE WHEN bt.total_c IS NOT NULL
+                     THEN floor(bt.top_c * 100 / bt.total_c)
+                     ELSE 0 END AS INT) AS top_bigram_pct
+    FROM base b LEFT JOIN bt ON b.doc_id = bt.doc_id
+    ORDER BY b.doc_id
+"""

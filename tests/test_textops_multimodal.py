@@ -330,3 +330,24 @@ def test_audio_metadata_on_real_wav_through_spark(spark):
     assert out["stereo"].ok and out["stereo"].n_samples == 800  # downmixed
     assert abs(out["stereo"].rms - 0.5) < 1e-3  # mean(0.25, 0.75)
     assert out["bad"].ok is False
+
+
+def test_repetition_scores_semantics(spark):
+    """Gopher-style repetition metrics: duplicate-line fraction and
+    top-bigram share, with degenerate inputs (empty, single token)."""
+    from red_seal_ocr_spark.operators.textops import repetition_scores
+
+    rows = [
+        (1, "a b c\na b c\na b c\nunique line"),
+        (2, "x y x y x y x y"),
+        (3, "all distinct words here"),
+        (4, ""),
+        (5, "one"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in repetition_scores(df).collect()}
+    assert (got[1].n_lines, got[1].dup_line_pct, got[1].top_bigram_pct) == (4, 50, 30)
+    assert (got[2].dup_line_pct, got[2].top_bigram_pct) == (0, 57)  # 4/7 bigrams
+    assert got[3].top_bigram_pct == 33  # 1/3, all distinct
+    assert tuple(got[4])[1:] == (0, 0, 0)
+    assert tuple(got[5])[1:] == (1, 0, 0)
