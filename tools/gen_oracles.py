@@ -421,6 +421,43 @@ def main() -> int:
     )
     print(f"q45: {len(cand_pairs)} candidates, {len(rows)} near-dup pairs")
 
+    # ---- q55: same corpus, signatures via an independent NumPy GEMM mirror -
+    # Mirrors the banding='gemm' path (lsh_signature_gemm_udf): sign bits
+    # from one float64 matmul against the hyperplane matrix, band values
+    # from a reshape @ bit-weight vector.  This is a re-derivation, not an
+    # import — candidate generation is checked in the GEMM float regime.
+    # Verify cosine stays the JVM IEEE left-fold (dot_seq), which the
+    # Spark verify stage uses regardless of banding.
+    P55 = np.asarray(planes, dtype=np.float64)
+    ids55 = sorted(corpus)
+    X55 = np.asarray([corpus[i] for i in ids55], dtype=np.float64)
+    bits55 = (X55 @ P55.T >= 0).astype(np.int64)
+    bands55 = bits55.reshape(len(ids55), len(planes) // 4, 4) @ (
+        1 << np.arange(4, dtype=np.int64)
+    )
+    buckets55: dict[tuple[int, int], list[int]] = {}
+    for vid, brow in zip(ids55, bands55):
+        for band, val in enumerate(brow):
+            buckets55.setdefault((band, int(val)), []).append(vid)
+    cand55 = set()
+    for ids in buckets55.values():
+        ids = sorted(ids)
+        for ii in range(len(ids)):
+            for jj in range(ii + 1, len(ids)):
+                cand55.add((ids[ii], ids[jj]))
+    rows55 = []
+    for a, b in sorted(cand55):
+        cos = dot_seq(corpus[a], corpus[b]) / (norm_seq(corpus[a]) * norm_seq(corpus[b]))
+        bps = math.floor(cos * 10000)
+        if bps >= 9900:
+            rows55.append((a, b, bps))
+    oracles["q55_near_dups_gemm"] = values_sql(
+        rows55, [("a_id", "BIGINT"), ("b_id", "BIGINT"), ("cos_bps", "INT")]
+    )
+    gemm_vs_expr = "identical" if set(rows55) == set(rows) else "DIFFERENT"
+    print(f"q55: {len(cand55)} candidates, {len(rows55)} pairs "
+          f"(vs q45 expr mirror: {gemm_vs_expr})")
+
     # ---- q35: curation funnel — stages 0-3 live SQL, stage 4 precomputed ---
     from red_seal_ocr_spark.plans.queries2 import _sql_marker_hits
     from red_seal_ocr_spark.operators.textops import LANG_MARKERS
