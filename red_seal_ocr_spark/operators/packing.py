@@ -42,10 +42,18 @@ def pack_sequences(
     shards: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
+    token_count_col: str | None = None,
 ) -> DataFrame:
     """(doc_id, shard, n_tokens, bin_idx, bin_fill) — deterministic greedy
     fill per shard.  ``bin_fill`` is the bin's running total AFTER this
-    document (the last doc of a bin carries the bin's final fill)."""
+    document (the last doc of a bin carries the bin's final fill).
+
+    ``token_count_col`` names a precomputed per-document token-count
+    column to bin by instead of the whitespace tokenizer — training
+    assembly bins by MODEL tokens, so callers feed e.g.
+    ``bpe_ish_token_count`` (textops.py) or a real tokenizer's counts
+    (VERDICT r04 #7).  The default keeps the whitespace count and the
+    unchanged q52 recursive-CTE oracle."""
     if budget <= 0:
         raise ValueError("budget must be positive")
     # md5-derived shard (not xxhash64): engine-portable, so the DuckDB
@@ -56,10 +64,14 @@ def pack_sequences(
         .cast("long"),
         F.lit(shards),
     ).cast("int")
+    n_tokens = (
+        F.col(token_count_col) if token_count_col is not None
+        else token_count(F.col(text_col))
+    )
     counted = docs.select(
         F.col(id_col).alias("doc_id"),
         shard.alias("shard"),
-        token_count(F.col(text_col)).cast("int").alias("n_tokens"),
+        n_tokens.cast("int").alias("n_tokens"),
     )
 
     def pack(pdf):

@@ -322,6 +322,7 @@ def embedding_near_dups(
     seed: int = 42,
     bits_per_band: int = 4,
     banding: str = "auto",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the 5th dedup family).
 
@@ -347,6 +348,12 @@ def embedding_near_dups(
                            bits_per_band, banding)
         ).alias("band", "bucket"),
     )
+    if max_bucket_size is not None:
+        # skew guard: an embedding hot spot (e.g. the zero/boilerplate
+        # vector) floods one sign-bucket per band; see dedup.drop_hot_buckets
+        from .dedup import drop_hot_buckets
+
+        banded = drop_hot_buckets(banded, ("band", "bucket"), max_bucket_size)
     a = banded.select(
         F.col("_id").alias("a_id"), F.col("_emb").alias("a_emb"), "band", "bucket"
     )

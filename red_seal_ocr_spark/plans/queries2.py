@@ -1297,3 +1297,121 @@ def q55_near_dups_gemm(spark, sf):
 
 
 SPARK_QUERIES_2["q55_near_dups_gemm"] = q55_near_dups_gemm
+
+
+def q56_video_stats(spark, sf):
+    """Video-tier correctness gate (VERDICT r04 #3): real RIFF/AVI MJPEG
+    payloads — uniform-gray frames, JPEG-encoded by the engine's own
+    encoder, AVI-muxed by encode_avi_mjpeg — demuxed and entropy-decoded
+    back by the engine's _parse_avi + decode_jpeg inside
+    ``video_frame_stats``'s mapInPandas stage.  The oracle is analytic:
+    DuckDB re-derives fps/frame-count/dims/per-frame mean from the
+    fixture formula alone — valid because uniform-gray 8-bit frames
+    round-trip the quality-90 JPEG path bit-exactly (all 256 values; the
+    DC quant step divides the scaled DC and Cb=Cr=128 is a fixed point
+    of the color transform), pinned by test_video_avi."""
+    import numpy as np
+
+    from ..operators.multimodal import encode_avi_mjpeg, video_frame_stats
+
+    rows = []
+    for i in range(6):
+        fps = 24 if i % 2 == 0 else 30
+        n_frames = 4 + i
+        w, h = 16 + 8 * (i % 3), 16
+        frames = [
+            np.full((h, w, 3), (i * 37 + j * 11) % 256, np.uint8)
+            for j in range(n_frames)
+        ]
+        rows.append((f"v{i}", encode_avi_mjpeg(frames, fps=fps)))
+    media = spark.createDataFrame(rows, "media_ref string, content binary")
+    return video_frame_stats(media).orderBy("media_ref", "frame_idx")
+
+
+SPARK_QUERIES_2["q56_video_stats"] = q56_video_stats
+
+ORACLE_SQL_2["q56_video_stats"] = """
+    WITH params(media_ref, fps, n_frames, w, h, i) AS (VALUES
+        ('v0', 24, 4, 16, 16, 0), ('v1', 30, 5, 24, 16, 1),
+        ('v2', 24, 6, 32, 16, 2), ('v3', 30, 7, 16, 16, 3),
+        ('v4', 24, 8, 24, 16, 4), ('v5', 30, 9, 32, 16, 5)
+    ),
+    f AS (
+        SELECT media_ref, fps, n_frames, w, h,
+               CAST(g.j AS INT) AS frame_idx,
+               ((i * 37 + g.j * 11) % 256) * 1000 AS mean_milli
+        FROM params, LATERAL (SELECT unnest(range(n_frames)) AS j) AS g
+    )
+    SELECT media_ref,
+           TRUE AS ok,
+           CAST(fps AS INT) AS fps,
+           CAST(n_frames AS INT) AS n_frames,
+           frame_idx,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(mean_milli AS BIGINT) AS mean_milli
+    FROM f
+    ORDER BY media_ref, frame_idx
+"""
+
+
+def q57_pdf_text(spark, sf):
+    """Layout-parse correctness gate (VERDICT r04 #4): real minimal PDFs
+    (catalog/pages/kids + per-page FlateDecode'd content streams, built
+    by encode_pdf) parsed back by the engine's stdlib zlib + content-
+    stream tokenizer inside ``pdf_text``'s mapInPandas stage — no PDF
+    library anywhere.  Alternating compressed/uncompressed streams, one
+    deliberately corrupt payload exercising the ok=false path.  The
+    oracle re-derives every page string from the fixture formula in SQL
+    (string_agg over an unnested page range) — fully analytic."""
+    from ..operators.multimodal import encode_pdf, pdf_text
+
+    rows = []
+    for i in range(6):
+        n_pages = 2 + (i % 3)
+        pages = [
+            f"doc {i} page {p}\ntokens {i * 10 + p}" for p in range(n_pages)
+        ]
+        rows.append((f"p{i}", encode_pdf(pages, compress=(i % 2 == 0))))
+    rows.append(("pbad", b"%PDF-1.4\nnot really a pdf"))
+    media = spark.createDataFrame(rows, "media_ref string, content binary")
+    # NULL-free projection: the gate canonicalizes Spark None and DuckDB
+    # NaN differently, so the failed row's fields are sentinel-coalesced
+    return (
+        pdf_text(media)
+        .select(
+            "media_ref", "ok",
+            F.coalesce("n_pages", F.lit(-1)).alias("n_pages"),
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.coalesce("n_chars", F.lit(-1)).alias("n_chars"),
+        )
+        .orderBy("media_ref")
+    )
+
+
+SPARK_QUERIES_2["q57_pdf_text"] = q57_pdf_text
+
+ORACLE_SQL_2["q57_pdf_text"] = """
+    WITH params(media_ref, i, n_pages) AS (VALUES
+        ('p0', 0, 2), ('p1', 1, 3), ('p2', 2, 4),
+        ('p3', 3, 2), ('p4', 4, 3), ('p5', 5, 4)
+    ),
+    pg AS (
+        SELECT media_ref, i, n_pages, CAST(g.p AS INT) AS p
+        FROM params, LATERAL (SELECT unnest(range(n_pages)) AS p) AS g
+    ),
+    txt AS (
+        SELECT media_ref, n_pages,
+               string_agg(
+                   'doc ' || i || ' page ' || p || chr(10)
+                       || 'tokens ' || (i * 10 + p),
+                   chr(10) ORDER BY p) AS text
+        FROM pg GROUP BY media_ref, n_pages
+    )
+    SELECT media_ref, TRUE AS ok, CAST(n_pages AS INT) AS n_pages,
+           text, CAST(length(text) AS INT) AS n_chars
+    FROM txt
+    UNION ALL
+    SELECT 'pbad', FALSE, -1, '', -1
+    ORDER BY media_ref
+"""

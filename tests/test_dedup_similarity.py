@@ -508,3 +508,63 @@ def test_banding_auto_selects_by_literal_budget(spark):
     # the gemm form is a pandas-UDF column named sig; the expr form is not
     assert str(col_big).startswith("Column<'sig(")
     assert not str(col_small).startswith("Column<'sig(")
+
+
+def test_drop_hot_buckets_skew_guard(spark):
+    """VERDICT r04 #5: a hot key (many exact copies) floods every band
+    bucket with its members; the cap drops those buckets while pairs in
+    cold buckets survive untouched."""
+    from red_seal_ocr_spark.operators.dedup import minhash_lsh_candidates
+
+    hot = [(100 + i, "hot boilerplate page repeated verbatim over and over "
+            "with the same tokens exactly") for i in range(20)]
+    near = [
+        (1, " ".join(f"token{i}" for i in range(120))),
+        (2, " ".join(f"token{i}" for i in range(119)) + " tokenX"),
+    ]
+    docs = spark.createDataFrame(hot + near, "doc_id bigint, text string")
+
+    uncapped = minhash_lsh_candidates(docs).collect()
+    hot_pairs = [r for r in uncapped if r.a_id >= 100]
+    assert len(hot_pairs) == 20 * 19 // 2  # quadratic in the hot mass
+
+    capped = minhash_lsh_candidates(docs, max_bucket_size=10).collect()
+    assert [r for r in capped if r.a_id >= 100] == []
+    cold = {(r.a_id, r.b_id) for r in capped if r.a_id < 100}
+    assert cold == {(1, 2)}  # cold-bucket pair survives with bands intact
+    cold_uncapped = {(r.a_id, r.b_id): r.n_bands for r in uncapped if r.a_id < 100}
+    cold_capped = {(r.a_id, r.b_id): r.n_bands for r in capped if r.a_id < 100}
+    assert cold_capped == cold_uncapped
+
+
+def test_simhash_and_embedding_bucket_caps(spark):
+    from red_seal_ocr_spark.operators.dedup import simhash_buckets
+    from red_seal_ocr_spark.operators.similarity import embedding_near_dups
+
+    hot = [(100 + i, " ".join(f"tok{j}" for j in range(80))) for i in range(12)]
+    docs = spark.createDataFrame(hot, "doc_id bigint, text string")
+    assert len(simhash_buckets(docs).collect()) == 12 * 11 // 2
+    assert simhash_buckets(docs, max_bucket_size=8).collect() == []
+
+    vecs = spark.createDataFrame(
+        [(i, [1.0, 0.5] * 32) for i in range(10)],
+        "vec_id bigint, embedding array<double>",
+    )
+    assert len(embedding_near_dups(vecs).collect()) == 10 * 9 // 2
+    assert embedding_near_dups(vecs, max_bucket_size=5).collect() == []
+
+
+def test_drop_hot_buckets_plan_is_broadcast_anti(spark):
+    """The guard must not re-shuffle the banded rows: hot-set join is a
+    broadcast left-anti."""
+    from red_seal_ocr_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g")], "doc_id bigint, text string"
+    )
+    out = minhash_lsh_candidates(docs, max_bucket_size=50)
+    out.collect()  # AQE finalizes the physical joins
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    assert anti and all("Broadcast" in ln for ln in anti), anti

@@ -1,0 +1,127 @@
+"""Real minimal PDF text extraction (VERDICT r04 #4).
+
+The layout tier's analog of the WAV/AVI tests: encode_pdf fixtures are
+parsed back by the engine's own stdlib zlib + content-stream tokenizer —
+no PDF library anywhere.  The pypdf branch stays the general-case
+fallback (contract-tested in test_textops_multimodal).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from red_seal_ocr_spark.operators.multimodal import (
+    _iter_pdf_pages,
+    _parse_pdf_text,
+    _pdf_content_text,
+    encode_pdf,
+    pdf_text,
+)
+
+
+def test_pdf_roundtrip_compressed_and_not():
+    pages = ["hello world\nline two", "page (two) \\ with specials", "third"]
+    for compress in (True, False):
+        got = list(_parse_pdf_text(encode_pdf(pages, compress=compress)))
+        assert got == pages, compress
+
+
+def test_content_text_escapes_octal_hex_tj_array():
+    s = rb"BT (par\(en\) back\\slash) Tj ET"
+    assert _pdf_content_text(s) == "par(en) back\\slash"
+    assert _pdf_content_text(rb"(\101\102\103) Tj") == "ABC"
+    assert _pdf_content_text(b"<48 65 6C6C 6F> Tj") == "Hello"
+    # TJ array: strings concatenated, kerning numbers dropped
+    assert _pdf_content_text(b"[(He) -20 (llo) 5 ( wo) (rld)] TJ") == "Hello world"
+    # quote operators imply a line break before the show
+    assert _pdf_content_text(b"(a) Tj (b) '") == "a\nb"
+
+
+def test_content_text_line_ops():
+    s = b"BT 72 720 Td (first) Tj T* (second) Tj 0 -14 TD (third) Tj ET"
+    assert _pdf_content_text(s) == "first\nsecond\nthird"
+
+
+def test_nested_kids_and_multi_content_streams():
+    """Hand-built PDF: pages tree with a nested intermediate node and a
+    page whose /Contents is an array of two streams."""
+    c1 = b"BT (part one ) Tj ET"
+    c2 = b"BT (part two) Tj ET"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",  # nested node
+        b"<< /Type /Page /Parent 3 0 R /Contents [5 0 R 6 0 R] >>",
+        b"<< /Length %d >>\nstream\n" % len(c1) + c1 + b"\nendstream",
+        b"<< /Length %d >>\nstream\n" % len(c2) + c2 + b"\nendstream",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for num, body in enumerate(objs, start=1):
+        out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+    out += b"trailer\n<< /Size 7 /Root 1 0 R >>\n%%EOF\n"
+    assert list(_parse_pdf_text(bytes(out))) == ["part one part two"]
+
+
+def test_pdf_error_contract():
+    with pytest.raises(ValueError):
+        list(_parse_pdf_text(b"not a pdf"))
+    with pytest.raises(ValueError):
+        list(_parse_pdf_text(b"%PDF-1.4\njunk with no objects"))
+    # corrupt flate body must raise, not return garbage
+    pdf = bytearray(encode_pdf(["some text that compresses"], compress=True))
+    i = pdf.find(b"stream\n", pdf.find(b"/FlateDecode")) + len(b"stream\n")
+    pdf[i : i + 4] = b"\x00\x00\x00\x00"
+    with pytest.raises(ValueError):
+        list(_parse_pdf_text(bytes(pdf)))
+    # truncation fuzz: every prefix either raises or yields only str pages
+    full = encode_pdf(["alpha", "beta"], compress=False)
+    for cut in range(8, len(full), 61):
+        try:
+            pages = list(_parse_pdf_text(full[:cut]))
+        except ValueError:
+            continue
+        assert all(isinstance(p, str) for p in pages)
+
+
+def test_iter_pdf_pages_prefers_own_parser(monkeypatch):
+    """%PDF payloads must NOT silently reroute to pypdf when importable —
+    the stdlib path is the in-sandbox real one; pypdf is the fallback for
+    grammar the minimal parser rejects."""
+    import sys
+    import types
+
+    from red_seal_ocr_spark.operators import multimodal as mm
+
+    calls = []
+
+    class FakeReader:
+        def __init__(self, bio):
+            calls.append("pypdf")
+            self.pages = []
+
+    fake = types.ModuleType("pypdf")
+    fake.PdfReader = FakeReader
+    monkeypatch.setitem(sys.modules, "pypdf", fake)
+    monkeypatch.setattr(mm, "HAVE_PDF_LIBS", True)
+    pdf = encode_pdf(["own parser wins"])
+    assert list(mm._iter_pdf_pages(pdf)) == ["own parser wins"]
+    assert calls == []
+    # unsupported filter -> falls back to pypdf when available
+    weird = pdf.replace(b"/Filter /FlateDecode", b"/Filter /LZWDecode\x20")
+    list(mm._iter_pdf_pages(weird))
+    assert calls == ["pypdf"]
+
+
+def test_pdf_text_through_spark(spark):
+    rows = [
+        ("p0", bytes(encode_pdf(["alpha\nbeta", "gamma"]))),
+        ("bad", b"%PDF-1.4\nbroken"),
+    ]
+    media = spark.createDataFrame(rows, "media_ref string, content binary")
+    got = {r.media_ref: r for r in pdf_text(media).collect()}
+    assert got["p0"].ok and got["p0"].n_pages == 2
+    assert got["p0"].text == "alpha\nbeta\ngamma"
+    assert got["p0"].n_chars == len("alpha\nbeta\ngamma")
+    assert got["bad"].ok is False

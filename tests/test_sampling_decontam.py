@@ -246,3 +246,31 @@ def test_pack_sequences_string_doc_ids(spark):
     out = pack_sequences(docs, budget=64, shards=2).collect()
     assert sorted(r.doc_id for r in out) == sorted(r[0] for r in rows)
     assert all(isinstance(r.doc_id, str) for r in out)
+
+
+def test_pack_sequences_by_bpe_ish_counts(spark):
+    """token_count_col (VERDICT r04 #7): packing bins by a precomputed
+    model-token count column instead of the whitespace tokenizer."""
+    from pyspark.sql import functions as F
+
+    from red_seal_ocr_spark.operators.packing import pack_sequences
+    from red_seal_ocr_spark.operators.textops import bpe_ish_token_count
+
+    rows = [(i, "hyphenated-words don't tokenize 1:1 with whitespace "
+             + "x" * (10 * i)) for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string").withColumn(
+        "model_tokens", bpe_ish_token_count(F.col("text"))
+    )
+    out = pack_sequences(docs, budget=64, shards=2,
+                         token_count_col="model_tokens").collect()
+    expected = {r.doc_id: r.model_tokens for r in docs.collect()}
+    assert {r.doc_id: r.n_tokens for r in out} == expected
+    # greedy-fill invariants hold under the swapped count
+    for shard in {r.shard for r in out}:
+        group = sorted((r for r in out if r.shard == shard),
+                       key=lambda r: r.doc_id)
+        fill = 0
+        for r in group:
+            fill = r.n_tokens if (fill and fill + r.n_tokens > 64) else fill + r.n_tokens
+            assert r.bin_fill == fill
+            assert r.bin_fill <= 64 or r.bin_fill == r.n_tokens

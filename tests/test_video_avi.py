@@ -1,0 +1,120 @@
+"""Real RIFF/AVI MJPEG video decode (VERDICT r04 #3).
+
+The video tier's analog of the WAV tests: encode_avi_mjpeg fixtures are
+demuxed by the engine's own RIFF walk and entropy-decoded by its JPEG
+codec — no video library anywhere.  Reference parity: the reference
+decodes media via PIL/ffmpeg bindings (src/preprocess.py:335-361); here
+both the container walk and the JPEG decode are in-engine.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from red_seal_ocr_spark.functions.jpeg import decode_jpeg, encode_jpeg
+from red_seal_ocr_spark.operators.multimodal import (
+    _iter_video_frames,
+    _parse_avi,
+    encode_avi_mjpeg,
+    sample_video_frames,
+    video_frame_stats,
+)
+
+
+def _gray_frames(values, h=16, w=24):
+    return [np.full((h, w, 3), v, np.uint8) for v in values]
+
+
+def test_avi_roundtrip_header_and_frames():
+    frames = _gray_frames([10, 100, 200, 250], h=16, w=32)
+    avi = encode_avi_mjpeg(frames, fps=30)
+    fps, w, h, blobs = _parse_avi(avi)
+    assert (fps, w, h, len(blobs)) == (30.0, 32, 16, 4)
+    for v, blob in zip([10, 100, 200, 250], blobs):
+        img = decode_jpeg(blob)
+        assert img.shape == (16, 32, 3)
+        assert (img == v).all()
+
+
+def test_uniform_gray_jpeg_roundtrip_exact_all_values():
+    """The q56 oracle's validity pin: every 8-bit uniform gray frame
+    round-trips the quality-90 JPEG path bit-exactly (DC quant step
+    divides the scaled DC; Cb=Cr=128 is a color-transform fixed point)."""
+    for v in range(256):
+        img = np.full((8, 8, 3), v, np.uint8)
+        assert (decode_jpeg(encode_jpeg(img)) == v).all(), v
+
+
+def test_iter_video_frames_avi_yields_png():
+    avi = encode_avi_mjpeg(_gray_frames([5, 50]), fps=24)
+    pngs = list(_iter_video_frames(avi))
+    assert len(pngs) == 2
+    for blob, v in zip(pngs, [5, 50]):
+        assert blob[:4] == b"\x89PNG"
+        from red_seal_ocr_spark.functions.png import decode_png
+
+        assert (decode_png(blob) == v).all()
+
+
+def test_avi_truncation_fuzz_raises():
+    avi = encode_avi_mjpeg(_gray_frames([10, 100, 200]), fps=24)
+    for cut in range(8, len(avi) - 1, 97):
+        with pytest.raises(ValueError):
+            _parse_avi(avi[:cut])
+    with pytest.raises(ValueError):
+        _parse_avi(b"RIFF\x00\x00\x00\x00WAVE")  # wrong form type
+    with pytest.raises(ValueError):
+        _parse_avi(b"")
+
+
+def test_avi_frame_count_mismatch_raises():
+    avi = bytearray(encode_avi_mjpeg(_gray_frames([10, 100]), fps=24))
+    # corrupt avih dwTotalFrames (hdrl LIST body: 'hdrl' + 'avih' + size)
+    i = avi.find(b"avih") + 8 + 16
+    avi[i : i + 4] = struct.pack("<I", 99)
+    with pytest.raises(ValueError, match="frame count mismatch"):
+        _parse_avi(bytes(avi))
+
+
+def test_avi_skips_non_video_stream_chunks():
+    """An interleaved '01wb' audio chunk in movi must not be counted as a
+    frame of the vids stream (header count still matches)."""
+    avi = bytearray(encode_avi_mjpeg(_gray_frames([10, 100]), fps=24))
+    movi = avi.find(b"movi")
+    extra = b"01wb" + struct.pack("<I", 4) + b"\x00\x01\x02\x03"
+    out = avi[: movi + 4] + bytearray(extra) + avi[movi + 4 :]
+    # fix the sizes: movi LIST size and RIFF size grow by len(extra)
+    (lsz,) = struct.unpack("<I", out[movi - 4 : movi])
+    out[movi - 4 : movi] = struct.pack("<I", lsz + len(extra))
+    (rsz,) = struct.unpack("<I", out[4:8])
+    out[4:8] = struct.pack("<I", rsz + len(extra))
+    fps, _, _, blobs = _parse_avi(bytes(out))
+    assert len(blobs) == 2
+    assert (decode_jpeg(blobs[0]) == 10).all()
+
+
+def test_sample_video_frames_on_avi_through_spark(spark):
+    rows = [
+        ("v0", bytes(encode_avi_mjpeg(_gray_frames([10, 60, 110, 160]), fps=24))),
+        ("bad", b"RIFF\x08\x00\x00\x00AVI corrupt"),
+    ]
+    media = spark.createDataFrame(rows, "media_ref string, content binary")
+    out = sample_video_frames(media, every_nth=2).orderBy("media_ref", "frame_idx")
+    got = out.collect()
+    by_ref = {}
+    for r in got:
+        by_ref.setdefault(r.media_ref, []).append(r)
+    assert [r.frame_idx for r in by_ref["v0"]] == [0, 2]
+    assert all(r.ok for r in by_ref["v0"])
+    assert by_ref["bad"][0].ok is False
+
+
+def test_video_frame_stats_through_spark(spark):
+    rows = [("v0", bytes(encode_avi_mjpeg(_gray_frames([7, 77], h=8, w=16), fps=30)))]
+    media = spark.createDataFrame(rows, "media_ref string, content binary")
+    got = video_frame_stats(media).orderBy("frame_idx").collect()
+    assert [(r.fps, r.n_frames, r.frame_idx, r.width, r.height, r.mean_milli)
+            for r in got] == [(30, 2, 0, 16, 8, 7000), (30, 2, 1, 16, 8, 77000)]

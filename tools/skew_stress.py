@@ -1,0 +1,181 @@
+"""Dedup-tier skew stress (VERDICT r04 #5): inject a 10%-mass hot key into
+the 50k stress corpus and measure exact dedup, LSH banding (capped vs
+uncapped), and the CC loop, hot vs uniform.
+
+Real corpora have hot keys: empty/boilerplate documents collapse to one
+fingerprint, and a viral page floods one band bucket.  The quadratic
+stage is the banded self-join — b identical docs collide in EVERY band,
+emitting bands*b^2/2 join rows before the pair groupBy.  At 10%-mass of
+10^12 docs that is ~10^22 rows: the job never finishes.  The mitigation
+is ``drop_hot_buckets`` (operators/dedup.py): bucket-size aggregate
+(map-side combinable, same keys as the join) -> tiny over-cap set ->
+broadcast left-anti.  Exact dedup's hot fingerprint group is O(b) and
+needs no salting (AQE splits oversized partitions; the aggregate is
+map-side combinable so the hot key arrives pre-reduced ~once per input
+partition).  The CC loop never sees hot mass when the cap is on: exact
+duplicates are removed by the exact pass before LSH.
+
+Writes BENCH/skew_stress.json with per-stage wall times hot vs uniform.
+
+Usage::
+
+    python tools/skew_stress.py [--replicas 10] [--cap 64]
+                                [--out BENCH/skew_stress.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HOT_TEXT = ("subscribe to our newsletter terms of service privacy policy "
+            "all rights reserved cookie settings contact us about careers "
+            "follow us on social media copyright twenty twenty four")
+
+
+def build_corpus(spark, replicas: int, hot_pct: int):
+    """(doc_id, text): sf0.1 documents x replicas; hot_pct% of rows are the
+    SAME boilerplate text (the hot key), the rest made pairwise distinct
+    by a per-replica marker spliced every 4 tokens (breaks all 3-gram
+    shingles between replicas, same construction as curate_stress)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    reps = spark.range(replicas).select(F.col("id").cast("int").alias("rep"))
+    x = docs.crossJoin(F.broadcast(reps))
+    kind = F.pmod(F.xxhash64("doc_id", "rep"), F.lit(100))
+    toks = F.split(F.col("text"), " ")
+    marker = F.concat(F.lit("zrep"), F.col("rep").cast("string"), F.lit("q"))
+    distinct_text = F.array_join(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.ceil(F.size(toks) / 4).cast("int") - 1),
+                lambda b: F.concat(F.slice(toks, b * 4 + 1, 4), F.array(marker)),
+            )
+        ),
+        " ",
+    )
+    text = F.when(kind < hot_pct, F.lit(HOT_TEXT)).otherwise(distinct_text)
+    return x.select(
+        F.concat(F.col("doc_id").cast("string"), F.lit("-r"),
+                 F.col("rep").cast("string")).alias("doc_id"),
+        text.alias("text"),
+    )
+
+
+def run_variant(spark, docs, cap: int, uncapped_lsh: bool) -> dict:
+    from pyspark.sql import functions as F
+
+    from red_seal_ocr_spark.operators.dedup import (
+        duplicate_clusters,
+        exact_dedup,
+        minhash_lsh_candidates,
+    )
+
+    out: dict = {}
+    t0 = time.time()
+    groups = exact_dedup(docs, "doc_id", "text").cache()
+    out["exact_groups"] = groups.count()
+    out["exact_max_group"] = (groups.agg(F.max("n_dups")).first()[0] or 0)
+    out["exact_dedup_sec"] = round(time.time() - t0, 2)
+
+    # dedupe exact mass first (the production order; the cap's recall
+    # argument rests on this pass having already handled identical docs)
+    losers = groups.select(
+        F.explode(F.expr("slice(doc_ids, 2, size(doc_ids))")).alias("doc_id")
+    )
+    deduped = docs.join(losers, on="doc_id", how="left_anti").cache()
+    out["n_after_exact"] = deduped.count()
+    groups.unpersist()
+
+    if uncapped_lsh:
+        t0 = time.time()
+        out["lsh_uncapped_pairs"] = minhash_lsh_candidates(docs).count()
+        out["lsh_uncapped_sec"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    pairs = minhash_lsh_candidates(
+        deduped, max_bucket_size=cap).select("a_id", "b_id").cache()
+    out["lsh_capped_pairs"] = pairs.count()
+    out["lsh_capped_sec"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    clusters = duplicate_clusters(pairs, partitions=32)
+    out["cc_clusters"] = clusters.select("cluster_id").distinct().count()
+    out["cc_sec"] = round(time.time() - t0, 2)
+    pairs.unpersist()
+    deduped.unpersist()
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument("--hot-pct", type=int, default=10)
+    ap.add_argument("--cap", type=int, default=64)
+    ap.add_argument("--skip-uncapped-hot", action="store_true",
+                    help="skip the deliberately-quadratic uncapped hot run")
+    ap.add_argument("--out", default="BENCH/skew_stress.json")
+    ap.add_argument("--master",
+                    default=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+    args = ap.parse_args()
+
+    from red_seal_ocr_spark.session import get_spark
+
+    report: dict = {"sf_dir": SF_DIR, "replicas": args.replicas,
+                    "hot_pct": args.hot_pct, "cap": args.cap}
+    spark = get_spark("skew-stress", master=args.master)
+    try:
+        import tempfile
+
+        base = tempfile.mkdtemp(prefix="skew_stress_")
+        for name, hot_pct in (("uniform", 0), ("hot", args.hot_pct)):
+            path = f"{base}/{name}"
+            build_corpus(spark, args.replicas, hot_pct).write.parquet(path)
+            docs = spark.read.parquet(path)
+            n = docs.count()
+            uncapped = name == "uniform" or not args.skip_uncapped_hot
+            report[name] = {"n_docs": n,
+                            **run_variant(spark, docs, args.cap, uncapped)}
+            print(f"{name}: {json.dumps(report[name])}")
+    finally:
+        spark.stop()
+
+    u, h = report["uniform"], report["hot"]
+    report["summary"] = {
+        "hot_mass_docs": h["exact_max_group"],
+        "uncapped_pair_blowup": (
+            None if "lsh_uncapped_pairs" not in h
+            else round(h["lsh_uncapped_pairs"] / max(1, u["lsh_uncapped_pairs"]), 1)
+        ),
+        "capped_hot_vs_uniform_sec": round(
+            h["lsh_capped_sec"] / max(1e-9, u["lsh_capped_sec"]), 2
+        ),
+        "mitigations": {
+            "exact_dedup": "map-side-combinable groupBy; AQE splits the hot "
+                           "partition; no salting needed at O(b) per key",
+            "lsh_banding": "drop_hot_buckets cap (aggregate -> broadcast "
+                           "left-anti); exact pass runs first so capped "
+                           "buckets are residual boilerplate, not lost recall",
+            "cc_loop": "hot mass never reaches CC (removed by exact pass); "
+                       "label frames stay proportional to true near-dup pairs",
+        },
+    }
+    Path(args.out).write_text(json.dumps(report, indent=1))
+    print(json.dumps(report["summary"], indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
