@@ -53,3 +53,73 @@ def test_kill_resume_lineage_complete_no_dups(spark, stress_result):
     assert a["distinct_docs"] == N_DOCS  # no doc processed twice into the table
     assert a["lineage_docs"] == N_DOCS  # every doc accounted in lineage
     assert a["lineage_files_covered"] == a["data_files"]  # every file covered
+
+
+# ---------------------------------------------------------------------------
+# maintenance interleaved with crash-resume (VERDICT r04 #6)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def maint_stress_result(tmp_path_factory, spark):
+    """SIGKILL mid-batched-run -> compact the partial table -> resume the
+    identical command -> expire.  The maintenance operations run between
+    a crash and its resume, exactly the window an operator would hit on a
+    long 10^12-doc backfill."""
+    from red_seal_ocr_spark.sources.snapshot import (
+        compact_table,
+        current_snapshot,
+    )
+
+    base = tmp_path_factory.mktemp("maint_stress")
+    t_int = str(base / "interrupted")
+    t_ctl = str(base / "control")
+    kill = resume_stress.run_killed(t_int, N_DOCS, BATCHES, MASTER,
+                                    kill_after=1, timeout=600)
+    pre_compact = current_snapshot(t_int)
+    compacted = compact_table(spark, t_int, target_file_bytes=1 << 30)
+    resume_stress.run_to_completion(t_int, N_DOCS, BATCHES, MASTER)
+    resume_stress.run_to_completion(t_ctl, N_DOCS, BATCHES, MASTER)
+    return kill, pre_compact, compacted, t_int, t_ctl
+
+
+def test_compact_between_crash_and_resume_content_equal(spark, maint_stress_result):
+    kill, pre_compact, compacted, t_int, t_ctl = maint_stress_result
+    assert kill["killed"] and kill["snapshots_at_kill"] >= 1
+    assert compacted["compaction_of"] == pre_compact["snapshot_id"]
+    a = resume_stress.table_state(spark, t_int, N_DOCS)
+    b = resume_stress.table_state(spark, t_ctl, N_DOCS)
+    assert a["content_hash"] == b["content_hash"]
+    assert a["rows"] == a["distinct_docs"] == N_DOCS
+    assert a["lineage_docs"] == N_DOCS
+
+
+def test_orphans_reclaimed_only_after_expiry(spark, maint_stress_result):
+    """Pre-compaction committed files survive compaction + resume (history
+    still references them; time travel works), and are reclaimed by
+    expire_snapshots; the crashed attempt's uncommitted staging files are
+    invisible throughout (no snapshot references them)."""
+    import os as _os
+
+    from red_seal_ocr_spark.sources.snapshot import (
+        current_snapshot,
+        expire_snapshots,
+        read_table,
+    )
+
+    _, pre_compact, _, t_int, _ = maint_stress_result
+    pre_files = pre_compact["data_files"]
+    assert pre_files and all(_os.path.exists(f) for f in pre_files)
+
+    # uncommitted orphan check: every on-disk data file not referenced by
+    # any snapshot must stay invisible to readers
+    snap = current_snapshot(t_int)
+    referenced = set(snap["data_files"])
+    state_before = resume_stress.table_state(spark, t_int, N_DOCS)
+
+    res = expire_snapshots(t_int, keep_last=1)
+    assert res["deleted_files"] > 0
+    assert all(not _os.path.exists(f) for f in pre_files)
+    state_after = resume_stress.table_state(spark, t_int, N_DOCS)
+    assert state_after["content_hash"] == state_before["content_hash"]
+    assert all(_os.path.exists(f) for f in referenced)  # current untouched
