@@ -1415,3 +1415,30 @@ ORACLE_SQL_2["q57_pdf_text"] = """
     SELECT 'pbad', FALSE, -1, '', -1
     ORDER BY media_ref
 """
+
+
+def q58_lsh_capped(spark, sf):
+    """The drop_hot_buckets skew guard driven through the driver gate:
+    documents plus an injected 30-copy hot key (one boilerplate text —
+    identical signatures flood every band bucket), capped at
+    max_bucket_size=20.  The oracle (tools/gen_oracles.py) re-derives the
+    capped candidate set in the independent pure-Python XXH64 mirror with
+    the same cap rule — at generation time it prints how many pairs the
+    cap removed (the 30-copy hot mass alone is 435 pairs/band)."""
+    from ..operators.dedup import minhash_lsh_candidates
+
+    hot_text = ("subscribe to our newsletter terms of service privacy policy "
+                "all rights reserved cookie settings contact us")
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    hot = spark.range(30).select(
+        (F.col("id") + 100000).alias("doc_id"), F.lit(hot_text).alias("text")
+    )
+    corpus = d.unionByName(hot)
+    return minhash_lsh_candidates(corpus, max_bucket_size=20).orderBy(
+        "a_id", "b_id"
+    )
+
+
+SPARK_QUERIES_2["q58_lsh_capped"] = q58_lsh_capped

@@ -90,8 +90,12 @@ def minhash_signature(text: str, num_hashes: int = 32, k: int = 3) -> list[int]:
 
 
 def minhash_lsh_candidates(docs: dict[int, str], num_hashes: int = 32,
-                           bands: int = 8, k: int = 3) -> list[tuple[int, int, int]]:
-    """(a_id, b_id, n_bands) — the python twin of dedup.minhash_lsh_candidates."""
+                           bands: int = 8, k: int = 3,
+                           max_bucket_size: int | None = None,
+                           ) -> list[tuple[int, int, int]]:
+    """(a_id, b_id, n_bands) — the python twin of dedup.minhash_lsh_candidates.
+    ``max_bucket_size`` mirrors the drop_hot_buckets skew guard: buckets
+    over the cap contribute NO pairs (and no n_bands increments)."""
     rows_per_band = num_hashes // bands
     buckets: dict[tuple[int, int], list[int]] = {}
     for doc_id, text in docs.items():
@@ -101,6 +105,8 @@ def minhash_lsh_candidates(docs: dict[int, str], num_hashes: int = 32,
             buckets.setdefault((b, bucket), []).append(doc_id)
     pair_bands: dict[tuple[int, int], int] = {}
     for ids in buckets.values():
+        if max_bucket_size is not None and len(ids) > max_bucket_size:
+            continue
         ids = sorted(ids)
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
@@ -342,6 +348,19 @@ def main() -> int:
         rows, [("a_id", "BIGINT"), ("b_id", "BIGINT"), ("n_bands", "BIGINT")]
     )
     print(f"q23: {len(rows)} candidate pairs")
+
+    # ---- q58: capped LSH over docs200 + an injected 30-copy hot key --------
+    HOT58 = ("subscribe to our newsletter terms of service privacy policy "
+             "all rights reserved cookie settings contact us")
+    corpus58 = dict(docs200)
+    corpus58.update({100000 + i: HOT58 for i in range(30)})
+    uncapped58 = minhash_lsh_candidates(corpus58)
+    rows = minhash_lsh_candidates(corpus58, max_bucket_size=20)
+    oracles["q58_lsh_capped"] = values_sql(
+        rows, [("a_id", "BIGINT"), ("b_id", "BIGINT"), ("n_bands", "BIGINT")]
+    )
+    print(f"q58: {len(rows)} capped pairs (uncapped {len(uncapped58)}; "
+          f"cap removed {len(uncapped58) - len(rows)})")
 
     # ---- q24: simhash over doc_id < 100 ------------------------------------
     rows = [(i, simhash64(t)) for i, t in docs200.items() if i < 100]
