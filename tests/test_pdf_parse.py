@@ -125,3 +125,11 @@ def test_pdf_text_through_spark(spark):
     assert got["p0"].text == "alpha\nbeta\ngamma"
     assert got["p0"].n_chars == len("alpha\nbeta\ngamma")
     assert got["bad"].ok is False
+
+
+def test_pdf_line_continuation_and_whitespace_hex():
+    """Backslash-newline in literal strings is a continuation (no char);
+    hex strings may contain whitespace and an odd digit pads with 0."""
+    assert _pdf_content_text(b"(split\\\nword) Tj") == "splitword"
+    assert _pdf_content_text(b"< 48 6 5 6 C 6C 6 F > Tj") == "Hello"
+    assert _pdf_content_text(b"<414> Tj") == "A@"

@@ -118,3 +118,13 @@ def test_video_frame_stats_through_spark(spark):
     got = video_frame_stats(media).orderBy("frame_idx").collect()
     assert [(r.fps, r.n_frames, r.frame_idx, r.width, r.height, r.mean_milli)
             for r in got] == [(30, 2, 0, 16, 8, 7000), (30, 2, 1, 16, 8, 77000)]
+
+
+def test_avi_fractional_fps_rational():
+    """NTSC-style dwScale/dwRate rationals (30000/1001) survive the parse
+    as a float fps."""
+    avi = bytearray(encode_avi_mjpeg(_gray_frames([10]), fps=30))
+    i = avi.find(b"strh") + 8 + 20  # dwScale offset inside strh body
+    avi[i : i + 8] = struct.pack("<II", 1001, 30000)
+    fps, _, _, blobs = _parse_avi(bytes(avi))
+    assert abs(fps - 29.97) < 0.01 and len(blobs) == 1
