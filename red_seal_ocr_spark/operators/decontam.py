@@ -41,11 +41,28 @@ def contamination_pairs(
     text_col: str = "text",
     shingle_k: int = 8,
     min_shared: int = 3,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """(train_id, bench_id, n_shared) for pairs sharing >= ``min_shared``
-    distinct k-token shingles."""
+    distinct k-token shingles.
+
+    ``max_shingle_df`` is the join's skew guard (the decontam analog of
+    ``dedup.drop_hot_buckets``, which it reuses verbatim on the shingle
+    key): a boilerplate shingle present in df_t train docs and df_b bench
+    docs fans the equi-join out df_t*df_b rows — one viral phrase shared
+    by 10^9 train docs makes the stage unrunnable.  Capping TRAIN-side
+    document frequency drops those shingles before the join; this is the
+    standard published decontam rule (GPT-3 appendix C excludes the most
+    common n-grams for exactly this reason), and what it costs is only
+    pairs whose overlap was boilerplate, which ``min_shared`` is there to
+    reject anyway.  Mass bound for the broadcast: #hot shingles <=
+    total_shingle_occurrences / cap, tiny at any production cap."""
+    from .dedup import drop_hot_buckets
+
     t = _exploded_shingles(train, train_id, "train_id", text_col, shingle_k)
     b = _exploded_shingles(bench, bench_id, "bench_id", text_col, shingle_k)
+    if max_shingle_df is not None:
+        t = drop_hot_buckets(t, ("shingle_key",), max_shingle_df)
     return (
         t.join(b, on="shingle_key")
         .groupBy("train_id", "bench_id")
@@ -62,9 +79,11 @@ def decontaminate(
     text_col: str = "text",
     shingle_k: int = 8,
     min_shared: int = 3,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Drop contaminated training documents (anti-join on the pair set)."""
     bad = contamination_pairs(
-        train, bench, train_id, bench_id, text_col, shingle_k, min_shared
+        train, bench, train_id, bench_id, text_col, shingle_k, min_shared,
+        max_shingle_df,
     ).select(F.col("train_id").alias(train_id)).distinct()
     return train.join(bad, on=train_id, how="left_anti")

@@ -274,3 +274,36 @@ def test_pack_sequences_by_bpe_ish_counts(spark):
             fill = r.n_tokens if (fill and fill + r.n_tokens > 64) else fill + r.n_tokens
             assert r.bin_fill == fill
             assert r.bin_fill <= 64 or r.bin_fill == r.n_tokens
+
+
+def test_decontam_shingle_df_cap(spark):
+    """max_shingle_df: a boilerplate 8-gram shared by many train docs and
+    a benchmark doc must not flood the join — with the cap, pairs whose
+    overlap was only boilerplate drop below min_shared while genuine
+    contamination (unique shingles) is preserved."""
+    from red_seal_ocr_spark.operators.decontam import (
+        contamination_pairs,
+        decontaminate,
+    )
+
+    boiler = "all rights reserved subscribe to our newsletter today friends"
+    secret = ("the quick brown fox jumps over the lazy dog and then naps "
+              "under the old oak tree near the river bank at dusk")
+    train_rows = [(i, f"doc {i} unique body zz{i} " + boiler) for i in range(40)]
+    train_rows.append((999, secret))  # verbatim benchmark leak
+    bench_rows = [(1, boiler + " benchmark question one"), (2, secret)]
+    train = spark.createDataFrame(train_rows, "doc_id bigint, text string")
+    bench = spark.createDataFrame(bench_rows, "doc_id bigint, text string")
+
+    uncapped = contamination_pairs(train, bench, min_shared=1).collect()
+    assert {r.train_id for r in uncapped} >= set(range(40)) | {999}
+
+    capped = contamination_pairs(train, bench, min_shared=1,
+                                 max_shingle_df=10).collect()
+    capped_ids = {r.train_id for r in capped}
+    assert 999 in capped_ids            # the real leak survives the cap
+    assert capped_ids.isdisjoint(range(40))  # boilerplate-only pairs gone
+
+    kept = decontaminate(train, bench, min_shared=1, max_shingle_df=10)
+    kept_ids = {r.doc_id for r in kept.collect()}
+    assert 999 not in kept_ids and set(range(40)) <= kept_ids
