@@ -391,9 +391,13 @@ def lsh_topk(
     seed: int = 42,
     bits_per_band: int = 4,
     banding: str = "auto",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH-bucketed approximate cosine top-k (same output shape as
-    :func:`cosine_topk`; recall < 1 by design, measured in tests)."""
+    :func:`cosine_topk`; recall < 1 by design, measured in tests).
+    ``max_bucket_size`` caps CANDIDATE-side bucket size (drop_hot_buckets
+    skew guard): one hot candidate bucket fans out against every query
+    that lands in it."""
     planes = _hyperplanes(dim, n_bits, seed)
 
     def with_bands(df: DataFrame, prefix: str) -> DataFrame:
@@ -411,6 +415,10 @@ def lsh_topk(
 
     qb = with_bands(queries, "q")
     cb = with_bands(candidates, "c")
+    if max_bucket_size is not None:
+        from .dedup import drop_hot_buckets
+
+        cb = drop_hot_buckets(cb, ("band", "bucket"), max_bucket_size)
     cand_pairs = (
         qb.join(cb, on=["band", "bucket"])
         .filter(F.col("q_id") != F.col("c_id"))

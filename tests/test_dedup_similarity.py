@@ -568,3 +568,17 @@ def test_drop_hot_buckets_plan_is_broadcast_anti(spark):
     assert "LeftAnti" in plan
     anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
     assert anti and all("Broadcast" in ln for ln in anti), anti
+
+
+def test_lsh_topk_candidate_bucket_cap(spark):
+    from red_seal_ocr_spark.operators.similarity import lsh_topk
+
+    hot = spark.createDataFrame(
+        [(i, [1.0, 0.5] * 32) for i in range(100, 120)],
+        "vec_id bigint, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.5] * 32)], "vec_id bigint, embedding array<double>"
+    )
+    assert lsh_topk(q, hot, k=5).count() == 5
+    assert lsh_topk(q, hot, k=5, max_bucket_size=10).count() == 0
