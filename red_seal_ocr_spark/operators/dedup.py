@@ -136,6 +136,15 @@ def drop_hot_buckets(banded: DataFrame, keys: tuple, max_bucket_size: int) -> Da
     construction FEW (sum of sizes <= corpus), so the hot set broadcasts
     and the drop is a broadcast left-anti join — no second shuffle of the
     banded rows.
+
+    Known trade (measured, PLANS.md section 12): inside a band-once
+    SELF-join, the broadcast-anti subtree defeats Catalyst's
+    ReusedExchange canonicalization, so the signature expression computes
+    once per join branch instead of once total.  Acceptable on purpose:
+    banding is the cheap stage (one GEMM per batch on the gemm path) and
+    the cap exists for regimes where the O(b^2) bucket join — not
+    signature cost — is what kills the job; the default (cap off) keeps
+    the single-computation plan.
     """
     hot = (
         banded.groupBy(*keys)
