@@ -28,6 +28,7 @@ from __future__ import annotations
 import struct
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 try:  # pragma: no cover - not present in this container
     import soundfile  # type: ignore  # noqa: F401
@@ -926,3 +927,99 @@ def make_fake_pdf(media_ref: str, seed: int = 42, n_pages: int = 3) -> bytes:
         out.append(struct.pack("<I", len(text)))
         out.append(text)
     return b"".join(out)
+
+
+PDF_PAGES_SCHEMA = "media_ref string, ok boolean, page_idx int, page_text string"
+
+
+def pdf_pages(media: DataFrame) -> DataFrame:
+    """One row per PDF page (media_ref, ok, page_idx, page_text) — the
+    flat-map twin of :func:`pdf_text`, feeding layout ops that need page
+    structure (e.g. :func:`pdf_strip_boilerplate`).  Corrupt payloads emit
+    a single ok=false row."""
+
+    def run(batches):
+        import pandas as pd
+
+        for b in batches:
+            rows = []
+            for ref, content in zip(b["media_ref"], b["content"]):
+                try:
+                    for i, page in enumerate(_iter_pdf_pages(bytes(content))):
+                        rows.append((ref, True, i, page))
+                except (ValueError, TypeError, NotImplementedError):
+                    rows.append((ref, False, None, None))
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "ok", "page_idx", "page_text"]
+            )
+
+    return media.mapInPandas(run, schema=PDF_PAGES_SCHEMA)
+
+
+def pdf_strip_boilerplate(pages: DataFrame, min_page_frac_pct: int = 60) -> DataFrame:
+    """Layout-parse boilerplate strip for PDFs (north-rule "PDF/layout
+    parse" tier): a line repeated verbatim on >= ``min_page_frac_pct``%
+    of a document's pages (headers, footers, watermarks) is boilerplate
+    and removed from every page; varying lines ("Page 1 of 3") survive by
+    the exact-match rule.  Requires >= 2 pages (single-page docs have no
+    repetition evidence).
+
+    All JVM expressions — posexplode to (page, line) rows, one
+    countDistinct aggregation per (doc, line) (map-side combinable, keyed
+    by the doc it already groups by), broadcast-size boilerplate set per
+    doc rejoined via left_anti is unnecessary: the line rows re-aggregate
+    with a windowless groupBy.  Output: (media_ref, n_pages, n_removed,
+    main_text, n_chars), page order and in-page line order preserved.
+    """
+    lines = (
+        pages.filter(F.col("ok"))
+        .select(
+            "media_ref", "page_idx",
+            F.posexplode(F.split("page_text", "\n")).alias("line_idx", "line"),
+        )
+        .filter(F.length(F.trim("line")) > 0)
+    )
+    n_pages = (
+        pages.filter(F.col("ok"))
+        .groupBy("media_ref")
+        .agg(F.countDistinct("page_idx").alias("n_pages"))
+    )
+    df = (
+        lines.groupBy("media_ref", "line")
+        .agg(F.countDistinct("page_idx").alias("page_df"))
+        .join(n_pages, on="media_ref")
+        .withColumn(
+            "is_boiler",
+            (F.col("n_pages") >= 2)
+            & (F.col("page_df") * 100 >= F.col("n_pages") * min_page_frac_pct),
+        )
+    )
+    kept = (
+        lines.join(df.select("media_ref", "line", "is_boiler", "n_pages"),
+                   on=["media_ref", "line"])
+        .filter(~F.col("is_boiler"))
+        .groupBy("media_ref", "n_pages")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("page_idx", "line_idx", "line"))
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("main_text")
+        )
+    )
+    removed = (
+        df.groupBy("media_ref")
+        .agg(F.sum(F.when(F.col("is_boiler"), 1).otherwise(0)).cast("int")
+             .alias("n_removed"))
+    )
+    return (
+        kept.join(removed, on="media_ref")
+        .select(
+            "media_ref", "n_pages", "n_removed", "main_text",
+            F.length("main_text").alias("n_chars"),
+        )
+    )

@@ -1442,3 +1442,57 @@ def q58_lsh_capped(spark, sf):
 
 
 SPARK_QUERIES_2["q58_lsh_capped"] = q58_lsh_capped
+
+
+def q59_pdf_boilerplate_strip(spark, sf):
+    """PDF layout boilerplate strip (north-rule "PDF/layout parse" tier):
+    real PDFs with a constant header + footer on every page and a varying
+    "Page N of M" line; ``pdf_strip_boilerplate`` removes exact-repeated
+    lines (>=60% of pages) and keeps the rest in page/line order — all
+    JVM expressions over ``pdf_pages``'s flat-map.  The oracle re-derives
+    the surviving text analytically (string_agg over the page range)."""
+    from ..operators.multimodal import encode_pdf, pdf_pages, pdf_strip_boilerplate
+
+    rows = []
+    for i in range(5):
+        n = 2 + (i % 3)
+        pages = []
+        for p in range(n):
+            lines = [f"CONFIDENTIAL {i}", f"body {i} {p} alpha"]
+            if p % 2 == 0:
+                lines.append(f"body {i} {p} beta")
+            lines += [f"Page {p + 1} of {n}", f"(c) corp {i}"]
+            pages.append("\n".join(lines))
+        rows.append((f"d{i}", encode_pdf(pages, compress=(i % 2 == 0))))
+    media = spark.createDataFrame(rows, "media_ref string, content binary")
+    return pdf_strip_boilerplate(pdf_pages(media)).orderBy("media_ref")
+
+
+SPARK_QUERIES_2["q59_pdf_boilerplate_strip"] = q59_pdf_boilerplate_strip
+
+ORACLE_SQL_2["q59_pdf_boilerplate_strip"] = """
+    WITH params(media_ref, i, n_pages) AS (VALUES
+        ('d0', 0, 2), ('d1', 1, 3), ('d2', 2, 4),
+        ('d3', 3, 2), ('d4', 4, 3)
+    ),
+    pg AS (
+        SELECT media_ref, i, n_pages, CAST(g.p AS INT) AS p
+        FROM params, LATERAL (SELECT unnest(range(n_pages)) AS p) AS g
+    ),
+    body AS (
+        SELECT media_ref, n_pages,
+               string_agg(
+                   'body ' || i || ' ' || p || ' alpha'
+                       || CASE WHEN p % 2 = 0
+                               THEN chr(10) || 'body ' || i || ' ' || p || ' beta'
+                               ELSE '' END
+                       || chr(10) || 'Page ' || (p + 1) || ' of ' || n_pages,
+                   chr(10) ORDER BY p) AS main_text
+        FROM pg GROUP BY media_ref, n_pages
+    )
+    SELECT media_ref, CAST(n_pages AS INT) AS n_pages,
+           2 AS n_removed, main_text,
+           CAST(length(main_text) AS INT) AS n_chars
+    FROM body
+    ORDER BY media_ref
+"""

@@ -133,3 +133,31 @@ def test_pdf_line_continuation_and_whitespace_hex():
     assert _pdf_content_text(b"(split\\\nword) Tj") == "splitword"
     assert _pdf_content_text(b"< 48 6 5 6 C 6C 6 F > Tj") == "Hello"
     assert _pdf_content_text(b"<414> Tj") == "A@"
+
+
+def test_pdf_strip_boilerplate_semantics(spark):
+    """Exact-repeated lines on >=60% of pages are removed; varying lines
+    and sub-threshold repeats survive; single-page docs are untouched
+    (no repetition evidence); corrupt payloads yield no row."""
+    from red_seal_ocr_spark.operators.multimodal import (
+        encode_pdf,
+        pdf_pages,
+        pdf_strip_boilerplate,
+    )
+
+    tri = ["HDR\nbody a\nPage 1 of 3\nrare",
+           "HDR\nbody b\nPage 2 of 3",
+           "HDR\nbody c\nPage 3 of 3\nrare"]
+    single = ["HDR\nonly page"]
+    rows = [("tri", encode_pdf(tri)), ("one", encode_pdf(single)),
+            ("bad", b"%PDF-1.4\nbroken")]
+    media = spark.createDataFrame(rows, "media_ref string, content binary")
+    out = {r.media_ref: r for r in pdf_strip_boilerplate(pdf_pages(media)).collect()}
+    assert set(out) == {"tri", "one"}  # corrupt doc emits nothing
+    t = out["tri"]
+    assert t.n_removed == 2  # HDR (3/3) and rare (2/3 = 66% >= 60%)
+    assert "HDR" not in t.main_text and "rare" not in t.main_text
+    assert t.main_text == ("body a\nPage 1 of 3\nbody b\nPage 2 of 3\n"
+                           "body c\nPage 3 of 3")
+    o = out["one"]
+    assert o.n_removed == 0 and o.main_text == "HDR\nonly page"
