@@ -173,3 +173,77 @@ def synth_html_page(doc_id: str, article_text: str, seed: int = 42) -> tuple[str
     )
     expected = " ".join(f"{p}." for p in paras)
     return html, expected
+
+
+def site_template_strip(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    site_col: str = "source",
+    text_col: str = "text",
+    min_doc_frac_pct: int = 60,
+) -> DataFrame:
+    """Cross-document site-template removal (web-scale main-content
+    extraction): a line repeated verbatim in >= ``min_doc_frac_pct``% of
+    a site's documents (nav bars, footers, cookie banners) is template
+    boilerplate and removed from every document of that site; sites with
+    a single document are untouched (no repetition evidence).  The
+    cross-document twin of ``multimodal.pdf_strip_boilerplate`` (which
+    strips within-document page repeats) — together they are the
+    boilerplate tier CommonCrawl-style pipelines run before quality
+    scoring.
+
+    Scale shape: pure JVM expressions — posexplode to (doc, line) rows,
+    one per-(site, line) distinct-doc count (map-side combinable; the
+    shuffle key is the site the corpus is usually already partitioned
+    by), ordered per-doc re-assembly.  A viral template line is NOT a
+    skew hazard here: unlike the LSH bucket join there is no self-join,
+    the hot (site, line) key just pre-reduces map-side like any
+    aggregate.  Output: (doc_id, site, n_lines_kept, n_lines_removed,
+    main_text).
+    """
+    lines = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(site_col).alias("site"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("line_idx", "line"),
+        )
+        .filter(F.length(F.trim("line")) > 0)
+    )
+    site_docs = (
+        docs.groupBy(F.col(site_col).alias("site"))
+        .agg(F.countDistinct(id_col).alias("n_site_docs"))
+    )
+    df = (
+        lines.groupBy("site", "line")
+        .agg(F.countDistinct("doc_id").alias("doc_df"))
+        .join(site_docs, on="site")
+        .select(
+            "site", "line",
+            (
+                (F.col("n_site_docs") >= 2)
+                & (F.col("doc_df") * 100 >= F.col("n_site_docs") * min_doc_frac_pct)
+            ).alias("is_boiler"),
+        )
+    )
+    tagged = lines.join(df, on=["site", "line"])
+    return (
+        tagged.groupBy("doc_id", "site")
+        .agg(
+            F.sum(F.when(~F.col("is_boiler"), 1).otherwise(0)).cast("int")
+            .alias("n_lines_kept"),
+            F.sum(F.when(F.col("is_boiler"), 1).otherwise(0)).cast("int")
+            .alias("n_lines_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(~F.col("is_boiler"),
+                                   F.struct("line_idx", "line"))
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("main_text"),
+        )
+    )

@@ -1496,3 +1496,51 @@ ORACLE_SQL_2["q59_pdf_boilerplate_strip"] = """
     FROM body
     ORDER BY media_ref
 """
+
+
+def q60_site_template_strip(spark, sf):
+    """Cross-document site-template removal over the documents table
+    (source = site key): lines repeated in >=60% of a site's docs are
+    boilerplate.  LIVE SQL oracle — DuckDB re-runs the whole strip
+    verbatim (unnest + distinct-doc counts + ordered string_agg), no
+    generation step."""
+    from ..operators.html_extract import site_template_strip
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 150)
+    return site_template_strip(d).orderBy("doc_id")
+
+
+SPARK_QUERIES_2["q60_site_template_strip"] = q60_site_template_strip
+
+ORACLE_SQL_2["q60_site_template_strip"] = """
+    WITH d AS (
+        SELECT doc_id, source AS site, text FROM documents WHERE doc_id < 150
+    ),
+    l0 AS (SELECT doc_id, site, string_split(text, chr(10)) AS L FROM d),
+    l AS (
+        SELECT doc_id, site, CAST(t.i AS INT) AS line_idx, L[t.i] AS line
+        FROM l0, UNNEST(range(1, len(L) + 1)) AS t(i)
+        WHERE length(trim(L[t.i])) > 0
+    ),
+    sd AS (SELECT site, COUNT(DISTINCT doc_id) AS n_site_docs FROM d GROUP BY site),
+    dfq AS (
+        SELECT site, line, COUNT(DISTINCT doc_id) AS doc_df
+        FROM l GROUP BY site, line
+    ),
+    b AS (
+        SELECT dfq.site, dfq.line,
+               (sd.n_site_docs >= 2
+                AND dfq.doc_df * 100 >= sd.n_site_docs * 60) AS is_boiler
+        FROM dfq JOIN sd USING (site)
+    )
+    SELECT l.doc_id, l.site,
+           CAST(SUM(CASE WHEN NOT b.is_boiler THEN 1 ELSE 0 END) AS INT)
+               AS n_lines_kept,
+           CAST(SUM(CASE WHEN b.is_boiler THEN 1 ELSE 0 END) AS INT)
+               AS n_lines_removed,
+           COALESCE(string_agg(CASE WHEN NOT b.is_boiler THEN l.line END,
+                               chr(10) ORDER BY l.line_idx), '') AS main_text
+    FROM l JOIN b ON l.site = b.site AND l.line = b.line
+    GROUP BY l.doc_id, l.site
+    ORDER BY l.doc_id
+"""

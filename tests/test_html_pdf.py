@@ -86,3 +86,26 @@ def test_fake_pdf_deterministic():
 
     assert make_fake_pdf("x") == make_fake_pdf("x")
     assert make_fake_pdf("x") != make_fake_pdf("y")
+
+
+def test_site_template_strip_semantics(spark):
+    """Cross-doc template lines (>=60% of a site's docs) removed; varying
+    lines survive; single-doc sites untouched; all-boiler docs emit
+    empty main_text."""
+    from red_seal_ocr_spark.operators.html_extract import site_template_strip
+
+    rows = [
+        (1, "siteA", "NAV HOME\narticle one body\nCOOKIE BANNER"),
+        (2, "siteA", "NAV HOME\narticle two body\nCOOKIE BANNER"),
+        (3, "siteA", "NAV HOME\nanother piece"),
+        (4, "siteA", "NAV HOME"),
+        (5, "siteB", "lonely page\nNAV HOME"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    out = {r.doc_id: r for r in site_template_strip(docs).collect()}
+    # NAV HOME is 4/4 -> removed; COOKIE BANNER is 2/4 = 50% < 60% -> kept
+    assert out[1].main_text == "article one body\nCOOKIE BANNER"
+    assert out[1].n_lines_removed == 1
+    assert out[3].main_text == "another piece"
+    assert out[4].main_text == "" and out[4].n_lines_kept == 0
+    assert out[5].main_text == "lonely page\nNAV HOME"  # single-doc site
