@@ -1,0 +1,111 @@
+"""Site-template strip at stress scale: 50k documents across a handful of
+sites, every document carrying injected site-template lines (nav +
+footer), plus the corpus's own natural line repeats.
+
+The shape under test is the one that matters at 10^12 docs: the
+per-(site, line) distinct-doc count is the only wide stage, its shuffle
+key is the site/line pair (map-side combinable — a template line present
+in EVERY doc of a site arrives at the reducer ~once per input partition,
+not once per doc), and there is no self-join anywhere, so a viral
+template line cannot explode the plan the way a hot LSH bucket does.
+
+Writes BENCH/boilerplate_stress.json.
+
+Usage::
+
+    python tools/boilerplate_stress.py [--replicas 10]
+                                       [--out BENCH/boilerplate_stress.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument("--out", default="BENCH/boilerplate_stress.json")
+    ap.add_argument("--master",
+                    default=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from red_seal_ocr_spark.operators.html_extract import site_template_strip
+    from red_seal_ocr_spark.session import get_spark
+
+    report: dict = {"sf_dir": SF_DIR, "replicas": args.replicas}
+    spark = get_spark("boilerplate-stress", master=args.master)
+    try:
+        import tempfile
+
+        base = tempfile.mkdtemp(prefix="boiler_stress_")
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", "source", "text"
+        )
+        reps = spark.range(args.replicas).select(
+            F.col("id").cast("int").alias("rep"))
+        corpus = (
+            docs.crossJoin(F.broadcast(reps))
+            .select(
+                F.concat(F.col("doc_id").cast("string"), F.lit("-r"),
+                         F.col("rep").cast("string")).alias("doc_id"),
+                F.col("source"),
+                # injected site template: nav line + footer line on EVERY
+                # doc of the site (doc_df = 100%), wrapping the real text
+                F.concat(
+                    F.lit("SITE NAV "), F.col("source"), F.lit("\n"),
+                    F.col("text"),
+                    F.lit("\n(c) footer "), F.col("source"),
+                ).alias("text"),
+            )
+        )
+        path = f"{base}/corpus"
+        corpus.write.parquet(path)
+        d = spark.read.parquet(path)
+        report["n_docs"] = d.count()
+        report["n_sites"] = d.select("source").distinct().count()
+
+        t0 = time.time()
+        out = site_template_strip(d).cache()
+        report["n_out_docs"] = out.count()
+        report["strip_sec"] = round(time.time() - t0, 2)
+        agg = out.agg(
+            F.sum("n_lines_removed").alias("removed"),
+            F.sum("n_lines_kept").alias("kept"),
+            F.min("n_lines_removed").alias("min_removed"),
+        ).first()
+        report["lines_removed"] = int(agg["removed"])
+        report["lines_kept"] = int(agg["kept"])
+        # every doc must have lost at least its injected nav + footer
+        report["min_removed_per_doc"] = int(agg["min_removed"])
+        report["injected_template_removed_everywhere"] = (
+            report["min_removed_per_doc"] >= 2
+        )
+        report["docs_per_sec"] = round(
+            report["n_docs"] / max(1e-9, report["strip_sec"]), 1
+        )
+        out.unpersist()
+    finally:
+        spark.stop()
+
+    Path(args.out).write_text(json.dumps(report, indent=1))
+    print(json.dumps(report, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
