@@ -36,6 +36,7 @@ def curate_documents(
     min_quality_pct: int = 40,
     near_dup_jaccard_pct: int = 80,
     cache_intermediates: bool = True,
+    site_template_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns ``(kept_docs, funnel)``.
 
@@ -48,7 +49,28 @@ def curate_documents(
     minhash expressions (at production scale you would instead commit
     each stage to a table and resume between them — the snapshot layer
     exists for exactly that).
+
+    ``site_template_col`` (opt-in) names a site-key column and engages
+    :func:`html_extract.site_template_strip` as stage 0: shared nav /
+    footer / banner lines are removed BEFORE scoring and dedup, because
+    template text both inflates quality scores and — worse — creates
+    false near-dup merges between unrelated pages of the same site
+    (their shingle overlap is the template, not the content).  Docs
+    whose every line was template or blank drop out here; they would
+    die at the quality gate anyway.  Default off: the q35 oracle pins
+    the strip-free funnel.
     """
+    if site_template_col is not None:
+        from .html_extract import site_template_strip
+
+        stripped = site_template_strip(
+            docs, id_col=id_col, site_col=site_template_col, text_col=text_col
+        ).select(F.col("doc_id").alias(id_col), F.col("main_text"))
+        docs = (
+            docs.drop(text_col)
+            .join(stripped, on=id_col)
+            .withColumnRenamed("main_text", text_col)
+        )
     scored = quality_score(language_id(docs, text_col), text_col)
     if cache_intermediates:
         scored = scored.cache()

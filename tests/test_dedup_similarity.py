@@ -582,3 +582,24 @@ def test_lsh_topk_candidate_bucket_cap(spark):
     )
     assert lsh_topk(q, hot, k=5).count() == 5
     assert lsh_topk(q, hot, k=5, max_bucket_size=10).count() == 0
+
+
+def test_curate_with_site_template_strip(spark):
+    """Opt-in stage 0: shared site-template lines must not cause false
+    near-dup merges between unrelated pages of the same site."""
+    from red_seal_ocr_spark.operators.curate import curate_documents
+
+    template = "\n".join(f"NAV ITEM {i} subscribe newsletter cookie banner"
+                         for i in range(12))
+    rows = [(i, "siteA", template + "\n"
+             + " ".join(f"doc{i}w{j}" for j in range(8))) for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+
+    kept_raw, _ = curate_documents(docs, min_quality_pct=0,
+                                   near_dup_jaccard_pct=50)
+    kept_stripped, _ = curate_documents(docs, min_quality_pct=0,
+                                        near_dup_jaccard_pct=50,
+                                        site_template_col="source")
+    # template-dominated shingles merge distinct pages without the strip
+    assert kept_raw.count() < 6
+    assert kept_stripped.count() == 6
