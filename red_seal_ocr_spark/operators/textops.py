@@ -254,3 +254,66 @@ def repetition_scores(docs: DataFrame, id_col: str = "doc_id",
             ).otherwise(F.lit(0)).cast("int").alias("top_bigram_pct"),
         )
     )
+
+
+def repeated_paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-global repeated-paragraph removal (the paragraph-granular
+    approximation of Lee et al.'s ExactSubstr dedup): a paragraph
+    appearing in >= ``min_docs`` distinct documents is kept only in the
+    minimum-id document carrying it and removed everywhere else, so
+    verbatim-propagated passages (chain letters, license blocks, quoted
+    boilerplate) survive exactly once in the corpus.
+
+    Differs from :func:`html_extract.site_template_strip` on both axes:
+    global (no site key) and keep-one (not remove-everywhere) — template
+    text is noise, propagated passages are content that should count
+    once.
+
+    Scale shape: per-paragraph-hash aggregate (min doc id + distinct-doc
+    count, both map-side combinable on the md5 key), joined back on the
+    same key, ordered per-doc re-assembly.  No self-join; a viral
+    paragraph pre-reduces like any hot aggregate key.  Output:
+    (doc_id, n_paras_kept, n_paras_dropped, text).
+    """
+    paras = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("para_idx", "para"),
+        )
+        .filter(F.length(F.trim("para")) > 0)
+        .withColumn("para_key", F.md5(F.trim("para")))
+    )
+    owners = paras.groupBy("para_key").agg(
+        F.min("doc_id").alias("owner_doc"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    tagged = paras.join(owners, on="para_key").withColumn(
+        "keep",
+        (F.col("n_docs") < min_docs) | (F.col("doc_id") == F.col("owner_doc")),
+    )
+    return (
+        tagged.groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("int")
+            .alias("n_paras_kept"),
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0)).cast("int")
+            .alias("n_paras_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("para_idx", "para"))
+                        )
+                    ),
+                    lambda s: s["para"],
+                ),
+                sep,
+            ).alias(text_col),
+        )
+    )

@@ -1544,3 +1544,55 @@ ORACLE_SQL_2["q60_site_template_strip"] = """
     GROUP BY l.doc_id, l.site
     ORDER BY l.doc_id
 """
+
+
+def q61_repeated_paragraph_dedup(spark, sf):
+    """Corpus-global repeated-paragraph removal over documents (line
+    granularity — the driver corpus's paragraphs are lines): a line in
+    >=2 distinct docs survives only in the min-doc_id owner.  LIVE SQL
+    oracle mirrors the whole construction verbatim (unnest + min/count
+    aggregate + ordered string_agg)."""
+    from ..operators.textops import repeated_paragraph_dedup
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 150).select(
+        "doc_id", "text"
+    )
+    return (
+        repeated_paragraph_dedup(d)
+        .select("doc_id", "n_paras_kept", "n_paras_dropped",
+                F.length("text").alias("n_chars"))
+        .orderBy("doc_id")
+    )
+
+
+SPARK_QUERIES_2["q61_repeated_paragraph_dedup"] = q61_repeated_paragraph_dedup
+
+ORACLE_SQL_2["q61_repeated_paragraph_dedup"] = """
+    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+    l0 AS (SELECT doc_id, string_split(text, chr(10)) AS L FROM d),
+    p AS (
+        SELECT doc_id, CAST(t.i AS INT) AS para_idx, L[t.i] AS para,
+               md5(trim(L[t.i])) AS para_key
+        FROM l0, UNNEST(range(1, len(L) + 1)) AS t(i)
+        WHERE length(trim(L[t.i])) > 0
+    ),
+    o AS (
+        SELECT para_key, MIN(doc_id) AS owner_doc,
+               COUNT(DISTINCT doc_id) AS n_docs
+        FROM p GROUP BY para_key
+    ),
+    tg AS (
+        SELECT p.doc_id, p.para_idx, p.para,
+               (o.n_docs < 2 OR p.doc_id = o.owner_doc) AS keep
+        FROM p JOIN o USING (para_key)
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS INT) AS n_paras_kept,
+           CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS INT) AS n_paras_dropped,
+           CAST(length(COALESCE(string_agg(CASE WHEN keep THEN para END,
+                                           chr(10) ORDER BY para_idx), ''))
+                AS INT) AS n_chars
+    FROM tg
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""

@@ -351,3 +351,26 @@ def test_repetition_scores_semantics(spark):
     assert got[3].top_bigram_pct == 33  # 1/3, all distinct
     assert tuple(got[4])[1:] == (0, 0, 0)
     assert tuple(got[5])[1:] == (1, 0, 0)
+
+
+def test_repeated_paragraph_dedup_semantics(spark):
+    """Keep-one (not remove-everywhere): a passage in >=2 docs survives
+    only in the min-id owner; unique and sub-threshold paragraphs
+    untouched; order preserved."""
+    from red_seal_ocr_spark.operators.textops import repeated_paragraph_dedup
+
+    viral = "forward this chain letter to ten friends"
+    rows = [
+        (3, f"unique three\n{viral}\ntail three"),
+        (1, f"{viral}\nunique one"),
+        (2, f"unique two\n{viral}"),
+        (4, "all unique four"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in repeated_paragraph_dedup(docs).collect()}
+    assert out[1].text == f"{viral}\nunique one"      # min-id owner keeps it
+    assert out[2].text == "unique two"
+    assert out[3].text == "unique three\ntail three"  # order preserved
+    assert out[4].text == "all unique four"
+    assert (out[2].n_paras_dropped, out[3].n_paras_dropped) == (1, 1)
+    assert out[1].n_paras_dropped == 0
