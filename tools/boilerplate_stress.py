@@ -99,6 +99,26 @@ def main() -> int:
             report["n_docs"] / max(1e-9, report["strip_sec"]), 1
         )
         out.unpersist()
+
+        # repeated-paragraph dedup (q61 shape) over the same corpus: the
+        # injected nav/footer lines are the viral paragraphs — each must
+        # survive in exactly ONE doc per distinct line value
+        from red_seal_ocr_spark.operators.textops import repeated_paragraph_dedup
+
+        t0 = time.time()
+        rp = repeated_paragraph_dedup(d).cache()
+        report["rp_out_docs"] = rp.count()
+        report["rp_sec"] = round(time.time() - t0, 2)
+        rp_agg = rp.agg(
+            F.sum("n_paras_kept").alias("kept"),
+            F.sum("n_paras_dropped").alias("dropped"),
+        ).first()
+        report["rp_paras_kept"] = int(rp_agg["kept"])
+        report["rp_paras_dropped"] = int(rp_agg["dropped"])
+        report["rp_docs_per_sec"] = round(
+            report["n_docs"] / max(1e-9, report["rp_sec"]), 1
+        )
+        rp.unpersist()
     finally:
         spark.stop()
 
