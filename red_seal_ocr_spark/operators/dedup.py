@@ -402,3 +402,70 @@ def ngram_jaccard_for_pairs(
         .select("a_id", "b_id", _jaccard_pct_col())
         .filter(F.col("jaccard_pct") >= min_jaccard_pct)
     )
+
+
+def incremental_lsh_candidates(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs for an INCREMENTAL ingest batch: each new
+    document against the existing corpus AND the other new documents —
+    never corpus-vs-corpus (those pairs were found when the corpus was
+    ingested).  The production shape for continuously-fed dedup: the
+    per-batch cost is |new| x collision-rate, not |corpus|^2.
+
+    Output: (a_id, b_id, n_bands) where a_id is always a NEW document;
+    b_id is a corpus doc (any order) or another new doc (a_id < b_id so
+    each new-new pair appears once).  Same banding as
+    :func:`minhash_lsh_candidates`, same ``max_bucket_size`` skew guard
+    (applied to the corpus side, where the hot mass lives).
+
+    At scale the corpus side's banded rows are computed once per corpus
+    version and kept as a bucketed table partitioned by (band, bucket) —
+    then each ingest batch's join prunes to its own buckets and only the
+    new side is (re)hashed.  This function expresses the join; the
+    persistence of the banded corpus is the caller's snapshot layer.
+    """
+    rows_per_band = num_hashes // bands
+
+    def banded(df: DataFrame, flag: int) -> DataFrame:
+        sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+        return sigs.select(
+            F.col(id_col),
+            F.lit(flag).alias("is_new"),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.xxhash64(
+                            *[F.col("signature")[b * rows_per_band + r]
+                              for r in range(rows_per_band)]
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band", "bucket"),
+        )
+
+    nb = banded(new_docs, 1)
+    cb = banded(corpus, 0)
+    if max_bucket_size is not None:
+        cb = drop_hot_buckets(cb, ("band", "bucket"), max_bucket_size)
+    right = cb.unionByName(nb)
+    a = nb.select(F.col(id_col).alias("a_id"), "band", "bucket")
+    b = right.select(
+        F.col(id_col).alias("b_id"), F.col("is_new").alias("b_new"),
+        "band", "bucket",
+    )
+    return (
+        a.join(b, on=["band", "bucket"])
+        # corpus partner: any order; new partner: a < b (each pair once)
+        .filter((F.col("b_new") == 0) | (F.col("a_id") < F.col("b_id")))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_bands"))
+    )

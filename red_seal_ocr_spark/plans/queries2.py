@@ -1596,3 +1596,21 @@ ORACLE_SQL_2["q61_repeated_paragraph_dedup"] = """
     GROUP BY doc_id
     ORDER BY doc_id
 """
+
+
+def q62_incremental_lsh(spark, sf):
+    """Incremental near-dedup ingest: documents 150-199 arrive as a new
+    batch against the 0-149 corpus; candidates are new-vs-corpus and
+    new-vs-new only (corpus self-pairs were found at corpus ingest, so
+    the per-batch cost is |new| x collision-rate, never |corpus|^2).
+    Oracled by the independent XXH64 mirror with the same pairing rule
+    (tools/gen_oracles.py)."""
+    from ..operators.dedup import incremental_lsh_candidates
+
+    d = _t(spark, sf, "documents")
+    corpus = d.filter(F.col("doc_id") < 150)
+    new = d.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 200))
+    return incremental_lsh_candidates(new, corpus).orderBy("a_id", "b_id")
+
+
+SPARK_QUERIES_2["q62_incremental_lsh"] = q62_incremental_lsh

@@ -603,3 +603,40 @@ def test_curate_with_site_template_strip(spark):
     # template-dominated shingles merge distinct pages without the strip
     assert kept_raw.count() < 6
     assert kept_stripped.count() == 6
+
+
+def test_incremental_lsh_candidates_semantics(spark):
+    """New-vs-corpus and new-vs-new pairs only — corpus self-pairs never
+    re-emitted; the corpus-side bucket cap applies."""
+    from red_seal_ocr_spark.operators.dedup import incremental_lsh_candidates
+
+    long = [f"token{i}" for i in range(120)]
+    corpus = spark.createDataFrame(
+        [(1, " ".join(long)), (2, " ".join(long[:-1]) + " tokenX"),
+         (3, "totally unrelated corpus text about spark shuffles")],
+        "doc_id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, " ".join(long[:-1]) + " tokenY"),   # near-dup of corpus 1/2
+         (11, " ".join(long[:-1]) + " tokenZ"),   # near-dup of 10 (new-new)
+         (12, "fresh unseen content entirely new")],
+        "doc_id bigint, text string",
+    )
+    got = {(r.a_id, r.b_id) for r in incremental_lsh_candidates(new, corpus).collect()}
+    assert all(a >= 10 for a, _ in got)       # a side is always new
+    assert (1, 2) not in got and (2, 1) not in got  # no corpus self-pairs
+    assert (10, 11) in got                    # new-new once, ordered
+    assert (11, 10) not in got
+    assert {(10, 1), (10, 2), (11, 1), (11, 2)} <= got  # cross-boundary
+    assert not any(b == 12 or a == 12 for a, b in got)
+
+    hot_corpus = spark.createDataFrame(
+        [(100 + i, " ".join(f"t{j}" for j in range(80))) for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    probe = spark.createDataFrame(
+        [(10, " ".join(f"t{j}" for j in range(80)))], "doc_id bigint, text string"
+    )
+    assert incremental_lsh_candidates(probe, hot_corpus).count() == 20
+    assert incremental_lsh_candidates(
+        probe, hot_corpus, max_bucket_size=10).count() == 0

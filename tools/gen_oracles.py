@@ -362,6 +362,32 @@ def main() -> int:
     print(f"q58: {len(rows)} capped pairs (uncapped {len(uncapped58)}; "
           f"cap removed {len(uncapped58) - len(rows)})")
 
+    # ---- q62: incremental LSH (new batch 150..199 vs corpus < 150) ---------
+    corpus62 = {i: t for i, t in docs200.items() if i < 150}
+    new62 = {i: t for i, t in docs200.items() if i >= 150}
+    buckets62: dict[tuple[int, int], list[tuple[int, bool]]] = {}
+    for vid, text in docs200.items():
+        sig = minhash_signature(text)
+        for bnd in range(8):
+            bucket = spark_xxhash64_long(*sig[bnd * 4 : (bnd + 1) * 4])
+            buckets62.setdefault((bnd, bucket), []).append((vid, vid >= 150))
+    pair62: dict[tuple[int, int], int] = {}
+    for members in buckets62.values():
+        for a_id, a_new in members:
+            if not a_new:
+                continue
+            for b_id, b_new in members:
+                if b_id == a_id:
+                    continue
+                if b_new and not a_id < b_id:
+                    continue
+                pair62[(a_id, b_id)] = pair62.get((a_id, b_id), 0) + 1
+    rows = sorted((a, b, n) for (a, b), n in pair62.items())
+    oracles["q62_incremental_lsh"] = values_sql(
+        rows, [("a_id", "BIGINT"), ("b_id", "BIGINT"), ("n_bands", "BIGINT")]
+    )
+    print(f"q62: {len(rows)} incremental candidate pairs")
+
     # ---- q24: simhash over doc_id < 100 ------------------------------------
     rows = [(i, simhash64(t)) for i, t in docs200.items() if i < 100]
     oracles["q24_simhash"] = values_sql(
