@@ -317,3 +317,40 @@ def repeated_paragraph_dedup(
             ).alias(text_col),
         )
     )
+
+
+# PII patterns chosen to mean the same thing in Java regex (Spark) and
+# RE2 (DuckDB): character classes, bounded repeats, \b — no lookarounds,
+# no backrefs.  Order matters (emails first: an address contains digits a
+# later pattern could nibble); the oracle applies the same order.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d ()-]{6,}\d", "<PHONE>"),
+)
+
+
+def redact_pii(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """PII scrub (training-data hygiene tier): replace emails, IPv4
+    addresses and international-format phone numbers with typed
+    placeholder tokens, and count each per document.  Pure JVM
+    ``regexp_replace`` / ``regexp_extract_all`` — a row-local projection,
+    embarrassingly parallel, no shuffle at any scale.  Pattern coverage
+    is deliberately the high-precision core (the published pipelines'
+    recall-heavy NER pass is a model, not a regex); the contract here is
+    the deterministic, oracle-able regex tier."""
+    out = docs.select(F.col(id_col), F.col(text_col).alias("_t"))
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all("_t", F.lit(pat), F.lit(0))).cast("int"),
+        ).withColumn("_t", F.regexp_replace("_t", pat, token))
+    counts = [f"n_{name}" for name, _, _ in PII_PATTERNS]
+    return out.select(
+        id_col, *counts, F.col("_t").alias(text_col),
+    )

@@ -1614,3 +1614,74 @@ def q62_incremental_lsh(spark, sf):
 
 
 SPARK_QUERIES_2["q62_incremental_lsh"] = q62_incremental_lsh
+
+
+def q63_pii_redaction(spark, sf):
+    """PII scrub over documents augmented with deterministic synthetic
+    PII (both engines build the same augmented text, so the redaction —
+    not the fixture — is what's compared).  LIVE SQL oracle applies the
+    identical pattern sequence with RE2 semantics; the patterns are
+    chosen to mean the same thing in Java regex and RE2 (character
+    classes + bounded repeats + word boundaries only)."""
+    from ..operators.textops import redact_pii
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.1."),
+            F.pmod(F.col("doc_id"), F.lit(200)).cast("string"),
+            F.lit(".7 call +1 555 000 "), F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return (
+        redact_pii(aug)
+        .select("doc_id", "n_email", "n_ip", "n_phone",
+                F.length("text").alias("n_chars"))
+        .orderBy("doc_id")
+    )
+
+
+SPARK_QUERIES_2["q63_pii_redaction"] = q63_pii_redaction
+
+ORACLE_SQL_2["q63_pii_redaction"] = r"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id || '@example.com or 10.1.'
+                    || (doc_id % 200) || '.7 call +1 555 000 ' || doc_id
+                   AS t
+        FROM documents WHERE doc_id < 200
+    ),
+    s1 AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(
+                   t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                   AS INT) AS n_email,
+               regexp_replace(t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g') AS t
+        FROM aug
+    ),
+    s2 AS (
+        SELECT doc_id, n_email,
+               CAST(len(regexp_extract_all(
+                   t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT)
+                   AS n_ip,
+               regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                              '<IP>', 'g') AS t
+        FROM s1
+    ),
+    s3 AS (
+        SELECT doc_id, n_email, n_ip,
+               CAST(len(regexp_extract_all(t, '\+\d[\d ()-]{6,}\d')) AS INT)
+                   AS n_phone,
+               regexp_replace(t, '\+\d[\d ()-]{6,}\d', '<PHONE>', 'g') AS t
+        FROM s2
+    )
+    SELECT doc_id, n_email, n_ip, n_phone,
+           CAST(length(t) AS INT) AS n_chars
+    FROM s3
+    ORDER BY doc_id
+"""

@@ -374,3 +374,22 @@ def test_repeated_paragraph_dedup_semantics(spark):
     assert out[4].text == "all unique four"
     assert (out[2].n_paras_dropped, out[3].n_paras_dropped) == (1, 1)
     assert out[1].n_paras_dropped == 0
+
+
+def test_redact_pii_semantics(spark):
+    from red_seal_ocr_spark.operators.textops import redact_pii
+
+    rows = [
+        (1, "mail a.b+c@ex-ample.org and 10.0.0.1 call +1 555 123-4567 ok"),
+        (2, "no pii here"),
+        (3, "two mails x@y.co z@w.io and 172.16.0.255"),
+        (4, "not a phone 123456 and not an ip 1.2.3"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert out[1].text == "mail <EMAIL> and <IP> call <PHONE> ok"
+    assert (out[1].n_email, out[1].n_ip, out[1].n_phone) == (1, 1, 1)
+    assert out[2].text == "no pii here"
+    assert out[3].n_email == 2 and out[3].n_ip == 1
+    assert (out[4].n_email, out[4].n_ip, out[4].n_phone) == (0, 0, 0)
+    assert out[4].text == rows[3][1]  # untouched
