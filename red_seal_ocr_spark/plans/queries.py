@@ -48,7 +48,7 @@ def q01_pricing_summary(spark, sf):
     )
 
 
-def q02_top_orders(spark, sf):
+def q64_top_orders(spark, sf):
     """Global sort + limit (O1/O4 ordering and caps)."""
     return (
         _t(spark, sf, "orders")
@@ -62,7 +62,7 @@ def q02_top_orders(spark, sf):
     )
 
 
-def q03_order_priority(spark, sf):
+def q65_order_priority(spark, sf):
     """Range filter + group count (P-predicates, A1)."""
     o = _t(spark, sf, "orders")
     return (
@@ -93,7 +93,7 @@ def q04_nation_revenue(spark, sf):
     )
 
 
-def q05_region_nations(spark, sf):
+def q66_region_nations(spark, sf):
     """Small-dim broadcast join + projection + sort."""
     n = _t(spark, sf, "nation")
     r = _t(spark, sf, "region")
@@ -128,12 +128,12 @@ def q07_customers_no_orders(spark, sf):
     )
 
 
-def q08_distinct_segments(spark, sf):
+def q67_distinct_segments(spark, sf):
     """Distinct (set-dedup, SURVEY 2.7)."""
     return _t(spark, sf, "customer").select("c_mktsegment").distinct().orderBy("c_mktsegment")
 
 
-def q09_union_nationkeys(spark, sf):
+def q68_union_nationkeys(spark, sf):
     """Union-distinct of two sources (splice-union analog, SURVEY 2.7)."""
     c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
@@ -365,14 +365,14 @@ from .queries2 import ORACLE_SQL_2, SPARK_QUERIES_2  # noqa: E402
 
 SPARK_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
-    "q02_top_orders": q02_top_orders,
-    "q03_order_priority": q03_order_priority,
+    "q64_top_orders": q64_top_orders,
+    "q65_order_priority": q65_order_priority,
     "q04_nation_revenue": q04_nation_revenue,
-    "q05_region_nations": q05_region_nations,
+    "q66_region_nations": q66_region_nations,
     "q06_parts_in_lineitem": q06_parts_in_lineitem,
     "q07_customers_no_orders": q07_customers_no_orders,
-    "q08_distinct_segments": q08_distinct_segments,
-    "q09_union_nationkeys": q09_union_nationkeys,
+    "q67_distinct_segments": q67_distinct_segments,
+    "q68_union_nationkeys": q68_union_nationkeys,
     "q10_top2_orders_per_cust": q10_top2_orders_per_cust,
     "q11_events_hourly": q11_events_hourly,
     "q12_user_funnel": q12_user_funnel,
@@ -400,14 +400,14 @@ ORACLE_SQL = {
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
     """,
-    "q02_top_orders": """
+    "q64_top_orders": """
         SELECT o_orderkey, o_custkey,
                CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents
         FROM orders
         ORDER BY total_cents DESC, o_orderkey
         LIMIT 10
     """,
-    "q03_order_priority": """
+    "q65_order_priority": """
         SELECT o_orderpriority, COUNT(*) AS order_count
         FROM orders
         WHERE o_orderdate >= TIMESTAMP '1994-01-01'
@@ -424,7 +424,7 @@ ORACLE_SQL = {
         GROUP BY n_name
         ORDER BY n_name
     """,
-    "q05_region_nations": """
+    "q66_region_nations": """
         SELECT r_name, n_name
         FROM nation JOIN region ON n_regionkey = r_regionkey
         ORDER BY r_name, n_name
@@ -443,10 +443,10 @@ ORACLE_SQL = {
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment
     """,
-    "q08_distinct_segments": """
+    "q67_distinct_segments": """
         SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment
     """,
-    "q09_union_nationkeys": """
+    "q68_union_nationkeys": """
         SELECT nationkey FROM (
             SELECT c_nationkey AS nationkey FROM customer
             UNION

@@ -260,7 +260,7 @@ def q27_multimodal_meta(spark, sf):
 # ---------------------------------------------------------------------------
 
 
-def q28_rollup(spark, sf):
+def q69_rollup(spark, sf):
     """GROUP BY ROLLUP (priority x status) with ALL markers."""
     o = _t(spark, sf, "orders")
     return (
@@ -275,7 +275,7 @@ def q28_rollup(spark, sf):
     )
 
 
-def q29_set_ops(spark, sf):
+def q70_set_ops(spark, sf):
     """INTERSECT / EXCEPT of customer vs supplier nation keys."""
     c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
@@ -284,7 +284,7 @@ def q29_set_ops(spark, sf):
     return both.unionByName(only_c).orderBy("src", "nationkey")
 
 
-def q30_date_parts(spark, sf):
+def q71_date_parts(spark, sf):
     """Calendar decomposition of the event stream (date functions)."""
     e = _t(spark, sf, "events")
     return (
@@ -314,7 +314,7 @@ def q31_json_extract(spark, sf):
     )
 
 
-def q32_scalar_subquery(spark, sf):
+def q72_scalar_subquery(spark, sf):
     """Orders above the global average price, per priority (scalar subquery
     shape; expressed with a cross-joined aggregate in DataFrame form)."""
     o = _t(spark, sf, "orders")
@@ -371,11 +371,11 @@ SPARK_QUERIES_2 = {
     "q25_winnowing": q25_winnowing,
     "q26_lsh_ann_recall": q26_lsh_ann_recall,
     "q27_multimodal_meta": q27_multimodal_meta,
-    "q28_rollup": q28_rollup,
-    "q29_set_ops": q29_set_ops,
-    "q30_date_parts": q30_date_parts,
+    "q69_rollup": q69_rollup,
+    "q70_set_ops": q70_set_ops,
+    "q71_date_parts": q71_date_parts,
     "q31_json_extract": q31_json_extract,
-    "q32_scalar_subquery": q32_scalar_subquery,
+    "q72_scalar_subquery": q72_scalar_subquery,
     "q33_sessionize_batch": q33_sessionize_batch,
     "q34_ivf_ann_recall": q34_ivf_ann_recall,
     "q35_curate_funnel": q35_curate_funnel,
@@ -384,7 +384,7 @@ SPARK_QUERIES_2 = {
 ORACLE_SQL_2 = {
     "q21_lang_id": _q21_oracle(),
     "q22_quality_scores": _q22_oracle(),
-    "q28_rollup": """
+    "q69_rollup": """
         SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
                COALESCE(o_orderstatus, 'ALL') AS status,
                COUNT(*) AS n_orders
@@ -392,7 +392,7 @@ ORACLE_SQL_2 = {
         GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
         ORDER BY priority, status
     """,
-    "q29_set_ops": """
+    "q70_set_ops": """
         SELECT nationkey, 'both' AS src FROM
             (SELECT c_nationkey AS nationkey FROM customer
              INTERSECT
@@ -404,7 +404,7 @@ ORACLE_SQL_2 = {
              SELECT s_nationkey FROM supplier)
         ORDER BY src, nationkey
     """,
-    "q30_date_parts": """
+    "q71_date_parts": """
         SELECT date_part('year', ts) AS y, date_part('month', ts) AS m,
                date_part('day', ts) AS d,
                COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
@@ -420,7 +420,7 @@ ORACLE_SQL_2 = {
         GROUP BY event_type
         ORDER BY event_type
     """,
-    "q32_scalar_subquery": """
+    "q72_scalar_subquery": """
         SELECT o_orderpriority, COUNT(*) AS n_above_avg
         FROM orders
         WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
@@ -453,7 +453,7 @@ ORACLE_SQL_2 = {
 }
 
 
-def q36_balance_bands(spark, sf):
+def q73_balance_bands(spark, sf):
     """CASE banding + aggregation over signed balances."""
     s = _t(spark, sf, "supplier")
     band = (
@@ -472,7 +472,7 @@ def q36_balance_bands(spark, sf):
     )
 
 
-def q37_like_filter(spark, sf):
+def q74_like_filter(spark, sf):
     """LIKE pattern + BETWEEN range predicates."""
     p = _t(spark, sf, "part")
     return (
@@ -505,7 +505,7 @@ def q38_agg_then_join(spark, sf):
     )
 
 
-def q39_date_extremes(spark, sf):
+def q75_date_extremes(spark, sf):
     """min/max event-time per group, emitted as formatted strings."""
     e = _t(spark, sf, "events")
     return (
@@ -521,16 +521,16 @@ def q39_date_extremes(spark, sf):
 
 SPARK_QUERIES_2.update(
     {
-        "q36_balance_bands": q36_balance_bands,
-        "q37_like_filter": q37_like_filter,
+        "q73_balance_bands": q73_balance_bands,
+        "q74_like_filter": q74_like_filter,
         "q38_agg_then_join": q38_agg_then_join,
-        "q39_date_extremes": q39_date_extremes,
+        "q75_date_extremes": q75_date_extremes,
     }
 )
 
 ORACLE_SQL_2.update(
     {
-        "q36_balance_bands": """
+        "q73_balance_bands": """
             SELECT CASE WHEN s_acctbal < 0 THEN 'negative'
                         WHEN s_acctbal < 5000 THEN 'low'
                         ELSE 'high' END AS band,
@@ -540,7 +540,7 @@ ORACLE_SQL_2.update(
             GROUP BY 1
             ORDER BY band
         """,
-        "q37_like_filter": """
+        "q74_like_filter": """
             SELECT p_type, COUNT(*) AS n_parts,
                    CAST(MAX(p_size) AS BIGINT) AS max_size
             FROM part
@@ -564,7 +564,7 @@ ORACLE_SQL_2.update(
             GROUP BY o_orderstatus
             ORDER BY o_orderstatus
         """,
-        "q39_date_extremes": """
+        "q75_date_extremes": """
             SELECT event_type,
                    strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
                    strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
@@ -818,7 +818,7 @@ def q50_mixed_format_extract(spark, sf):
 SPARK_QUERIES_2["q50_mixed_format_extract"] = q50_mixed_format_extract
 
 
-def q46_stratified_sample(spark, sf):
+def q76_stratified_sample(spark, sf):
     """Deterministic content-keyed stratified sampling (data mixing):
     per-source rates, reproducible across engines — the DuckDB oracle
     mirrors the md5-threshold predicate verbatim."""
@@ -968,7 +968,7 @@ def q49_percentiles_approx(spark, sf):
 
 SPARK_QUERIES_2.update(
     {
-        "q46_stratified_sample": q46_stratified_sample,
+        "q76_stratified_sample": q76_stratified_sample,
         "q47_decontamination": q47_decontamination,
         "q48_sketch_distinct": q48_sketch_distinct,
         "q49_percentiles_approx": q49_percentiles_approx,
@@ -976,7 +976,7 @@ SPARK_QUERIES_2.update(
 )
 ORACLE_SQL_2.update(
     {
-        "q46_stratified_sample": _q46_oracle(),
+        "q76_stratified_sample": _q46_oracle(),
         "q47_decontamination": _Q47_ORACLE,
         "q48_sketch_distinct": """
             SELECT event_type,
@@ -1021,7 +1021,7 @@ ORACLE_SQL_2["q44_percentiles"] = """
 """
 
 
-def q51_audio_stats(spark, sf):
+def q27d_audio_stats(spark, sf):
     """Audio-tier correctness gate: real RIFF/WAVE PCM bytes (deterministic
     integer-ramp samples, synthesized driver-side — 8 tiny blobs) decoded
     by the stdlib WAV parser inside ``audio_metadata``'s mapInPandas
@@ -1058,9 +1058,9 @@ def q51_audio_stats(spark, sf):
     )
 
 
-SPARK_QUERIES_2["q51_audio_stats"] = q51_audio_stats
+SPARK_QUERIES_2["q27d_audio_stats"] = q27d_audio_stats
 
-ORACLE_SQL_2["q51_audio_stats"] = """
+ORACLE_SQL_2["q27d_audio_stats"] = """
     WITH params(media_ref, rate, n, seed) AS (VALUES
         ('a0', 8000, 3000, 0), ('a1', 16000, 3500, 1),
         ('a2', 8000, 4000, 2), ('a3', 16000, 4500, 3),
@@ -1085,7 +1085,7 @@ ORACLE_SQL_2["q51_audio_stats"] = """
 """
 
 
-def q52_sequence_packing(spark, sf):
+def q16b_sequence_packing(spark, sf):
     """Sequence packing (training-data assembly tier): sharded greedy fill
     of documents into <=512-token bins, plus per-shard fill efficiency.
     The sequential fill runs per shard inside applyInPandas (shards are
@@ -1099,9 +1099,9 @@ def q52_sequence_packing(spark, sf):
     return packing_stats(packed, budget=512)
 
 
-SPARK_QUERIES_2["q52_sequence_packing"] = q52_sequence_packing
+SPARK_QUERIES_2["q16b_sequence_packing"] = q16b_sequence_packing
 
-ORACLE_SQL_2["q52_sequence_packing"] = """
+ORACLE_SQL_2["q16b_sequence_packing"] = """
     WITH RECURSIVE toks AS (
         SELECT doc_id,
                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
@@ -1145,7 +1145,7 @@ ORACLE_SQL_2["q52_sequence_packing"] = """
 """
 
 
-def q53_leakage_safe_split(spark, sf):
+def q33b_leakage_safe_split(spark, sf):
     """Leakage-safe train/val/test split (benchmark hygiene tier): split
     key = md5 band of each exact-dup group's canonical id, so duplicate
     groups can never straddle splits.  Output: per-split doc/group counts
@@ -1173,7 +1173,7 @@ def q53_leakage_safe_split(spark, sf):
     )
 
 
-SPARK_QUERIES_2["q53_leakage_safe_split"] = q53_leakage_safe_split
+SPARK_QUERIES_2["q33b_leakage_safe_split"] = q33b_leakage_safe_split
 
 
 def _q53_oracle() -> str:
@@ -1219,10 +1219,10 @@ def _q53_oracle() -> str:
     """
 
 
-ORACLE_SQL_2["q53_leakage_safe_split"] = _q53_oracle()
+ORACLE_SQL_2["q33b_leakage_safe_split"] = _q53_oracle()
 
 
-def q54_repetition_filter(spark, sf):
+def q22b_repetition_filter(spark, sf):
     """Gopher-style within-document repetition metrics (quality-filter
     tier): duplicate-line fraction + top-bigram share per document.  The
     oracle recomputes both from scratch in SQL (list ops + unnest-based
@@ -1233,9 +1233,9 @@ def q54_repetition_filter(spark, sf):
     return repetition_scores(d).orderBy("doc_id")
 
 
-SPARK_QUERIES_2["q54_repetition_filter"] = q54_repetition_filter
+SPARK_QUERIES_2["q22b_repetition_filter"] = q22b_repetition_filter
 
-ORACLE_SQL_2["q54_repetition_filter"] = """
+ORACLE_SQL_2["q22b_repetition_filter"] = """
     WITH base AS (
         SELECT doc_id,
                list_filter(string_split(text, chr(10)),
@@ -1269,7 +1269,7 @@ ORACLE_SQL_2["q54_repetition_filter"] = """
 """
 
 
-def q55_near_dups_gemm(spark, sf):
+def q45b_near_dups_gemm(spark, sf):
     """Driver-oracled run of the GEMM banding scale path itself (VERDICT
     r04 Missing #4): the exact q45 corpus, but signatures come from
     ``lsh_signature_gemm_udf`` (``banding='gemm'`` — broadcast hyperplane
@@ -1296,10 +1296,10 @@ def q55_near_dups_gemm(spark, sf):
     )
 
 
-SPARK_QUERIES_2["q55_near_dups_gemm"] = q55_near_dups_gemm
+SPARK_QUERIES_2["q45b_near_dups_gemm"] = q45b_near_dups_gemm
 
 
-def q56_video_stats(spark, sf):
+def q27b_video_stats(spark, sf):
     """Video-tier correctness gate (VERDICT r04 #3): real RIFF/AVI MJPEG
     payloads — uniform-gray frames, JPEG-encoded by the engine's own
     encoder, AVI-muxed by encode_avi_mjpeg — demuxed and entropy-decoded
@@ -1328,9 +1328,9 @@ def q56_video_stats(spark, sf):
     return video_frame_stats(media).orderBy("media_ref", "frame_idx")
 
 
-SPARK_QUERIES_2["q56_video_stats"] = q56_video_stats
+SPARK_QUERIES_2["q27b_video_stats"] = q27b_video_stats
 
-ORACLE_SQL_2["q56_video_stats"] = """
+ORACLE_SQL_2["q27b_video_stats"] = """
     WITH params(media_ref, fps, n_frames, w, h, i) AS (VALUES
         ('v0', 24, 4, 16, 16, 0), ('v1', 30, 5, 24, 16, 1),
         ('v2', 24, 6, 32, 16, 2), ('v3', 30, 7, 16, 16, 3),
@@ -1355,7 +1355,7 @@ ORACLE_SQL_2["q56_video_stats"] = """
 """
 
 
-def q57_pdf_text(spark, sf):
+def q27c_pdf_text(spark, sf):
     """Layout-parse correctness gate (VERDICT r04 #4): real minimal PDFs
     (catalog/pages/kids + per-page FlateDecode'd content streams, built
     by encode_pdf) parsed back by the engine's stdlib zlib + content-
@@ -1389,9 +1389,9 @@ def q57_pdf_text(spark, sf):
     )
 
 
-SPARK_QUERIES_2["q57_pdf_text"] = q57_pdf_text
+SPARK_QUERIES_2["q27c_pdf_text"] = q27c_pdf_text
 
-ORACLE_SQL_2["q57_pdf_text"] = """
+ORACLE_SQL_2["q27c_pdf_text"] = """
     WITH params(media_ref, i, n_pages) AS (VALUES
         ('p0', 0, 2), ('p1', 1, 3), ('p2', 2, 4),
         ('p3', 3, 2), ('p4', 4, 3), ('p5', 5, 4)
@@ -1417,7 +1417,7 @@ ORACLE_SQL_2["q57_pdf_text"] = """
 """
 
 
-def q58_lsh_capped(spark, sf):
+def q23b_lsh_capped(spark, sf):
     """The drop_hot_buckets skew guard driven through the driver gate:
     documents plus an injected 30-copy hot key (one boilerplate text —
     identical signatures flood every band bucket), capped at
@@ -1441,10 +1441,10 @@ def q58_lsh_capped(spark, sf):
     )
 
 
-SPARK_QUERIES_2["q58_lsh_capped"] = q58_lsh_capped
+SPARK_QUERIES_2["q23b_lsh_capped"] = q23b_lsh_capped
 
 
-def q59_pdf_boilerplate_strip(spark, sf):
+def q43b_pdf_boilerplate(spark, sf):
     """PDF layout boilerplate strip (north-rule "PDF/layout parse" tier):
     real PDFs with a constant header + footer on every page and a varying
     "Page N of M" line; ``pdf_strip_boilerplate`` removes exact-repeated
@@ -1468,9 +1468,9 @@ def q59_pdf_boilerplate_strip(spark, sf):
     return pdf_strip_boilerplate(pdf_pages(media)).orderBy("media_ref")
 
 
-SPARK_QUERIES_2["q59_pdf_boilerplate_strip"] = q59_pdf_boilerplate_strip
+SPARK_QUERIES_2["q43b_pdf_boilerplate"] = q43b_pdf_boilerplate
 
-ORACLE_SQL_2["q59_pdf_boilerplate_strip"] = """
+ORACLE_SQL_2["q43b_pdf_boilerplate"] = """
     WITH params(media_ref, i, n_pages) AS (VALUES
         ('d0', 0, 2), ('d1', 1, 3), ('d2', 2, 4),
         ('d3', 3, 2), ('d4', 4, 3)
@@ -1498,7 +1498,7 @@ ORACLE_SQL_2["q59_pdf_boilerplate_strip"] = """
 """
 
 
-def q60_site_template_strip(spark, sf):
+def q42b_site_template(spark, sf):
     """Cross-document site-template removal over the documents table
     (source = site key): lines repeated in >=60% of a site's docs are
     boilerplate.  LIVE SQL oracle — DuckDB re-runs the whole strip
@@ -1510,9 +1510,9 @@ def q60_site_template_strip(spark, sf):
     return site_template_strip(d).orderBy("doc_id")
 
 
-SPARK_QUERIES_2["q60_site_template_strip"] = q60_site_template_strip
+SPARK_QUERIES_2["q42b_site_template"] = q42b_site_template
 
-ORACLE_SQL_2["q60_site_template_strip"] = """
+ORACLE_SQL_2["q42b_site_template"] = """
     WITH d AS (
         SELECT doc_id, source AS site, text FROM documents WHERE doc_id < 150
     ),
@@ -1546,7 +1546,7 @@ ORACLE_SQL_2["q60_site_template_strip"] = """
 """
 
 
-def q61_repeated_paragraph_dedup(spark, sf):
+def q15b_paragraph_dedup(spark, sf):
     """Corpus-global repeated-paragraph removal over documents (line
     granularity — the driver corpus's paragraphs are lines): a line in
     >=2 distinct docs survives only in the min-doc_id owner.  LIVE SQL
@@ -1565,9 +1565,9 @@ def q61_repeated_paragraph_dedup(spark, sf):
     )
 
 
-SPARK_QUERIES_2["q61_repeated_paragraph_dedup"] = q61_repeated_paragraph_dedup
+SPARK_QUERIES_2["q15b_paragraph_dedup"] = q15b_paragraph_dedup
 
-ORACLE_SQL_2["q61_repeated_paragraph_dedup"] = """
+ORACLE_SQL_2["q15b_paragraph_dedup"] = """
     WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
     l0 AS (SELECT doc_id, string_split(text, chr(10)) AS L FROM d),
     p AS (
@@ -1598,7 +1598,7 @@ ORACLE_SQL_2["q61_repeated_paragraph_dedup"] = """
 """
 
 
-def q62_incremental_lsh(spark, sf):
+def q23c_incremental_lsh(spark, sf):
     """Incremental near-dedup ingest: documents 150-199 arrive as a new
     batch against the 0-149 corpus; candidates are new-vs-corpus and
     new-vs-new only (corpus self-pairs were found at corpus ingest, so
@@ -1613,10 +1613,10 @@ def q62_incremental_lsh(spark, sf):
     return incremental_lsh_candidates(new, corpus).orderBy("a_id", "b_id")
 
 
-SPARK_QUERIES_2["q62_incremental_lsh"] = q62_incremental_lsh
+SPARK_QUERIES_2["q23c_incremental_lsh"] = q23c_incremental_lsh
 
 
-def q63_pii_redaction(spark, sf):
+def q21b_pii_redaction(spark, sf):
     """PII scrub over documents augmented with deterministic synthetic
     PII (both engines build the same augmented text, so the redaction —
     not the fixture — is what's compared).  LIVE SQL oracle applies the
@@ -1644,9 +1644,9 @@ def q63_pii_redaction(spark, sf):
     )
 
 
-SPARK_QUERIES_2["q63_pii_redaction"] = q63_pii_redaction
+SPARK_QUERIES_2["q21b_pii_redaction"] = q21b_pii_redaction
 
-ORACLE_SQL_2["q63_pii_redaction"] = r"""
+ORACLE_SQL_2["q21b_pii_redaction"] = r"""
     WITH aug AS (
         SELECT doc_id,
                text || ' contact user' || doc_id || '@example.com or 10.1.'

@@ -356,7 +356,7 @@ def main() -> int:
     corpus58.update({100000 + i: HOT58 for i in range(30)})
     uncapped58 = minhash_lsh_candidates(corpus58)
     rows = minhash_lsh_candidates(corpus58, max_bucket_size=20)
-    oracles["q58_lsh_capped"] = values_sql(
+    oracles["q23b_lsh_capped"] = values_sql(
         rows, [("a_id", "BIGINT"), ("b_id", "BIGINT"), ("n_bands", "BIGINT")]
     )
     print(f"q58: {len(rows)} capped pairs (uncapped {len(uncapped58)}; "
@@ -383,7 +383,7 @@ def main() -> int:
                     continue
                 pair62[(a_id, b_id)] = pair62.get((a_id, b_id), 0) + 1
     rows = sorted((a, b, n) for (a, b), n in pair62.items())
-    oracles["q62_incremental_lsh"] = values_sql(
+    oracles["q23c_incremental_lsh"] = values_sql(
         rows, [("a_id", "BIGINT"), ("b_id", "BIGINT"), ("n_bands", "BIGINT")]
     )
     print(f"q62: {len(rows)} incremental candidate pairs")
@@ -496,7 +496,7 @@ def main() -> int:
         bps = math.floor(cos * 10000)
         if bps >= 9900:
             rows55.append((a, b, bps))
-    oracles["q55_near_dups_gemm"] = values_sql(
+    oracles["q45b_near_dups_gemm"] = values_sql(
         rows55, [("a_id", "BIGINT"), ("b_id", "BIGINT"), ("cos_bps", "INT")]
     )
     gemm_vs_expr = "identical" if set(rows55) == set(rows) else "DIFFERENT"
