@@ -117,7 +117,12 @@ def minhash_signatures(
     )
 
 
-def drop_hot_buckets(banded: DataFrame, keys: tuple, max_bucket_size: int) -> DataFrame:
+def drop_hot_buckets(
+    banded: DataFrame,
+    keys: tuple,
+    max_bucket_size: int,
+    broadcast_budget_rows: int = 1_000_000,
+) -> DataFrame:
     """Skew guard for banded self-joins (VERDICT r04 #5): remove every row
     of a bucket larger than ``max_bucket_size`` before the equi-join.
 
@@ -132,10 +137,17 @@ def drop_hot_buckets(banded: DataFrame, keys: tuple, max_bucket_size: int) -> Da
     Language Models Better" caps candidate buckets the same way).
 
     Shape at scale: the bucket-size aggregate is map-side combinable on
-    the same keys the join would shuffle on; buckets over the cap are by
-    construction FEW (sum of sizes <= corpus), so the hot set broadcasts
-    and the drop is a broadcast left-anti join — no second shuffle of the
-    banded rows.
+    the same keys the join would shuffle on.  The over-cap set is *usually*
+    tiny, but sum-of-sizes <= |banded| only bounds its COUNT by
+    |banded|/cap — on a dup-heavy crawl slice where exact-dedup was
+    skipped, that is 10^10+ keys and an unconditional ``F.broadcast``
+    hint would OOM the driver (VERDICT r05 "What's wrong" #1).  So the
+    guard counts the hot set first (one extra pass over the already
+    map-side-combined aggregate) and only hints broadcast when it fits
+    ``broadcast_budget_rows``; past the budget it falls back to a plain
+    left-anti join and lets AQE pick the physical strategy from the
+    runtime size.  Both paths drop exactly the same rows (property-tested
+    on a many-hot-buckets corpus in test_dedup_similarity).
 
     Known trade (measured, PLANS.md section 12): inside a band-once
     SELF-join, the broadcast-anti subtree defeats Catalyst's
@@ -152,6 +164,14 @@ def drop_hot_buckets(banded: DataFrame, keys: tuple, max_bucket_size: int) -> Da
         .filter(F.col("_bsz") > max_bucket_size)
         .select(*keys)
     )
+    if broadcast_budget_rows is not None:
+        # limit() bounds the counting action itself: we only need to know
+        # whether the hot set EXCEEDS the budget, never its exact size.
+        over_budget = (
+            hot.limit(broadcast_budget_rows + 1).count() > broadcast_budget_rows
+        )
+        if over_budget:
+            return banded.join(hot, on=list(keys), how="left_anti")
     return banded.join(F.broadcast(hot), on=list(keys), how="left_anti")
 
 
@@ -422,9 +442,13 @@ def incremental_lsh_candidates(
 
     Output: (a_id, b_id, n_bands) where a_id is always a NEW document;
     b_id is a corpus doc (any order) or another new doc (a_id < b_id so
-    each new-new pair appears once).  Same banding as
-    :func:`minhash_lsh_candidates`, same ``max_bucket_size`` skew guard
-    (applied to the corpus side, where the hot mass lives).
+    each new-new pair appears once).  An id present in BOTH inputs never
+    pairs with itself.  Same banding as :func:`minhash_lsh_candidates`,
+    same ``max_bucket_size`` skew guard — applied to BOTH sides: the
+    corpus side carries the accumulated hot mass, but a spam-flood ingest
+    puts a hot key inside the new batch too, where it fans out
+    quadratically new-vs-new and linearly against every corpus bucket
+    member (ADVICE r05).
 
     At scale the corpus side's banded rows are computed once per corpus
     version and kept as a bucketed table partitioned by (band, bucket) —
@@ -456,6 +480,7 @@ def incremental_lsh_candidates(
     cb = banded(corpus, 0)
     if max_bucket_size is not None:
         cb = drop_hot_buckets(cb, ("band", "bucket"), max_bucket_size)
+        nb = drop_hot_buckets(nb, ("band", "bucket"), max_bucket_size)
     right = cb.unionByName(nb)
     a = nb.select(F.col(id_col).alias("a_id"), "band", "bucket")
     b = right.select(
@@ -464,8 +489,13 @@ def incremental_lsh_candidates(
     )
     return (
         a.join(b, on=["band", "bucket"])
-        # corpus partner: any order; new partner: a < b (each pair once)
-        .filter((F.col("b_new") == 0) | (F.col("a_id") < F.col("b_id")))
+        # corpus partner: any order but never self (an id ingested twice
+        # must not emit a degenerate a==b pair); new partner: a < b
+        # (each unordered new-new pair once)
+        .filter(
+            ((F.col("b_new") == 0) & (F.col("a_id") != F.col("b_id")))
+            | ((F.col("b_new") == 1) & (F.col("a_id") < F.col("b_id")))
+        )
         .groupBy("a_id", "b_id")
         .agg(F.count("*").alias("n_bands"))
     )

@@ -640,3 +640,64 @@ def test_incremental_lsh_candidates_semantics(spark):
     assert incremental_lsh_candidates(probe, hot_corpus).count() == 20
     assert incremental_lsh_candidates(
         probe, hot_corpus, max_bucket_size=10).count() == 0
+
+
+def test_drop_hot_buckets_budget_fallback_same_rows(spark):
+    """VERDICT r05 #2: past ``broadcast_budget_rows`` the guard must fall
+    back to a non-hinted left-anti (no driver-side broadcast of a huge hot
+    set) and drop EXACTLY the same rows as the broadcast path."""
+    from red_seal_ocr_spark.operators.dedup import drop_hot_buckets
+
+    # many distinct hot buckets: 40 keys x 3 members (over cap=2) plus
+    # 40 cold keys x 2 members (at cap)
+    rows = [(k, m) for k in range(40) for m in range(3)] + [
+        (1000 + k, m) for k in range(40) for m in range(2)
+    ]
+    banded = spark.createDataFrame(rows, "bucket bigint, member int")
+
+    via_broadcast = {
+        (r.bucket, r.member)
+        for r in drop_hot_buckets(banded, ("bucket",), 2).collect()
+    }
+    via_shuffle = {
+        (r.bucket, r.member)
+        for r in drop_hot_buckets(
+            banded, ("bucket",), 2, broadcast_budget_rows=0
+        ).collect()
+    }
+    assert via_broadcast == via_shuffle
+    assert via_broadcast == {(1000 + k, m) for k in range(40) for m in range(2)}
+
+    # the fallback plan must not carry the broadcast hint
+    out = drop_hot_buckets(banded, ("bucket",), 2, broadcast_budget_rows=0)
+    assert "UnresolvedHint broadcast" not in out._jdf.queryExecution().logical().toString()
+
+
+def test_incremental_lsh_new_side_hot_key_capped(spark):
+    """ADVICE r05: a spam-flood hot key INSIDE the new batch fans out
+    quadratically new-vs-new; the cap must apply to the new side too."""
+    from red_seal_ocr_spark.operators.dedup import incremental_lsh_candidates
+
+    corpus = spark.createDataFrame(
+        [(1, "totally unrelated corpus text about spark shuffles")],
+        "doc_id bigint, text string",
+    )
+    flood = spark.createDataFrame(
+        [(100 + i, " ".join(f"t{j}" for j in range(80))) for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    assert incremental_lsh_candidates(flood, corpus).count() == 20 * 19 // 2
+    assert incremental_lsh_candidates(flood, corpus, max_bucket_size=10).count() == 0
+
+
+def test_incremental_lsh_no_degenerate_self_pair(spark):
+    """ADVICE r05: an id present in both new_docs and corpus must not emit
+    an a_id == b_id pair through the corpus-partner branch."""
+    from red_seal_ocr_spark.operators.dedup import incremental_lsh_candidates
+
+    text = " ".join(f"token{i}" for i in range(120))
+    corpus = spark.createDataFrame([(5, text)], "doc_id bigint, text string")
+    new = spark.createDataFrame([(5, text)], "doc_id bigint, text string")
+    got = incremental_lsh_candidates(new, corpus).collect()
+    assert all(r.a_id != r.b_id for r in got)
+    assert got == []  # the only possible partner was itself
