@@ -199,7 +199,9 @@ def site_template_strip(
     skew hazard here: unlike the LSH bucket join there is no self-join,
     the hot (site, line) key just pre-reduces map-side like any
     aggregate.  Output: (doc_id, site, n_lines_kept, n_lines_removed,
-    main_text).
+    main_text) — ROW-PRESERVING: a document with no non-blank lines still
+    emits (0, 0, '') via a left join back to the input id set (ADVICE
+    r05: a cleanup operator must not lose rows).
     """
     lines = (
         docs.select(
@@ -226,7 +228,7 @@ def site_template_strip(
         )
     )
     tagged = lines.join(df, on=["site", "line"])
-    return (
+    agg = (
         tagged.groupBy("doc_id", "site")
         .agg(
             F.sum(F.when(~F.col("is_boiler"), 1).otherwise(0)).cast("int")
@@ -246,4 +248,13 @@ def site_template_strip(
                 "\n",
             ).alias("main_text"),
         )
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(site_col).alias("site")
+    )
+    return base.join(agg, on=["doc_id", "site"], how="left").select(
+        "doc_id", "site",
+        F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+        F.coalesce("n_lines_removed", F.lit(0)).alias("n_lines_removed"),
+        F.coalesce("main_text", F.lit("")).alias("main_text"),
     )

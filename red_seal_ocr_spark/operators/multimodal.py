@@ -1016,10 +1016,17 @@ def pdf_strip_boilerplate(pages: DataFrame, min_page_frac_pct: int = 60) -> Data
         .agg(F.sum(F.when(F.col("is_boiler"), 1).otherwise(0)).cast("int")
              .alias("n_removed"))
     )
+    # n_pages is the row-preserving base: a doc whose every line is
+    # boilerplate (kept side empty) or whose pages are all blank (both
+    # sides empty) still emits a row with main_text='' (ADVICE r05).
     return (
-        kept.join(removed, on="media_ref")
+        n_pages
+        .join(kept.drop("n_pages"), on="media_ref", how="left")
+        .join(removed, on="media_ref", how="left")
         .select(
-            "media_ref", "n_pages", "n_removed", "main_text",
-            F.length("main_text").alias("n_chars"),
+            "media_ref", "n_pages",
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+            F.coalesce("main_text", F.lit("")).alias("main_text"),
+            F.length(F.coalesce("main_text", F.lit(""))).alias("n_chars"),
         )
     )

@@ -279,7 +279,11 @@ def repeated_paragraph_dedup(
     count, both map-side combinable on the md5 key), joined back on the
     same key, ordered per-doc re-assembly.  No self-join; a viral
     paragraph pre-reduces like any hot aggregate key.  Output:
-    (doc_id, n_paras_kept, n_paras_dropped, text).
+    (doc_id, n_paras_kept, n_paras_dropped, text) — ROW-PRESERVING: a
+    document whose text has no non-blank lines still emits a row with
+    (0, 0, '') (ADVICE r05: a dedup operator must not lose rows), via a
+    left join back to the input id set on the id the aggregate already
+    shuffled on.
     """
     paras = (
         docs.select(
@@ -297,7 +301,7 @@ def repeated_paragraph_dedup(
         "keep",
         (F.col("n_docs") < min_docs) | (F.col("doc_id") == F.col("owner_doc")),
     )
-    return (
+    agg = (
         tagged.groupBy("doc_id")
         .agg(
             F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("int")
@@ -316,6 +320,13 @@ def repeated_paragraph_dedup(
                 sep,
             ).alias(text_col),
         )
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    return base.join(agg, on="doc_id", how="left").select(
+        "doc_id",
+        F.coalesce("n_paras_kept", F.lit(0)).alias("n_paras_kept"),
+        F.coalesce("n_paras_dropped", F.lit(0)).alias("n_paras_dropped"),
+        F.coalesce(text_col, F.lit("")).alias(text_col),
     )
 
 

@@ -1532,17 +1532,24 @@ ORACLE_SQL_2["q42b_site_template"] = """
                (sd.n_site_docs >= 2
                 AND dfq.doc_df * 100 >= sd.n_site_docs * 60) AS is_boiler
         FROM dfq JOIN sd USING (site)
+    ),
+    agg AS (
+        SELECT l.doc_id, l.site,
+               CAST(SUM(CASE WHEN NOT b.is_boiler THEN 1 ELSE 0 END) AS INT)
+                   AS n_lines_kept,
+               CAST(SUM(CASE WHEN b.is_boiler THEN 1 ELSE 0 END) AS INT)
+                   AS n_lines_removed,
+               COALESCE(string_agg(CASE WHEN NOT b.is_boiler THEN l.line END,
+                                   chr(10) ORDER BY l.line_idx), '') AS main_text
+        FROM l JOIN b ON l.site = b.site AND l.line = b.line
+        GROUP BY l.doc_id, l.site
     )
-    SELECT l.doc_id, l.site,
-           CAST(SUM(CASE WHEN NOT b.is_boiler THEN 1 ELSE 0 END) AS INT)
-               AS n_lines_kept,
-           CAST(SUM(CASE WHEN b.is_boiler THEN 1 ELSE 0 END) AS INT)
-               AS n_lines_removed,
-           COALESCE(string_agg(CASE WHEN NOT b.is_boiler THEN l.line END,
-                               chr(10) ORDER BY l.line_idx), '') AS main_text
-    FROM l JOIN b ON l.site = b.site AND l.line = b.line
-    GROUP BY l.doc_id, l.site
-    ORDER BY l.doc_id
+    SELECT d.doc_id, d.site,
+           COALESCE(agg.n_lines_kept, 0) AS n_lines_kept,
+           COALESCE(agg.n_lines_removed, 0) AS n_lines_removed,
+           COALESCE(agg.main_text, '') AS main_text
+    FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id AND d.site = agg.site
+    ORDER BY d.doc_id
 """
 
 
@@ -1585,16 +1592,23 @@ ORACLE_SQL_2["q15b_paragraph_dedup"] = """
         SELECT p.doc_id, p.para_idx, p.para,
                (o.n_docs < 2 OR p.doc_id = o.owner_doc) AS keep
         FROM p JOIN o USING (para_key)
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS INT) AS n_paras_kept,
+               CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS INT) AS n_paras_dropped,
+               CAST(length(COALESCE(string_agg(CASE WHEN keep THEN para END,
+                                               chr(10) ORDER BY para_idx), ''))
+                    AS INT) AS n_chars
+        FROM tg
+        GROUP BY doc_id
     )
-    SELECT doc_id,
-           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS INT) AS n_paras_kept,
-           CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS INT) AS n_paras_dropped,
-           CAST(length(COALESCE(string_agg(CASE WHEN keep THEN para END,
-                                           chr(10) ORDER BY para_idx), ''))
-                AS INT) AS n_chars
-    FROM tg
-    GROUP BY doc_id
-    ORDER BY doc_id
+    SELECT d.doc_id,
+           COALESCE(agg.n_paras_kept, 0) AS n_paras_kept,
+           COALESCE(agg.n_paras_dropped, 0) AS n_paras_dropped,
+           COALESCE(agg.n_chars, 0) AS n_chars
+    FROM d LEFT JOIN agg USING (doc_id)
+    ORDER BY d.doc_id
 """
 
 

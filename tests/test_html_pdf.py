@@ -109,3 +109,22 @@ def test_site_template_strip_semantics(spark):
     assert out[3].main_text == "another piece"
     assert out[4].main_text == "" and out[4].n_lines_kept == 0
     assert out[5].main_text == "lonely page\nNAV HOME"  # single-doc site
+
+
+def test_site_template_strip_row_preserving(spark):
+    """ADVICE r05: documents with no non-blank lines must still emit a
+    row (0, 0, '') — cleanup operators don't lose rows."""
+    from red_seal_ocr_spark.operators.html_extract import site_template_strip
+
+    rows = [
+        (1, "siteA", "shared nav line\nbody one"),
+        (2, "siteA", "shared nav line\nbody two"),
+        (3, "siteA", ""),            # blank doc
+        (4, "siteB", "   \n\n  "),   # whitespace-only doc
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    out = {r.doc_id: r for r in site_template_strip(docs).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert (out[3].n_lines_kept, out[3].n_lines_removed, out[3].main_text) == (0, 0, "")
+    assert (out[4].n_lines_kept, out[4].n_lines_removed, out[4].main_text) == (0, 0, "")
+    assert out[1].main_text == "body one"  # template stripped from real docs

@@ -161,3 +161,26 @@ def test_pdf_strip_boilerplate_semantics(spark):
                            "body c\nPage 3 of 3")
     o = out["one"]
     assert o.n_removed == 0 and o.main_text == "HDR\nonly page"
+
+
+def test_pdf_strip_boilerplate_row_preserving(spark):
+    """ADVICE r05: a doc whose every line is boilerplate, and a doc whose
+    pages are all blank, must still emit a row with main_text=''."""
+    from red_seal_ocr_spark.operators.multimodal import pdf_strip_boilerplate
+
+    rows = [
+        # d1: every line repeats on both pages -> all boilerplate
+        ("d1", True, 0, "HEADER\nFOOTER"), ("d1", True, 1, "HEADER\nFOOTER"),
+        # d2: blank pages only
+        ("d2", True, 0, "  \n "), ("d2", True, 1, ""),
+        # d3: normal doc with surviving body
+        ("d3", True, 0, "HEAD\nbody a"), ("d3", True, 1, "HEAD\nbody b"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "media_ref string, ok boolean, page_idx int, page_text string"
+    )
+    out = {r.media_ref: r for r in pdf_strip_boilerplate(pages).collect()}
+    assert set(out) == {"d1", "d2", "d3"}
+    assert (out["d1"].n_removed, out["d1"].main_text) == (2, "")
+    assert (out["d2"].n_removed, out["d2"].main_text) == (0, "")
+    assert out["d3"].main_text == "body a\nbody b"

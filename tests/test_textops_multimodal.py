@@ -393,3 +393,17 @@ def test_redact_pii_semantics(spark):
     assert out[3].n_email == 2 and out[3].n_ip == 1
     assert (out[4].n_email, out[4].n_ip, out[4].n_phone) == (0, 0, 0)
     assert out[4].text == rows[3][1]  # untouched
+
+
+def test_repeated_paragraph_dedup_row_preserving(spark):
+    """ADVICE r05: a doc with no non-blank paragraphs still emits a row
+    with (0, 0, '')."""
+    from red_seal_ocr_spark.operators.textops import repeated_paragraph_dedup
+
+    rows = [(1, "shared para\nown one"), (2, "shared para\nown two"), (3, "\n  \n")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in repeated_paragraph_dedup(docs).collect()}
+    assert set(out) == {1, 2, 3}
+    assert (out[3].n_paras_kept, out[3].n_paras_dropped, out[3].text) == (0, 0, "")
+    assert out[1].text == "shared para\nown one"   # min-id owner keeps
+    assert out[2].text == "own two"
