@@ -292,7 +292,7 @@ def audio_metadata(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=AUDIO_META_SCHEMA)
 
 
-def _parse_avi(content: bytes):
+def _parse_avi(content: bytes, require_mjpg: bool = False):
     """Real in-sandbox video demux: RIFF/AVI chunk walk (VERDICT r04 #3 —
     the same RIFF grammar as :func:`_decode_wav`), MJPEG payload.
 
@@ -302,7 +302,11 @@ def _parse_avi(content: bytes):
     ``NNdc``/``NNdb`` chunks of that stream.  Returns
     ``(fps:float, width:int, height:int, frames:list[bytes])`` where each
     frame is the raw MJPEG (JPEG) blob, decodable by the engine's own
-    ``decode_jpeg``.  Raises ``ValueError`` on malformed/truncated input.
+    ``decode_jpeg``.  Raises ``ValueError`` on malformed/truncated input,
+    and — when ``require_mjpg`` — on a ``strh`` handler fourcc that is
+    not MJPG (ADVICE r05: a valid AVI with another codec must reach the
+    PyAV fallback instead of failing here).  Frames inside ``LIST rec ``
+    interleave groups are walked like top-level ``movi`` chunks.
 
     Reference parity: the reference's media surface decodes video frames
     through PIL/ffmpeg bindings; here the container walk and the JPEG
@@ -325,6 +329,7 @@ def _parse_avi(content: bytes):
     n_frames_hdr = width = height = None
     scale = rate = None
     vid_stream = None
+    vid_handler = None
     frames: list[bytes] = []
     for cid, off, sz in walk(12, len(b)):
         if cid != b"LIST" or sz < 4:
@@ -344,16 +349,25 @@ def _parse_avi(content: bytes):
                         if cid3 == b"strh" and sz3 >= 32:
                             if b[off3 : off3 + 4] == b"vids" and vid_stream is None:
                                 vid_stream = stream_idx
+                                vid_handler = b[off3 + 4 : off3 + 8]
                                 scale, rate = struct.unpack(
                                     "<II", b[off3 + 20 : off3 + 28]
                                 )
         elif ltype == b"movi":
             sid = b"%02d" % (vid_stream if vid_stream is not None else 0)
-            for cid2, off2, sz2 in walk(off + 4, off + sz):
-                if cid2[:2] == sid and cid2[2:4] in (b"dc", b"db"):
-                    frames.append(b[off2 : off2 + sz2])
+
+            def collect(pos: int, end: int):
+                for cid2, off2, sz2 in walk(pos, end):
+                    if cid2[:2] == sid and cid2[2:4] in (b"dc", b"db"):
+                        frames.append(b[off2 : off2 + sz2])
+                    elif cid2 == b"LIST" and b[off2 : off2 + 4] == b"rec ":
+                        collect(off2 + 4, off2 + sz2)
+
+            collect(off + 4, off + sz)
     if vid_stream is None or not scale or not rate:
         raise ValueError("no vids stream header in AVI")
+    if require_mjpg and vid_handler not in (b"MJPG", b"mjpg", b"\x00\x00\x00\x00"):
+        raise ValueError(f"non-MJPEG AVI codec: {vid_handler!r}")
     if n_frames_hdr is not None and len(frames) != n_frames_hdr:
         raise ValueError(
             f"AVI frame count mismatch: header {n_frames_hdr}, movi {len(frames)}"
@@ -430,13 +444,19 @@ def video_frame_stats(media: DataFrame) -> DataFrame:
             for ref, content in zip(b["media_ref"], b["content"]):
                 try:
                     fps, _, _, blobs = _parse_avi(bytes(content))
+                    # decode EVERY frame before appending anything: a
+                    # corrupt frame mid-stream must produce exactly one
+                    # ok=false row, never ok=true rows for the frames
+                    # before it (ADVICE r05, mirrors _iter_pdf_pages)
+                    doc_rows = []
                     for i, blob in enumerate(blobs):
                         img = decode_jpeg(blob)
                         mean_milli = int(round(float(np.mean(img)) * 1000.0))
-                        rows.append(
+                        doc_rows.append(
                             (ref, True, int(round(fps)), len(blobs), i,
                              img.shape[1], img.shape[0], mean_milli)
                         )
+                    rows.extend(doc_rows)
                 except (ValueError, TypeError, JpegError):
                     rows.append((ref, False, None, None, None, None, None, None))
             yield pd.DataFrame(
@@ -453,16 +473,28 @@ def _iter_video_frames(content: bytes):
     in-sandbox (engine AVI walk + JPEG codec, re-encoded as PNG so the
     downstream frame schema is container-independent); other containers
     go to PyAV when importable; the FAKV fake remains the last-resort
-    fixture path."""
+    fixture path.
+
+    A RIFF/AVI payload the engine path cannot handle (non-MJPEG codec,
+    header/movi mismatch, corrupt frame) falls through to PyAV when
+    importable rather than failing outright (ADVICE r05, the same
+    fallback shape as ``_iter_pdf_pages``); frames are materialized
+    before any is yielded so a mid-stream failure never leaves a partial
+    yield behind."""
     b = bytes(content)
     if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"AVI ":
-        from ..functions.jpeg import decode_jpeg
+        from ..functions.jpeg import JpegError, decode_jpeg
         from ..functions.png import encode_png
 
-        _, _, _, blobs = _parse_avi(b)
-        for blob in blobs:
-            yield encode_png(decode_jpeg(blob))
-        return
+        try:
+            _, _, _, blobs = _parse_avi(b, require_mjpg=True)
+            out = [encode_png(decode_jpeg(blob)) for blob in blobs]
+        except (ValueError, JpegError):
+            if not HAVE_VIDEO_LIBS:
+                raise
+        else:
+            yield from out
+            return
     if HAVE_VIDEO_LIBS:
         # real path: demux + decode via PyAV, re-encode frames with the
         # engine's PNG codec so downstream schema is identical either way

@@ -16,6 +16,7 @@ import pytest
 
 from red_seal_ocr_spark.functions.jpeg import decode_jpeg, encode_jpeg
 from red_seal_ocr_spark.operators.multimodal import (
+    HAVE_VIDEO_LIBS,
     _iter_video_frames,
     _parse_avi,
     encode_avi_mjpeg,
@@ -118,6 +119,97 @@ def test_video_frame_stats_through_spark(spark):
     got = video_frame_stats(media).orderBy("frame_idx").collect()
     assert [(r.fps, r.n_frames, r.frame_idx, r.width, r.height, r.mean_milli)
             for r in got] == [(30, 2, 0, 16, 8, 7000), (30, 2, 1, 16, 8, 77000)]
+
+
+def _corrupt_second_frame(avi: bytes) -> bytes:
+    """Garble the SOI marker of the second 00dc payload: the container
+    stays structurally valid but the frame no longer JPEG-decodes."""
+    b = bytearray(avi)
+    first = b.find(b"00dc")
+    second = b.find(b"00dc", first + 4)
+    b[second + 8 : second + 10] = b"\x00\x00"
+    return bytes(b)
+
+
+def test_video_frame_stats_corrupt_midstream_single_false_row(spark):
+    """ADVICE r05: a corrupt JPEG frame mid-stream must emit exactly ONE
+    ok=false row for that media_ref — never ok=true rows for the frames
+    decoded before the failure."""
+    good = bytes(encode_avi_mjpeg(_gray_frames([7, 77], h=8, w=16), fps=30))
+    bad = _corrupt_second_frame(
+        bytes(encode_avi_mjpeg(_gray_frames([5, 55, 105], h=8, w=16), fps=24))
+    )
+    media = spark.createDataFrame(
+        [("good", good), ("bad", bad)], "media_ref string, content binary"
+    )
+    got = video_frame_stats(media).collect()
+    bad_rows = [r for r in got if r.media_ref == "bad"]
+    assert len(bad_rows) == 1 and bad_rows[0].ok is False
+    good_rows = [r for r in got if r.media_ref == "good"]
+    assert len(good_rows) == 2 and all(r.ok for r in good_rows)
+
+
+@pytest.mark.skipif(HAVE_VIDEO_LIBS, reason="PyAV fallback may part-decode")
+def test_iter_video_frames_corrupt_midstream_no_partial_yield():
+    """Frames are materialized before any is yielded: the first next()
+    raises rather than yielding frame 0 and failing later (ADVICE r05)."""
+    bad = _corrupt_second_frame(
+        bytes(encode_avi_mjpeg(_gray_frames([5, 55, 105]), fps=24))
+    )
+    gen = _iter_video_frames(bad)
+    with pytest.raises(ValueError):
+        next(gen)
+
+
+@pytest.mark.skipif(HAVE_VIDEO_LIBS, reason="PyAV fallback may part-decode")
+def test_sample_video_frames_corrupt_midstream_single_false_row(spark):
+    bad = _corrupt_second_frame(
+        bytes(encode_avi_mjpeg(_gray_frames([5, 55, 105]), fps=24))
+    )
+    media = spark.createDataFrame([("bad", bad)], "media_ref string, content binary")
+    got = sample_video_frames(media, every_nth=1).collect()
+    assert len(got) == 1 and got[0].ok is False
+
+
+def test_parse_avi_non_mjpg_fourcc_routed_to_fallback():
+    """ADVICE r05: a valid AVI carrying a non-MJPEG codec must not die in
+    the engine demux — require_mjpg rejects it so _iter_video_frames can
+    fall through to PyAV (or raise cleanly when PyAV is absent)."""
+    avi = bytearray(encode_avi_mjpeg(_gray_frames([10]), fps=24))
+    i = avi.find(b"vids") + 4
+    avi[i : i + 4] = b"XVID"
+    avi = bytes(avi)
+    # permissive parse still walks the container fine
+    _, _, _, blobs = _parse_avi(avi)
+    assert len(blobs) == 1
+    with pytest.raises(ValueError, match="non-MJPEG"):
+        _parse_avi(avi, require_mjpg=True)
+    if not HAVE_VIDEO_LIBS:
+        with pytest.raises(ValueError):
+            list(_iter_video_frames(avi))
+
+
+def test_avi_rec_interleave_lists():
+    """Frames wrapped in a 'LIST rec ' interleave group are walked like
+    top-level movi chunks (ADVICE r05)."""
+    avi = bytearray(encode_avi_mjpeg(_gray_frames([10, 100]), fps=24))
+    movi = avi.find(b"movi")
+    (lsz,) = struct.unpack("<I", avi[movi - 4 : movi])
+    body = bytes(avi[movi + 4 : movi + lsz])
+    rec = b"LIST" + struct.pack("<I", len(body) + 4) + b"rec " + body
+    out = bytearray(
+        bytes(avi[: movi - 4])
+        + struct.pack("<I", len(rec) + 4)
+        + b"movi"
+        + rec
+        + bytes(avi[movi + lsz :])
+    )
+    (rsz,) = struct.unpack("<I", out[4:8])
+    out[4:8] = struct.pack("<I", rsz + 12)  # the rec LIST header
+    fps, _, _, blobs = _parse_avi(bytes(out))
+    assert len(blobs) == 2
+    assert (decode_jpeg(blobs[0]) == 10).all()
+    assert (decode_jpeg(blobs[1]) == 100).all()
 
 
 def test_avi_fractional_fps_rational():
