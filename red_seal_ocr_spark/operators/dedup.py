@@ -175,6 +175,43 @@ def drop_hot_buckets(
     return banded.join(F.broadcast(hot), on=list(keys), how="left_anti")
 
 
+def banded_minhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """LSH band rows ``(id, band, bucket)`` for each document — the
+    shared first stage of :func:`minhash_lsh_candidates` and
+    :func:`incremental_lsh_candidates`, exposed so the banded corpus can
+    be PERSISTED once per corpus version (snapshot layer:
+    :func:`red_seal_ocr_spark.sources.snapshot.write_banded_corpus`) and
+    re-used by every subsequent ingest batch instead of re-hashed.
+
+    Banding is unrolled on purpose: a data-driven transform(sequence(...))
+    with element_at(signature, <lambda-var index>) measured ~7x slower
+    (lambda-indexed array access drops the stage out of codegen); eight
+    fixed-index xxhash64 calls codegen flat.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
+    return sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -191,25 +228,7 @@ def minhash_lsh_candidates(
     ``max_bucket_size`` engages the :func:`drop_hot_buckets` skew guard
     (None = off, the oracle-pinned exhaustive form).
     """
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
-    # unrolled banding on purpose: a data-driven transform(sequence(...))
-    # with element_at(signature, <lambda-var index>) measured ~7x slower
-    # (lambda-indexed array access drops the stage out of codegen); eight
-    # fixed-index xxhash64 calls codegen flat
-    banded = sigs.select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        *[F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "bucket"),
-    )
+    banded = banded_minhash(docs, id_col, text_col, num_hashes, bands, shingle_k)
     if max_bucket_size is not None:
         banded = drop_hot_buckets(banded, ("band", "bucket"), max_bucket_size)
     a = banded.select(F.col(id_col).alias("a_id"), "band", "bucket")
@@ -426,13 +445,15 @@ def ngram_jaccard_for_pairs(
 
 def incremental_lsh_candidates(
     new_docs: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 3,
     max_bucket_size: int | None = None,
+    corpus_banded: DataFrame | None = None,
+    new_banded: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs for an INCREMENTAL ingest batch: each new
     document against the existing corpus AND the other new documents —
@@ -451,33 +472,35 @@ def incremental_lsh_candidates(
     member (ADVICE r05).
 
     At scale the corpus side's banded rows are computed once per corpus
-    version and kept as a bucketed table partitioned by (band, bucket) —
-    then each ingest batch's join prunes to its own buckets and only the
-    new side is (re)hashed.  This function expresses the join; the
-    persistence of the banded corpus is the caller's snapshot layer.
+    version and kept as a snapshot table partitioned by (band, bucket):
+    pass it as ``corpus_banded`` (from
+    :func:`red_seal_ocr_spark.sources.snapshot.read_banded_corpus`) and
+    this call hashes ONLY the new batch — the corpus text never moves.
+    ``new_banded`` likewise short-circuits the new side when the caller
+    already persisted this batch's band rows (:func:`ingest_batch_lsh`
+    does, so the banding computed for the join is byte-identical to the
+    banding committed to the table).  Either pre-banded input must carry
+    ``(id_col, band, bucket)`` with the SAME lsh params as this call —
+    the snapshot layer records and validates them.
     """
-    rows_per_band = num_hashes // bands
+    if corpus_banded is None and corpus is None:
+        raise ValueError("need corpus or corpus_banded")
 
     def banded(df: DataFrame, flag: int) -> DataFrame:
-        sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
-        return sigs.select(
-            F.col(id_col),
-            F.lit(flag).alias("is_new"),
-            F.posexplode(
-                F.array(
-                    *[
-                        F.xxhash64(
-                            *[F.col("signature")[b * rows_per_band + r]
-                              for r in range(rows_per_band)]
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("band", "bucket"),
-        )
+        return banded_minhash(
+            df, id_col, text_col, num_hashes, bands, shingle_k
+        ).withColumn("is_new", F.lit(flag))
 
-    nb = banded(new_docs, 1)
-    cb = banded(corpus, 0)
+    nb = (
+        new_banded.select(id_col, "band", "bucket").withColumn("is_new", F.lit(1))
+        if new_banded is not None
+        else banded(new_docs, 1)
+    )
+    cb = (
+        corpus_banded.select(id_col, "band", "bucket").withColumn("is_new", F.lit(0))
+        if corpus_banded is not None
+        else banded(corpus, 0)
+    )
     if max_bucket_size is not None:
         cb = drop_hot_buckets(cb, ("band", "bucket"), max_bucket_size)
         nb = drop_hot_buckets(nb, ("band", "bucket"), max_bucket_size)
@@ -499,3 +522,71 @@ def incremental_lsh_candidates(
         .groupBy("a_id", "b_id")
         .agg(F.count("*").alias("n_bands"))
     )
+
+
+def ingest_batch_lsh(
+    spark,
+    new_docs: DataFrame,
+    table_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    max_bucket_size: int | None = None,
+    run_id: str | None = None,
+) -> DataFrame:
+    """One incremental near-dedup ingest, end to end (VERDICT r05 #3):
+
+    1. read the persisted banded corpus for ``table_dir`` (validating
+       that its recorded lsh params match this call's);
+    2. band ONLY the new batch and write its band rows to a fresh run
+       directory under the table;
+    3. compute this batch's candidate pairs by joining the written rows
+       (read back from parquet, so the join input is byte-identical to
+       what the table will serve future batches) against the stored
+       corpus — corpus text is never re-hashed;
+    4. atomically commit the batch's band rows as the next snapshot.
+
+    Returns the candidate-pair DataFrame ``(a_id, b_id, n_bands)``.
+
+    Crash model: a failure before step 4's commit leaves orphan parquet
+    files that no snapshot references — readers never see them, and
+    re-running the same batch (any run_id) produces the same candidate
+    set and a table state identical to a crash-free run, because the
+    candidate join and the commit both consume only this run's files
+    plus the committed corpus.  This is the same manifest-pointer
+    protocol the extraction pipeline's resume uses
+    (:mod:`red_seal_ocr_spark.sources.snapshot`).
+    """
+    import uuid as _uuid
+
+    from ..sources import snapshot as snap
+
+    params = {"num_hashes": num_hashes, "bands": bands,
+              "shingle_k": shingle_k, "id_col": id_col}
+    corpus_banded = snap.read_banded_corpus(spark, table_dir,
+                                            expect_params=params)
+    rid = run_id or f"ingest-{_uuid.uuid4().hex[:12]}"
+    nb = banded_minhash(new_docs, id_col, text_col, num_hashes, bands,
+                        shingle_k)
+    out_dir = f"{table_dir}/data/run-{rid}"
+    nb.repartition("band", "bucket").write.parquet(out_dir)
+    files = snap.list_run_files(out_dir)
+    nb_read = spark.read.parquet(*files)
+    if corpus_banded is None:
+        corpus_banded = spark.createDataFrame([], nb_read.schema)
+    cands = incremental_lsh_candidates(
+        new_docs,
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        max_bucket_size=max_bucket_size,
+        corpus_banded=corpus_banded,
+        new_banded=nb_read,
+    )
+    snap.commit_snapshot(table_dir, files, [], rid,
+                         extra={"lsh_params": params})
+    return cands

@@ -701,3 +701,125 @@ def test_incremental_lsh_no_degenerate_self_pair(spark):
     got = incremental_lsh_candidates(new, corpus).collect()
     assert all(r.a_id != r.b_id for r in got)
     assert got == []  # the only possible partner was itself
+
+
+def _ingest_batches(spark):
+    long = [f"token{i}" for i in range(120)]
+    b1 = spark.createDataFrame(
+        [(1, " ".join(long)), (2, " ".join(long[:-1]) + " tokenX"),
+         (3, "totally unrelated corpus text about spark shuffles")],
+        "doc_id bigint, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(10, " ".join(long[:-1]) + " tokenY"),
+         (11, " ".join(long[:-1]) + " tokenZ"),
+         (12, "fresh unseen content entirely new")],
+        "doc_id bigint, text string",
+    )
+    return b1, b2
+
+
+def test_ingest_batch_lsh_second_run_hashes_only_its_batch(spark, tmp_path):
+    """VERDICT r05 #3: the banded corpus persists on the snapshot layer —
+    batch 2's ingest writes band rows ONLY for its own 3 docs (asserted
+    via the manifest's file diff) and its candidate set equals the
+    re-hash-everything path."""
+    from red_seal_ocr_spark.operators.dedup import (
+        incremental_lsh_candidates,
+        ingest_batch_lsh,
+    )
+    from red_seal_ocr_spark.sources.snapshot import current_snapshot
+
+    b1, b2 = _ingest_batches(spark)
+    t = str(tmp_path / "banded_corpus")
+
+    c1 = {(r.a_id, r.b_id) for r in ingest_batch_lsh(spark, b1, t).collect()}
+    assert (1, 2) in c1 and len(c1) == 1  # first batch: new-new only
+    snap1 = current_snapshot(t)
+    assert spark.read.parquet(*snap1["data_files"]).count() == 3 * 8
+
+    c2 = {(r.a_id, r.b_id) for r in ingest_batch_lsh(spark, b2, t).collect()}
+    snap2 = current_snapshot(t)
+    new_files = sorted(set(snap2["data_files"]) - set(snap1["data_files"]))
+    # the second run's committed rows cover exactly its own 3 docs
+    added = spark.read.parquet(*new_files)
+    assert added.count() == 3 * 8
+    assert {r.doc_id for r in added.select("doc_id").distinct().collect()} == {10, 11, 12}
+    # equivalence with the direct path that re-hashes the corpus text
+    direct = {
+        (r.a_id, r.b_id)
+        for r in incremental_lsh_candidates(b2, b1).collect()
+    }
+    assert c2 == direct
+    assert {(10, 1), (10, 2), (11, 1), (11, 2), (10, 11)} <= c2
+
+
+def test_ingest_batch_lsh_crash_before_commit_then_resume(spark, tmp_path,
+                                                          monkeypatch):
+    """Crash after the batch's parquet write but before the snapshot
+    commit: the written files are orphans no reader sees; re-running the
+    same batch yields the same candidate set and the same committed row
+    count as a crash-free control run."""
+    import red_seal_ocr_spark.sources.snapshot as snapmod
+    from red_seal_ocr_spark.operators.dedup import ingest_batch_lsh
+    from red_seal_ocr_spark.sources.snapshot import current_snapshot
+
+    b1, b2 = _ingest_batches(spark)
+    control_t = str(tmp_path / "control")
+    crash_t = str(tmp_path / "crashy")
+    ingest_batch_lsh(spark, b1, control_t)
+    control_c2 = {
+        (r.a_id, r.b_id)
+        for r in ingest_batch_lsh(spark, b2, control_t).collect()
+    }
+
+    ingest_batch_lsh(spark, b1, crash_t)
+    snap_before = current_snapshot(crash_t)
+    real_commit = snapmod.commit_snapshot
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before commit")
+
+    monkeypatch.setattr(snapmod, "commit_snapshot", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ingest_batch_lsh(spark, b2, crash_t)
+    monkeypatch.setattr(snapmod, "commit_snapshot", real_commit)
+
+    # the crashed run left orphan files but no new snapshot
+    assert current_snapshot(crash_t)["snapshot_id"] == snap_before["snapshot_id"]
+
+    resumed = {
+        (r.a_id, r.b_id)
+        for r in ingest_batch_lsh(spark, b2, crash_t).collect()
+    }
+    assert resumed == control_c2
+    # committed table state matches the crash-free control (orphans from
+    # the crashed attempt are never referenced)
+    n_control = spark.read.parquet(
+        *current_snapshot(control_t)["data_files"]).count()
+    n_crash = spark.read.parquet(
+        *current_snapshot(crash_t)["data_files"]).count()
+    assert n_control == n_crash == 6 * 8
+
+
+def test_banded_corpus_param_mismatch_rejected(spark, tmp_path):
+    """Band rows from different hash families must never mix: both the
+    reader and the writer validate the recorded lsh params."""
+    from red_seal_ocr_spark.operators.dedup import banded_minhash, ingest_batch_lsh
+    from red_seal_ocr_spark.sources.snapshot import (
+        read_banded_corpus,
+        write_banded_corpus,
+    )
+
+    b1, _ = _ingest_batches(spark)
+    t = str(tmp_path / "banded")
+    ingest_batch_lsh(spark, b1, t, num_hashes=32, bands=8)
+    with pytest.raises(ValueError, match="lsh_params"):
+        ingest_batch_lsh(spark, b1, t, num_hashes=16, bands=4)
+    with pytest.raises(ValueError, match="lsh_params"):
+        read_banded_corpus(spark, t, expect_params={"num_hashes": 16})
+    with pytest.raises(ValueError, match="refusing to append"):
+        write_banded_corpus(
+            banded_minhash(b1, num_hashes=16, bands=4), t, "run-x",
+            {"num_hashes": 16, "bands": 4, "shingle_k": 3, "id_col": "doc_id"},
+        )
