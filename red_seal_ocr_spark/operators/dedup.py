@@ -314,7 +314,8 @@ def simhash_buckets(
 
 
 def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20,
-                       partitions: int | None = None) -> DataFrame:
+                       partitions: int | None = None,
+                       algorithm: str = "label") -> DataFrame:
     """Connected components over a candidate-pair graph -> dup clusters.
 
     Input: (a_id, b_id) near-duplicate pairs (e.g. from
@@ -323,12 +324,28 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20,
     the step that turns pairwise candidates into dedup actions (keep one
     representative per cluster).
 
-    Algorithm: min-label propagation — each node takes the minimum label
-    in its neighborhood; iterate to fixpoint (<= graph diameter rounds,
-    typically tiny for dup clusters).  Each round is one join + one
-    aggregation, all keyed shuffles; no driver-side state beyond the
-    converged flag.
+    Two algorithms (VERDICT r05 #5), same join-shape primitives:
+
+    - ``"label"`` (default): min-label propagation — each node takes the
+      minimum label in its neighborhood; iterate to fixpoint.  Rounds =
+      graph DIAMETER, which is tiny for typical dup clusters but O(n)
+      for an adversarial chain of near-dups (shingled spam); past
+      ``max_iterations`` the labels are simply not converged.
+    - ``"star"``: alternating large-star/small-star (Kiveris et al.,
+      "Connected Components in MapReduce and Beyond", SoCC'14) — each
+      round rewires every node toward its neighborhood minimum, halving
+      component height, so rounds = O(log n) REGARDLESS of diameter.
+      Use this when the pair graph may contain long chains; the chain
+      property test pins a 512-node path converging under star in <= 15
+      rounds where label propagation at the same cap provably has not.
+
+    Each round of either algorithm is one keyed join + one aggregation;
+    no driver-side state beyond the convergence witness.
     """
+    if algorithm == "star":
+        return _duplicate_clusters_star(pairs, max_iterations, partitions)
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
     edges = (
         pairs.selectExpr("a_id AS src", "b_id AS dst")
         .unionByName(pairs.selectExpr("b_id AS src", "a_id AS dst"))
@@ -373,6 +390,94 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20,
             break
         prev_sum = cur_sum
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def _duplicate_clusters_star(pairs: DataFrame, max_iterations: int,
+                             partitions: int | None) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.).
+
+    State is the undirected edge set.  Per round, with
+    ``m(u) = min(neighbors(u) + [u])`` computed by one groupBy:
+
+    - large-star rewires every neighbor v > u to m(u);
+    - small-star rewires every neighbor v <= u (and u itself) to m(u).
+
+    Both preserve connectivity and strictly move edges toward component
+    minima; the edge set converges in O(log n) rounds to stars centered
+    at each component's minimum id, from which labels read off as the
+    neighborhood minimum.  Works on any orderable id type (string ids
+    included — comparison, not arithmetic).
+    """
+    und = (
+        pairs.selectExpr("a_id AS u", "b_id AS v")
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+    )
+    nodes = (
+        und.select(F.col("u").alias("id"))
+        .unionByName(und.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def directed(e: DataFrame) -> DataFrame:
+        both = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        if partitions:
+            both = both.repartition(partitions, "u")
+        return both
+
+    def mins(e_dir: DataFrame) -> DataFrame:
+        return (
+            e_dir.groupBy("u")
+            .agg(F.min("v").alias("_minv"))
+            .select("u", F.least("_minv", "u").alias("m"))
+        )
+
+    edges = und
+    prev_sum = None
+    for _ in range(max_iterations):
+        e_dir = directed(edges)
+        m = mins(e_dir)
+        large = (
+            e_dir.join(m, on="u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        ls_edges = (
+            large.filter(F.col("u") != F.col("v"))
+            .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+            .distinct()
+        )
+        e_dir2 = directed(ls_edges)
+        m2 = mins(e_dir2)
+        small = (
+            e_dir2.join(m2, on="u")
+            .filter(F.col("v") <= F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(m2.select("u", F.col("m").alias("v")))
+        )
+        edges = (
+            small.filter(F.col("u") != F.col("v"))
+            .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)  # truncate lineage per round
+        )
+        # same hash-sum convergence witness as the label loop: changes
+        # iff the edge set changed (w.h.p.), one cheap aggregate
+        cur_sum = edges.agg(
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)"))
+        ).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    final_min = mins(directed(edges))
+    return nodes.join(final_min, nodes.id == final_min.u, "left").select(
+        F.col("id").alias("doc_id"),
+        F.coalesce("m", "id").alias("cluster_id"),
+    )
 
 
 def keep_canonical(docs: DataFrame, clusters: DataFrame,
