@@ -227,7 +227,34 @@ def site_template_strip(
             ).alias("is_boiler"),
         )
     )
-    tagged = lines.join(df, on=["site", "line"])
+    return strip_lines_by_flag(docs, df, id_col=id_col, site_col=site_col,
+                               text_col=text_col)
+
+
+def strip_lines_by_flag(
+    docs: DataFrame,
+    boiler: DataFrame,
+    id_col: str = "doc_id",
+    site_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a ``(site, line, is_boiler)`` verdict table to a doc set:
+    remove flagged lines, reassemble in order, row-preserving.  Shared
+    by the batch :func:`site_template_strip` (verdicts from the same
+    corpus) and the streaming path (verdicts from CUMULATIVE cross-batch
+    stats — ``streaming/curate_stream.py``).  Lines absent from
+    ``boiler`` are kept (left join + coalesce false)."""
+    lines = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(site_col).alias("site"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("line_idx", "line"),
+        )
+        .filter(F.length(F.trim("line")) > 0)
+    )
+    tagged = lines.join(boiler, on=["site", "line"], how="left").withColumn(
+        "is_boiler", F.coalesce("is_boiler", F.lit(False))
+    )
     agg = (
         tagged.groupBy("doc_id", "site")
         .agg(

@@ -1,0 +1,188 @@
+"""Streaming curation: cross-batch site-template stripping (VERDICT r05
+#7 — wire curate stage 0 into the incremental extraction story).
+
+The batch :func:`~red_seal_ocr_spark.operators.html_extract.
+site_template_strip` needs cross-document evidence: a line is template
+when it appears on >= N% of a site's documents.  A micro-batch alone
+rarely carries that evidence — a nav bar spread over many batches never
+crosses the threshold inside any single one.  So the streaming path
+keeps CUMULATIVE per-(site, line) statistics as a snapshot table and
+re-derives the template verdicts from the running totals each batch:
+
+- stats table rows: ``(site, line, cnt)`` = how many distinct docs of
+  ``site`` contain ``line``; the ``line IS NULL`` row carries the
+  site's total doc count.
+- per batch: aggregate the SAME stats over just the batch, add them to
+  the stored totals, commit the merged table (REPLACE snapshot), then
+  strip the batch's docs using verdicts from the merged stats.
+
+Additivity: per-batch distinct-doc counts sum to the global distinct
+count because a file-source micro-batch delivers each document exactly
+once.  Replayed batches (foreachBatch is at-least-once after a crash)
+would double-count, so the stats commit records ``last_batch_id`` and a
+batch <= that id merges nothing — stats updates are exactly-once, the
+same manifest-pointer idempotence the extraction resume uses.
+
+Scale shape: the stats table holds distinct (site, line) pairs — the
+aggregated vocabulary, orders of magnitude smaller than the corpus; the
+merge is one map-side-combinable groupBy keyed like the strip's own
+join.  At cluster scale the REPLACE rewrite becomes a merge-on-read
+partitioned table; the semantics here are the contract.
+
+Forward-only semantics, stated: documents committed in earlier batches
+keep template lines that had not yet crossed the threshold when they
+were processed (they were not template *on the evidence available*); a
+periodic batch re-strip over the full table is the compaction-style
+cleanup for that, and the stats table already holds everything it needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import snapshot as snap
+
+
+def batch_site_line_stats(
+    batch_docs: DataFrame,
+    id_col: str = "doc_id",
+    site_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-(site, line) distinct-doc counts for ONE batch, plus the
+    per-site doc totals as ``line IS NULL`` rows."""
+    lines = (
+        batch_docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(site_col).alias("site"),
+            F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+        )
+        .filter(F.length(F.trim("line")) > 0)
+    )
+    line_stats = (
+        lines.groupBy("site", "line")
+        .agg(F.countDistinct("doc_id").cast("long").alias("cnt"))
+    )
+    site_stats = (
+        batch_docs.groupBy(F.col(site_col).alias("site"))
+        .agg(F.countDistinct(id_col).cast("long").alias("cnt"))
+        .select("site", F.lit(None).cast("string").alias("line"), "cnt")
+    )
+    return line_stats.unionByName(site_stats)
+
+
+def update_site_line_stats(
+    spark: SparkSession,
+    batch_docs: DataFrame,
+    stats_dir: str,
+    batch_id: int,
+    id_col: str = "doc_id",
+    site_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Merge one batch's stats into the cumulative table (exactly-once:
+    a batch_id at or below the committed ``last_batch_id`` merges
+    nothing) and return the cumulative stats DataFrame."""
+    cur = snap.current_snapshot(stats_dir)
+    if cur is not None and cur.get("last_batch_id", -1) >= batch_id:
+        return snap.read_table(spark, stats_dir)
+    batch_stats = batch_site_line_stats(batch_docs, id_col, site_col, text_col)
+    old = snap.read_table(spark, stats_dir)
+    merged = (
+        batch_stats
+        if old is None
+        else old.unionByName(batch_stats)
+        .groupBy("site", "line")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    out_dir = f"{stats_dir}/data/run-batch-{batch_id}"
+    merged.write.parquet(out_dir)
+    files = snap.list_run_files(out_dir)
+    snap.commit_snapshot(
+        stats_dir, files, [], f"batch-{batch_id}",
+        extra={"last_batch_id": batch_id}, replace=True,
+    )
+    return snap.read_table(spark, stats_dir)
+
+
+def boiler_from_stats(stats: DataFrame, min_doc_frac_pct: int = 60) -> DataFrame:
+    """Template verdicts ``(site, line, is_boiler)`` from cumulative
+    stats — the same threshold rule as the batch operator, evaluated on
+    running totals."""
+    sites = stats.filter(F.col("line").isNull()).select(
+        "site", F.col("cnt").alias("n_site_docs")
+    )
+    return (
+        stats.filter(F.col("line").isNotNull())
+        .join(sites, on="site")
+        .select(
+            "site", "line",
+            (
+                (F.col("n_site_docs") >= 2)
+                & (F.col("cnt") * 100 >= F.col("n_site_docs") * min_doc_frac_pct)
+            ).alias("is_boiler"),
+        )
+    )
+
+
+def run_site_strip_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    schema,
+    stats_dir: str,
+    table_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    site_col: str = "source",
+    text_col: str = "text",
+    min_doc_frac_pct: int = 60,
+    max_files: int = 8,
+    timeout_sec: int = 600,
+) -> None:
+    """Consume available document files (availableNow), maintaining the
+    cumulative site-line stats and committing each batch's STRIPPED docs
+    as a snapshot of ``table_dir`` — template lines spread across
+    micro-batches are caught from the batch where the site's cumulative
+    threshold is crossed."""
+    from ..operators.html_extract import strip_lines_by_flag
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.cache()
+        try:
+            stats = update_site_line_stats(
+                spark, batch_df, stats_dir, batch_id,
+                id_col=id_col, site_col=site_col, text_col=text_col,
+            )
+            cur = snap.current_snapshot(table_dir)
+            if cur is not None and cur.get("last_batch_id", -1) >= batch_id:
+                return  # replayed batch already committed — don't touch
+                # files the manifest references
+            stripped = strip_lines_by_flag(
+                batch_df,
+                boiler_from_stats(stats, min_doc_frac_pct),
+                id_col=id_col, site_col=site_col, text_col=text_col,
+            )
+            out_dir = f"{table_dir}/data/run-batch-{batch_id}"
+            stripped.write.mode("overwrite").parquet(out_dir)
+            files = snap.list_run_files(out_dir)
+            snap.commit_snapshot(
+                table_dir, files, [], f"batch-{batch_id}",
+                extra={"last_batch_id": batch_id},
+            )
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(docs_dir)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        q.stop()

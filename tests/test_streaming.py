@@ -175,3 +175,78 @@ def test_streaming_near_dedup_watermark_semantics(spark, tmp_path):
         if r.doc_id == 2:
             assert r.first_doc_id == 1
             assert r.first_ts == t(10, 0)
+
+
+def test_site_strip_stream_cross_batch_threshold(spark, tmp_path):
+    """VERDICT r05 #7: template lines spread across micro-batches are
+    caught from the batch where the site's CUMULATIVE doc count crosses
+    the threshold — evidence a single batch never carries."""
+    from red_seal_ocr_spark.sources.snapshot import read_table
+    from red_seal_ocr_spark.streaming.curate_stream import run_site_strip_stream
+
+    docs_dir = str(tmp_path / "incoming")
+    stats = str(tmp_path / "stats")
+    table = str(tmp_path / "stripped")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id string, source string, text string"
+    TEMPLATE = "subscribe to our newsletter today"
+
+    def doc(i, with_template):
+        body = f"unique body line {i}"
+        text = (TEMPLATE + "\n" + body) if with_template else body
+        return (f"d{i:03d}", "siteA", text)
+
+    # batch 1: 5 docs of siteA, 2 carry the template line -> 40% < 60%
+    spark.createDataFrame([doc(i, i < 2) for i in range(5)], schema) \
+        .coalesce(1).write.mode("append").parquet(docs_dir)
+    run_site_strip_stream(spark, docs_dir, schema, stats, table, ckpt,
+                          timeout_sec=180)
+    out1 = {r.doc_id: r for r in read_table(spark, table).collect()}
+    assert len(out1) == 5
+    assert out1["d000"].n_lines_removed == 0
+    assert TEMPLATE in out1["d000"].main_text  # not template yet
+
+    # batch 2: 3 more docs, all with the line -> cumulative 5/8 >= 60%
+    spark.createDataFrame([doc(i, True) for i in range(5, 8)], schema) \
+        .coalesce(1).write.mode("append").parquet(docs_dir)
+    run_site_strip_stream(spark, docs_dir, schema, stats, table, ckpt,
+                          timeout_sec=180)
+    rows = {r.doc_id: r for r in read_table(spark, table).collect()}
+    assert len(rows) == 8
+    for i in (5, 6, 7):
+        r = rows[f"d{i:03d}"]
+        assert r.n_lines_removed == 1
+        assert r.main_text == f"unique body line {i}"
+    # forward-only semantics: batch-1 rows are what was committed then
+    assert TEMPLATE in rows["d000"].main_text
+
+    # cumulative stats are exact: template line on 5 docs, site has 8
+    st = {(r.site, r.line): r.cnt for r in read_table(spark, stats).collect()}
+    assert st[("siteA", TEMPLATE)] == 5
+    assert st[("siteA", None)] == 8
+
+    # idempotent restart with nothing new
+    run_site_strip_stream(spark, docs_dir, schema, stats, table, ckpt,
+                          timeout_sec=180)
+    assert read_table(spark, table).count() == 8
+    st2 = {(r.site, r.line): r.cnt
+           for r in read_table(spark, stats).collect()}
+    assert st2 == st
+
+
+def test_update_site_line_stats_replay_is_exactly_once(spark, tmp_path):
+    """A replayed batch_id (foreachBatch at-least-once) merges nothing —
+    cumulative counts never double."""
+    from red_seal_ocr_spark.sources.snapshot import read_table
+    from red_seal_ocr_spark.streaming.curate_stream import update_site_line_stats
+
+    stats = str(tmp_path / "stats")
+    b = spark.createDataFrame(
+        [("d1", "s", "shared\nown1"), ("d2", "s", "shared\nown2")],
+        "doc_id string, source string, text string",
+    )
+    update_site_line_stats(spark, b, stats, batch_id=0)
+    update_site_line_stats(spark, b, stats, batch_id=0)  # replay
+    st = {(r.site, r.line): r.cnt for r in read_table(spark, stats).collect()}
+    assert st[("s", "shared")] == 2
+    assert st[("s", None)] == 2

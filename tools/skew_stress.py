@@ -1,6 +1,8 @@
 """Dedup-tier skew stress (VERDICT r04 #5): inject a 10%-mass hot key into
 the 50k stress corpus and measure exact dedup, LSH banding (capped vs
-uncapped), and the CC loop, hot vs uniform.
+uncapped, each on BOTH the raw and the exact-deduped corpus so the
+cap's own effect is isolated from the exact pass's — ADVICE r05), and
+the CC loop, hot vs uniform.
 
 Real corpora have hot keys: empty/boilerplate documents collapse to one
 fingerprint, and a viral page floods one band bucket.  The quadratic
@@ -99,10 +101,24 @@ def run_variant(spark, docs, cap: int, uncapped_lsh: bool) -> dict:
     out["n_after_exact"] = deduped.count()
     groups.unpersist()
 
+    # ADVICE r05: measure the cap's effect on the SAME corpus both ways —
+    # capped-vs-uncapped on raw isolates what drop_hot_buckets itself
+    # buys (the prior report ran uncapped on raw but capped on deduped,
+    # crediting the cap with the exact pass's work), and
+    # capped-vs-uncapped on deduped shows the production-order residual.
     if uncapped_lsh:
         t0 = time.time()
-        out["lsh_uncapped_pairs"] = minhash_lsh_candidates(docs).count()
-        out["lsh_uncapped_sec"] = round(time.time() - t0, 2)
+        out["lsh_uncapped_raw_pairs"] = minhash_lsh_candidates(docs).count()
+        out["lsh_uncapped_raw_sec"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    out["lsh_capped_raw_pairs"] = minhash_lsh_candidates(
+        docs, max_bucket_size=cap).count()
+    out["lsh_capped_raw_sec"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    out["lsh_uncapped_pairs"] = minhash_lsh_candidates(deduped).count()
+    out["lsh_uncapped_sec"] = round(time.time() - t0, 2)
 
     t0 = time.time()
     pairs = minhash_lsh_candidates(
@@ -156,8 +172,19 @@ def main() -> int:
     report["summary"] = {
         "hot_mass_docs": h["exact_max_group"],
         "uncapped_pair_blowup": (
-            None if "lsh_uncapped_pairs" not in h
-            else round(h["lsh_uncapped_pairs"] / max(1, u["lsh_uncapped_pairs"]), 1)
+            None if "lsh_uncapped_raw_pairs" not in h
+            else round(h["lsh_uncapped_raw_pairs"]
+                       / max(1, u["lsh_uncapped_raw_pairs"]), 1)
+        ),
+        # the cap's OWN effect: same raw corpus, cap on vs off
+        "cap_effect_on_raw_hot": (
+            None if "lsh_uncapped_raw_sec" not in h
+            else {
+                "uncapped_sec": h["lsh_uncapped_raw_sec"],
+                "capped_sec": h["lsh_capped_raw_sec"],
+                "uncapped_pairs": h["lsh_uncapped_raw_pairs"],
+                "capped_pairs": h["lsh_capped_raw_pairs"],
+            }
         ),
         "capped_hot_vs_uniform_sec": round(
             h["lsh_capped_sec"] / max(1e-9, u["lsh_capped_sec"]), 2
