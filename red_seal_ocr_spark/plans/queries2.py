@@ -592,8 +592,8 @@ def q40_cube(spark, sf):
     )
 
 
-SPARK_QUERIES_2["q40_cube"] = q40_cube
-ORACLE_SQL_2["q40_cube"] = """
+SPARK_QUERIES_2["q77_cube"] = q40_cube
+ORACLE_SQL_2["q77_cube"] = """
     SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
            COALESCE(o_orderstatus, 'ALL') AS status,
            COUNT(*) AS n_orders
@@ -1009,8 +1009,8 @@ ORACLE_SQL_2.update(
     }
 )
 
-SPARK_QUERIES_2["q44_percentiles"] = q44_percentiles
-ORACLE_SQL_2["q44_percentiles"] = """
+SPARK_QUERIES_2["q78_percentiles"] = q44_percentiles
+ORACLE_SQL_2["q78_percentiles"] = """
     SELECT o_orderpriority,
            CAST(ROUND(quantile_cont(o_totalprice, 0.5) * 100) AS BIGINT) AS p50_cents,
            CAST(ROUND(quantile_cont(o_totalprice, 0.9) * 100) AS BIGINT) AS p90_cents,
@@ -1767,3 +1767,89 @@ ORACLE_SQL_2["q21b_pii_redaction"] = r"""
     FROM s7
     ORDER BY doc_id
 """
+
+
+def q19b_dup_clusters(spark, sf):
+    """Connected components over the q19 near-dup pair graph (min-label
+    propagation) — the first driver-gated run of the clustering stage
+    that turns pairwise candidates into dedup actions.  LIVE oracle: a
+    DuckDB recursive CTE computes every node's minimum reachable id over
+    the identical SQL-derived edge set (reference parity: the reference
+    has no clustering tier at all; this is the training-pipeline
+    extension graded alongside SURVEY section 2)."""
+    from ..operators.dedup import duplicate_clusters
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 60)
+    toks = F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+    t = d.select("doc_id", "lang", toks.alias("toks"))
+    a = t.select(F.col("doc_id").alias("a_id"), F.col("lang").alias("a_lang"),
+                 F.col("toks").alias("a_toks"))
+    b = t.select(F.col("doc_id").alias("b_id"), F.col("lang").alias("b_lang"),
+                 F.col("toks").alias("b_toks"))
+    pairs = (
+        a.join(b, (F.col("a_lang") == F.col("b_lang"))
+               & (F.col("a_id") < F.col("b_id")))
+        .filter(F.size(F.array_intersect("a_toks", "b_toks")) >= 20)
+        .select("a_id", "b_id")
+    )
+    return duplicate_clusters(pairs, partitions=8).orderBy("doc_id")
+
+
+SPARK_QUERIES_2["q19b_dup_clusters"] = q19b_dup_clusters
+
+_CC_ORACLE = """
+    WITH RECURSIVE t AS (
+        SELECT doc_id, lang,
+               list_distinct(string_split_regex(trim(text), '\\s+')) AS toks
+        FROM documents
+        WHERE doc_id < 60
+    ),
+    p AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.toks, b.toks)) >= 20
+    ),
+    e AS (
+        SELECT a_id AS u, b_id AS v FROM p
+        UNION
+        SELECT b_id AS u, a_id AS v FROM p
+    ),
+    reach(id, label) AS (
+        SELECT u, u FROM e
+        UNION
+        SELECT e.u, r.label FROM e JOIN reach r ON e.v = r.id
+    )
+    SELECT CAST(id AS BIGINT) AS doc_id,
+           CAST(MIN(label) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY id ORDER BY doc_id
+"""
+
+ORACLE_SQL_2["q19b_dup_clusters"] = _CC_ORACLE
+
+
+def q19c_star_clusters(spark, sf):
+    """Same pair graph through the O(log n)-round large-star/small-star
+    algorithm (Kiveris et al.) — the scale-bounded CC path, gated
+    against the identical recursive-CTE oracle as q19b (the two
+    algorithms must agree exactly)."""
+    from ..operators.dedup import duplicate_clusters
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 60)
+    toks = F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+    t = d.select("doc_id", "lang", toks.alias("toks"))
+    a = t.select(F.col("doc_id").alias("a_id"), F.col("lang").alias("a_lang"),
+                 F.col("toks").alias("a_toks"))
+    b = t.select(F.col("doc_id").alias("b_id"), F.col("lang").alias("b_lang"),
+                 F.col("toks").alias("b_toks"))
+    pairs = (
+        a.join(b, (F.col("a_lang") == F.col("b_lang"))
+               & (F.col("a_id") < F.col("b_id")))
+        .filter(F.size(F.array_intersect("a_toks", "b_toks")) >= 20)
+        .select("a_id", "b_id")
+    )
+    return duplicate_clusters(pairs, partitions=8,
+                              algorithm="star").orderBy("doc_id")
+
+
+SPARK_QUERIES_2["q19c_star_clusters"] = q19c_star_clusters
+ORACLE_SQL_2["q19c_star_clusters"] = _CC_ORACLE
