@@ -68,6 +68,43 @@ def stratified_hash_sample(
     return df.filter(sample_key(F.col(key_col), salt) < threshold)
 
 
+def cap_per_host(
+    df: DataFrame,
+    host_col: str = "source",
+    max_per_host: int = 1000,
+    id_col: str = "doc_id",
+    salt: str = "hostcap",
+) -> DataFrame:
+    """Per-host document cap — the host-level balancing step web-corpus
+    pipelines run so one crawl-heavy domain cannot dominate the training
+    mix (C4/Gopher-style URL deduplication's big sibling).
+
+    Selection must be deterministic, partition-independent, and unbiased
+    within the host, so the rank orders by the same content-keyed md5
+    hash the sampling tier uses (engine-portable: the DuckDB oracle
+    states the identical window verbatim), with the id as tiebreak.
+    Output adds ``host_rank`` (1-based position in the host's hash
+    order) and keeps rows with rank <= cap.
+
+    Scale shape: one shuffle keyed by host for the window.  A
+    pathological host (10^9 docs against a 10^3 cap) funnels its rows
+    into one partition before truncation; production two-phases it —
+    ``hash_sample`` at a rate comfortably above cap/|host| estimated
+    from a sketch, then this exact rank — trading one extra pass for a
+    bounded partition.  The semantics (which docs survive) are identical
+    because both phases order by the same hash.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(host_col).orderBy(
+        sample_key(F.col(id_col), salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("host_rank", F.row_number().over(w))
+        .filter(F.col("host_rank") <= max_per_host)
+    )
+
+
 def leakage_safe_split(
     df: DataFrame,
     splits: dict[str, int],

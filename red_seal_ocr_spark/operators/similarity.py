@@ -435,3 +435,113 @@ def lsh_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def quantize_embeddings(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the memory-scale path for
+    ANN state: a 768-dim float32 vector (3 KB) becomes 768 int8 codes +
+    one float scale (~0.77 KB), and candidate scoring becomes exact
+    integer dot products (SIMD-friendly on any engine; here they also
+    make the DuckDB oracle comparison EXACT, no float-ulp hazard).
+
+    ``code_i = round(x_i * 127 / max|x|)`` (the max-abs symmetric scheme
+    faiss/SQ8-style indexes use); the per-vector ``amax`` rides along so
+    approximate float dots can be reconstructed as
+    ``dot_int * amax_a * amax_b / 127^2``.  All-zero vectors quantize to
+    all-zero codes with amax = 0.  Pure JVM higher-order functions — a
+    row-local projection, no shuffle.
+    """
+    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(dbl, F.abs))
+    codes = F.when(
+        amax == 0.0,
+        F.transform(dbl, lambda x: F.lit(0)),
+    ).otherwise(
+        F.transform(dbl, lambda x: F.round(x * 127.0 / amax).cast("int"))
+    )
+    return emb.select(
+        F.col(id_col),
+        codes.alias("codes"),
+        amax.alias("amax"),
+    )
+
+
+def quantized_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_queries: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force top-k by int8-quantized cosine: rank candidates per
+    query by the INTEGER dot product of quantized codes normalized by
+    integer norms.  Because per-vector scales cancel in cosine, the
+    quantized cosine is ``dot_int / sqrt(n_a * n_b)`` — the ordering key
+    ``dot_int^2 * sign(dot_int)`` vs ``n_a * n_b`` stays in exact integer
+    arithmetic: cos_a > cos_b iff s_a * nb_b > s_b * nb_a with
+    s = sign(dot)*dot^2 — no float enters the comparison, so ranks are
+    engine-exact by construction (the float cosine path q18 uses needs
+    double-identical expressions instead).
+
+    Output: (query_id, rank, neighbor_id, dot_int) — integers only.
+    """
+    from pyspark.sql import Window
+
+    q8 = quantize_embeddings(emb, id_col, vec_col)
+    norm2 = F.aggregate(
+        "codes", F.lit(0).cast("bigint"),
+        lambda acc, x: acc + (x * x).cast("bigint"),
+    )
+    t = q8.select(id_col, "codes", norm2.alias("n2"))
+    a = t.select(F.col(id_col).alias("query_id"), F.col("codes").alias("qc"),
+                 F.col("n2").alias("qn"))
+    b = t.select(F.col(id_col).alias("neighbor_id"), F.col("codes").alias("cc"),
+                 F.col("n2").alias("cn"))
+    dot = F.aggregate(
+        F.zip_with("qc", "cc", lambda x, y: (x * y).cast("bigint")),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.filter(F.col("query_id") < n_queries)
+        .crossJoin(b)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        # zero-norm (all-zero) vectors have no cosine: exclude them
+        # rather than divide by zero (ANSI mode errors on it)
+        .filter((F.col("qn") > 0) & (F.col("cn") > 0))
+        .select(
+            "query_id", "neighbor_id",
+            dot.alias("dot_int"),
+            (F.col("qn") * F.col("cn")).alias("nprod"),
+        )
+        # ordering key: sign(dot)*dot^2 over the norm product, both held
+        # exactly — s <= (127^2*dim)^2 and nprod <= (127^2*dim)^2 stay
+        # under 2^53 through dim ~ 5000, so each casts to double with
+        # ZERO rounding
+        .select(
+            "query_id", "neighbor_id", "dot_int",
+            (F.signum("dot_int") * F.col("dot_int").cast("double")
+             * F.col("dot_int").cast("double")).alias("s"),
+            F.col("nprod").cast("double").alias("np"),
+        )
+    )
+    # rank by s/np descending.  Engine-exactness: s and np are integers
+    # represented exactly in double, and IEEE division is correctly
+    # rounded, so every engine computes the IDENTICAL double for the
+    # ratio — the order (and any exact-double tie, broken by id) is the
+    # same everywhere.  Monotonicity of rounding also means the double
+    # order never inverts the true rational order; distinct rationals
+    # closer than one ulp may tie, which the id tiebreak resolves —
+    # deterministically, because the tie set is engine-identical.
+    ratio = F.col("s") / F.col("np")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(ratio), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "dot_int")
+    )

@@ -423,3 +423,120 @@ def redact_pii(
     return out.select(
         id_col, *counts, F.col("_t").alias(text_col),
     )
+
+
+def bm25_rank(
+    docs: DataFrame,
+    query_terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 document ranking for a fixed term query — the lexical
+    retrieval twin of the embedding ANN tier (a curation pipeline uses
+    it for targeted corpus slicing and retrieval-based decontamination).
+
+    Standard Robertson/Okapi formulation with the +1 idf smoothing:
+    ``idf = ln(1 + (N - df + .5)/(df + .5))``, ``score = sum_t idf_t *
+    tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``.
+
+    Scale shape: tokenize -> explode -> filter to the query's terms (the
+    filter lands BEFORE the shuffle, so the exploded stream is pruned to
+    |terms| keys immediately); per-(doc, term) tf and per-term df are
+    both map-side-combinable aggregates; corpus N/avgdl is one scalar
+    aggregate broadcast into the scoring projection; df (<= |terms|
+    rows) broadcasts into the tf join.  No stage ever shuffles the
+    corpus text.  Ranking keys on the micro-rounded integer score (ties
+    broken by id) so result order is engine-exact for the oracle.
+
+    Output: (doc_id, n_terms_hit, score_micro) for the ``top_k`` docs.
+    """
+    terms = [t.lower() for t in query_terms]
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = docs.select(F.col(id_col), toks.alias("toks")).select(
+        id_col, "toks", F.size("toks").alias("dl")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    hits = (
+        base.select(id_col, "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+    )
+    tf = hits.groupBy(id_col, "dl", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    df_t = hits.groupBy("term").agg(
+        F.countDistinct(id_col).cast("double").alias("df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    scored = (
+        tf.join(F.broadcast(df_t), on="term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            (idf * F.col("tf") * (k1 + 1.0) / denom).alias("term_score"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_terms_hit"),
+            F.round(F.sum("term_score") * 1_000_000.0)
+            .cast("bigint").alias("score_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.col("score_micro").desc(), F.col(id_col)
+    ).limit(top_k)
+
+
+def unigram_surprisal(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-unigram surprisal score — the cheap perplexity proxy
+    quality filters use before any neural LM exists: build the unigram
+    distribution from the corpus itself, then score each document by its
+    mean token surprisal ``-ln p(token)`` (milli-nats).  Rare-token soup
+    (OCR noise, gibberish, wrong-language fragments) scores high;
+    boilerplate scores low; both tails are filter candidates (Gopher's
+    "documents whose tokens the corpus LM finds too surprising or too
+    predictable" heuristic, unigram-grade).
+
+    Scale shape: one explode -> per-term count (map-side combinable on
+    the term key), one scalar total, then the per-(doc, term) stream
+    joins the term counts — shuffles keyed by term and doc id only, text
+    never reshuffled.  The vocabulary table is corpus-derived state a
+    production run would snapshot and reuse incrementally, exactly like
+    the banded LSH corpus.
+
+    Output: (id, n_tokens, surprisal_milli).
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    exploded = docs.select(F.col(id_col), F.explode(toks).alias("term"))
+    term_counts = exploded.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    total = term_counts.agg(F.sum("cnt").alias("total"))
+    doc_terms = exploded.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    return (
+        doc_terms.join(term_counts, on="term")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("int").alias("n_tokens"),
+            F.round(
+                F.sum(-F.log(F.col("cnt") / F.col("total")) * F.col("tf"))
+                / F.sum("tf") * 1000.0
+            ).cast("bigint").alias("surprisal_milli"),
+        )
+    )

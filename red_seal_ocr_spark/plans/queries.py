@@ -369,13 +369,13 @@ SPARK_QUERIES = {
     "q65_order_priority": q65_order_priority,
     "q04_nation_revenue": q04_nation_revenue,
     "q66_region_nations": q66_region_nations,
-    "q06_parts_in_lineitem": q06_parts_in_lineitem,
-    "q07_customers_no_orders": q07_customers_no_orders,
+    "q79_parts_in_lineitem": q06_parts_in_lineitem,
+    "q80_customers_no_orders": q07_customers_no_orders,
     "q67_distinct_segments": q67_distinct_segments,
     "q68_union_nationkeys": q68_union_nationkeys,
     "q10_top2_orders_per_cust": q10_top2_orders_per_cust,
     "q11_events_hourly": q11_events_hourly,
-    "q12_user_funnel": q12_user_funnel,
+    "q81_user_funnel": q12_user_funnel,
     "q13_string_funcs": q13_string_funcs,
     "q14_quality_flag": q14_quality_flag,
     "q15_dedup_fingerprint": q15_dedup_fingerprint,
@@ -429,14 +429,14 @@ ORACLE_SQL = {
         FROM nation JOIN region ON n_regionkey = r_regionkey
         ORDER BY r_name, n_name
     """,
-    "q06_parts_in_lineitem": """
+    "q79_parts_in_lineitem": """
         SELECT p_brand, COUNT(*) AS n_parts
         FROM part
         WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
         GROUP BY p_brand
         ORDER BY p_brand
     """,
-    "q07_customers_no_orders": """
+    "q80_customers_no_orders": """
         SELECT c_mktsegment, COUNT(*) AS n_customers
         FROM customer
         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -470,7 +470,7 @@ ORACLE_SQL = {
         GROUP BY 1, 2
         ORDER BY hour, event_type
     """,
-    "q12_user_funnel": """
+    "q81_user_funnel": """
         SELECT user_id,
                CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
                CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,

@@ -523,7 +523,7 @@ SPARK_QUERIES_2.update(
     {
         "q73_balance_bands": q73_balance_bands,
         "q74_like_filter": q74_like_filter,
-        "q38_agg_then_join": q38_agg_then_join,
+        "q82_agg_then_join": q38_agg_then_join,
         "q75_date_extremes": q75_date_extremes,
     }
 )
@@ -548,7 +548,7 @@ ORACLE_SQL_2.update(
             GROUP BY p_type
             ORDER BY p_type
         """,
-        "q38_agg_then_join": """
+        "q82_agg_then_join": """
             WITH per_order AS (
                 SELECT l_orderkey,
                        CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100)
@@ -1853,3 +1853,188 @@ def q19c_star_clusters(spark, sf):
 
 SPARK_QUERIES_2["q19c_star_clusters"] = q19c_star_clusters
 ORACLE_SQL_2["q19c_star_clusters"] = _CC_ORACLE
+
+
+def q17b_bm25_rank(spark, sf):
+    """BM25 lexical retrieval over the documents table (fixed 4-term
+    query, top 15).  LIVE oracle: DuckDB states the identical tokenize ->
+    tf/df aggregate -> Robertson/Okapi score; the rank keys on the
+    micro-rounded integer score so ordering is engine-exact."""
+    from ..operators.textops import bm25_rank
+
+    d = _t(spark, sf, "documents")
+    return bm25_rank(d, ("spark", "shuffle", "kernel", "seal"), top_k=15)
+
+
+SPARK_QUERIES_2["q17b_bm25_rank"] = q17b_bm25_rank
+ORACLE_SQL_2["q17b_bm25_rank"] = r"""
+    WITH base AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents
+    ),
+    b2 AS (SELECT doc_id, toks, len(toks) AS dl FROM base),
+    stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+               AVG(dl) AS avgdl
+        FROM b2
+    ),
+    hits AS (
+        SELECT doc_id, dl, t.term
+        FROM b2, unnest(toks) AS t(term)
+        WHERE t.term IN ('spark', 'shuffle', 'kernel', 'seal')
+    ),
+    tf AS (
+        SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM hits GROUP BY doc_id, dl, term
+    ),
+    df_t AS (
+        SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+        FROM hits GROUP BY term
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * tf.tf * (1.2 + 1.0)
+                 / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl))
+                 AS term_score
+        FROM tf JOIN df_t d USING (term) CROSS JOIN stats s
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INT) AS n_terms_hit,
+           CAST(ROUND(SUM(term_score) * 1000000.0) AS BIGINT) AS score_micro
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY score_micro DESC, doc_id
+    LIMIT 15
+"""
+
+
+def q18b_quantized_ann(spark, sf):
+    """Int8-quantized cosine top-k (the SQ8 memory-scale ANN path):
+    integer dot products of max-abs-symmetric codes, ranked by an
+    exactly-representable double ratio — no float enters any comparison
+    that is not bit-identical across engines.  LIVE oracle mirrors the
+    quantization and the integer dots with DuckDB list lambdas."""
+    from ..operators.similarity import quantized_topk
+
+    e = _t(spark, sf, "embeddings")
+    return quantized_topk(e, k=5, n_queries=5).orderBy("query_id", "rank")
+
+
+SPARK_QUERIES_2["q18b_quantized_ann"] = q18b_quantized_ann
+ORACLE_SQL_2["q18b_quantized_ann"] = r"""
+    WITH q8 AS (
+        SELECT vec_id,
+               CASE WHEN amax = 0
+                    THEN list_transform(emb, x -> 0)
+                    ELSE list_transform(emb, x -> CAST(round(x * 127.0 / amax) AS INT))
+               END AS codes
+        FROM (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+                   CAST(list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))) AS DOUBLE) AS amax
+            FROM embeddings
+        )
+    ),
+    t AS (
+        SELECT vec_id, codes,
+               CAST(list_sum(list_transform(codes, x -> CAST(x AS BIGINT) * x))
+                    AS BIGINT) AS n2
+        FROM q8
+    ),
+    pairs AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CAST(list_sum(list_transform(list_zip(a.codes, b.codes),
+                    p -> CAST(p[1] AS BIGINT) * p[2])) AS BIGINT) AS dot_int,
+               a.n2 * b.n2 AS nprod
+        FROM t a CROSS JOIN t b
+        WHERE a.vec_id < 5 AND a.vec_id <> b.vec_id
+          AND a.n2 > 0 AND b.n2 > 0
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, dot_int,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY (sign(dot_int) * CAST(dot_int AS DOUBLE)
+                             * CAST(dot_int AS DOUBLE))
+                            / CAST(nprod AS DOUBLE) DESC,
+                            neighbor_id
+               ) AS rank
+        FROM pairs
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, dot_int
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+"""
+
+
+def q21c_lm_surprisal(spark, sf):
+    """Corpus-unigram surprisal (perplexity-proxy quality score) over
+    doc_id < 100.  LIVE oracle: same explode -> count -> join shape in
+    SQL; milli-nat rounding keeps the comparison integer."""
+    from ..operators.textops import unigram_surprisal
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    return unigram_surprisal(d).orderBy("doc_id")
+
+
+SPARK_QUERIES_2["q21c_lm_surprisal"] = q21c_lm_surprisal
+ORACLE_SQL_2["q21c_lm_surprisal"] = r"""
+    WITH exploded AS (
+        SELECT doc_id, t.term
+        FROM (SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS toks
+              FROM documents WHERE doc_id < 100),
+             unnest(toks) AS t(term)
+    ),
+    term_counts AS (
+        SELECT term, CAST(COUNT(*) AS DOUBLE) AS cnt
+        FROM exploded GROUP BY term
+    ),
+    total AS (SELECT SUM(cnt) AS total FROM term_counts),
+    doc_terms AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM exploded GROUP BY doc_id, term
+    )
+    SELECT doc_id,
+           CAST(SUM(tf) AS INT) AS n_tokens,
+           CAST(ROUND(SUM(-ln(cnt / total) * tf) / SUM(tf) * 1000.0)
+                AS BIGINT) AS surprisal_milli
+    FROM doc_terms JOIN term_counts USING (term) CROSS JOIN total
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+
+def q44b_host_cap(spark, sf):
+    """Per-host document cap (host-level balancing): deterministic
+    content-keyed md5 rank inside each source, cap 8.  LIVE oracle
+    states the identical window verbatim — md5 is bit-identical in both
+    engines."""
+    from ..operators.sampling import cap_per_host
+
+    d = _t(spark, sf, "documents")
+    return (
+        cap_per_host(d, host_col="source", max_per_host=8)
+        .select("doc_id", "source", F.col("host_rank").cast("int").alias("host_rank"))
+        .orderBy("source", "host_rank")
+    )
+
+
+SPARK_QUERIES_2["q44b_host_cap"] = q44b_host_cap
+ORACLE_SQL_2["q44b_host_cap"] = """
+    SELECT doc_id, source, CAST(host_rank AS INT) AS host_rank
+    FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || 'hostcap'), 1, 8),
+                            doc_id
+               ) AS host_rank
+        FROM documents
+    )
+    WHERE host_rank <= 8
+    ORDER BY source, host_rank
+"""

@@ -893,3 +893,49 @@ def test_banded_corpus_param_mismatch_rejected(spark, tmp_path):
             banded_minhash(b1, num_hashes=16, bands=4), t, "run-x",
             {"num_hashes": 16, "bands": 4, "shingle_k": 3, "id_col": "doc_id"},
         )
+
+
+def test_quantize_embeddings_codes_and_zero_vector(spark):
+    from red_seal_ocr_spark.operators.similarity import quantize_embeddings
+
+    rows = [(1, [2.0, -4.0, 1.0]), (2, [0.0, 0.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {r.vec_id: r for r in quantize_embeddings(emb).collect()}
+    assert out[1].codes == [64, -127, 32]       # round(x * 127 / 4)
+    assert abs(out[1].amax - 4.0) < 1e-12
+    assert out[2].codes == [0, 0, 0] and out[2].amax == 0.0
+
+
+def test_quantized_topk_matches_exact_cosine_order(spark):
+    """On well-separated vectors the int8 ranks must equal the exact
+    float cosine ranks; zero vectors are excluded, ranks contiguous."""
+    import math
+
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    vecs = [rng.randn(16) for _ in range(12)]
+    vecs.append(np.zeros(16))  # excluded
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    from red_seal_ocr_spark.operators.similarity import quantized_topk
+
+    got = quantized_topk(emb, k=4, n_queries=2).collect()
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append(r.neighbor_id)
+    for qid in (0, 1):
+        # exact float cosine ranking (zero vector excluded)
+        sims = sorted(
+            (
+                (float(np.dot(vecs[qid], v) /
+                       (np.linalg.norm(vecs[qid]) * np.linalg.norm(v))), i)
+                for i, v in enumerate(vecs)
+                if i != qid and np.linalg.norm(v) > 0
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )
+        expected = [i for _, i in sims[:4]]
+        assert by_q[qid] == expected, qid
+        assert 12 not in by_q[qid]

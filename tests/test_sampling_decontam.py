@@ -307,3 +307,26 @@ def test_decontam_shingle_df_cap(spark):
     kept = decontaminate(train, bench, min_shared=1, max_shingle_df=10)
     kept_ids = {r.doc_id for r in kept.collect()}
     assert 999 not in kept_ids and set(range(40)) <= kept_ids
+
+
+def test_cap_per_host_deterministic_and_partition_independent(spark):
+    from red_seal_ocr_spark.operators.sampling import cap_per_host
+
+    rows = [(i, "big.example" if i < 50 else "small.example", f"t{i}")
+            for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    out = cap_per_host(docs, host_col="source", max_per_host=7)
+    got = {(r.doc_id, r.source, r.host_rank) for r in out.collect()}
+    by_host = {}
+    for _, host, _ in got:
+        by_host[host] = by_host.get(host, 0) + 1
+    assert by_host == {"big.example": 7, "small.example": 7}
+    # ranks are 1..cap within each host
+    assert {r for d, h, r in got if h == "big.example"} == set(range(1, 8))
+    # partition-independence: same survivors under a different layout
+    got2 = {
+        (r.doc_id, r.source, r.host_rank)
+        for r in cap_per_host(docs.repartition(13), host_col="source",
+                              max_per_host=7).collect()
+    }
+    assert got2 == got

@@ -437,3 +437,51 @@ def test_repeated_paragraph_dedup_row_preserving(spark):
     assert (out[3].n_paras_kept, out[3].n_paras_dropped, out[3].text) == (0, 0, "")
     assert out[1].text == "shared para\nown one"   # min-id owner keeps
     assert out[2].text == "own two"
+
+
+def test_bm25_rank_semantics(spark):
+    """Monotonic BM25 properties on a hand corpus: hit docs outrank
+    no-hit docs, rare query terms outweigh common ones, and term
+    saturation caps repeated occurrences."""
+    from red_seal_ocr_spark.operators.textops import bm25_rank
+
+    rows = [
+        (1, "spark shuffle join plan"),        # both query terms
+        (2, "spark only here with filler"),    # common term only
+        (3, "shuffle only here with filler"),  # rare term only
+        (4, "nothing relevant at all ok"),
+        (5, "spark spark spark spark spark"),  # saturation probe
+        (6, "spark lives here too"),
+        (7, "spark also here friend"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = bm25_rank(docs, ("spark", "shuffle"), top_k=10).collect()
+    ranks = {r.doc_id: i for i, r in enumerate(got)}
+    scores = {r.doc_id: r.score_micro for r in got}
+    assert 4 not in ranks                      # no hit, no row
+    assert ranks[1] == 0                       # both terms wins
+    # 'shuffle' (df=2) carries more idf than 'spark' (df=5)
+    assert scores[3] > scores[2]
+    # five repeats of a term beat one occurrence but saturate well below
+    # 5x (k1 bounds the tf contribution)
+    assert scores[5] > scores[6]
+    assert scores[5] < 3 * scores[6]
+    assert {r.doc_id: r.n_terms_hit for r in got}[1] == 2
+
+
+def test_unigram_surprisal_hand_values(spark):
+    """Hand-computable corpus: p(a)=p(b)=2/5, p(c)=1/5."""
+    import math
+
+    from red_seal_ocr_spark.operators.textops import unigram_surprisal
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id bigint, text string"
+    )
+    out = {r.doc_id: r for r in unigram_surprisal(docs).collect()}
+    assert out[1].n_tokens == 3 and out[2].n_tokens == 2
+    assert out[1].surprisal_milli == round(-math.log(0.4) * 1000)
+    expected2 = round((-math.log(0.4) - math.log(0.2)) / 2 * 1000)
+    assert out[2].surprisal_milli == expected2
+    # the rare-token doc is more surprising
+    assert out[2].surprisal_milli > out[1].surprisal_milli
