@@ -74,6 +74,7 @@ def cap_per_host(
     max_per_host: int = 1000,
     id_col: str = "doc_id",
     salt: str = "hostcap",
+    salt_partitions: int | None = None,
 ) -> DataFrame:
     """Per-host document cap — the host-level balancing step web-corpus
     pipelines run so one crawl-heavy domain cannot dominate the training
@@ -87,18 +88,32 @@ def cap_per_host(
     order) and keeps rows with rank <= cap.
 
     Scale shape: one shuffle keyed by host for the window.  A
-    pathological host (10^9 docs against a 10^3 cap) funnels its rows
-    into one partition before truncation; production two-phases it —
-    ``hash_sample`` at a rate comfortably above cap/|host| estimated
-    from a sketch, then this exact rank — trading one extra pass for a
-    bounded partition.  The semantics (which docs survive) are identical
-    because both phases order by the same hash.
+    pathological host (10^9 docs against a 10^3 cap) would funnel its
+    rows into one partition before truncation, so ``salt_partitions=n``
+    two-phases it: phase 1 ranks within (host, crc32(id) % n) sub-buckets
+    and keeps ``max_per_host`` per sub-bucket — bounding the biggest task
+    at |host|/n while provably retaining every globally-surviving row
+    (each of the host's true top-cap rows is within the top cap of its
+    own sub-bucket) — then phase 2 runs the exact rank over the <=
+    cap * n survivors.  The phase-2 rank equals the unsalted global rank
+    for every kept row: all rows ordered above a survivor are themselves
+    global top-cap rows, hence present in the candidate set.  Output is
+    bit-identical either way (test_cap_per_host_salted_two_phase).
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy(host_col).orderBy(
-        sample_key(F.col(id_col), salt), F.col(id_col)
-    )
+    order = [sample_key(F.col(id_col), salt), F.col(id_col)]
+    if salt_partitions is not None and salt_partitions > 1:
+        bucket = F.pmod(
+            F.crc32(F.col(id_col).cast("string")), F.lit(salt_partitions)
+        )
+        w1 = Window.partitionBy(F.col(host_col), bucket).orderBy(*order)
+        df = (
+            df.withColumn("_hc_sub", F.row_number().over(w1))
+            .filter(F.col("_hc_sub") <= max_per_host)
+            .drop("_hc_sub")
+        )
+    w = Window.partitionBy(host_col).orderBy(*order)
     return (
         df.withColumn("host_rank", F.row_number().over(w))
         .filter(F.col("host_rank") <= max_per_host)

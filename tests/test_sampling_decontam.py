@@ -330,3 +330,27 @@ def test_cap_per_host_deterministic_and_partition_independent(spark):
                               max_per_host=7).collect()
     }
     assert got2 == got
+
+
+def test_cap_per_host_salted_two_phase(spark):
+    """The hot-host mitigation (salt_partitions) is bit-identical to the
+    single-window path: same survivors AND same host_rank values, on a
+    skewed corpus (one host carrying 94% of rows) and for every salt
+    fan-out including n > |host| and n = 1 (the no-op edge)."""
+    from red_seal_ocr_spark.operators.sampling import cap_per_host
+
+    rows = [(i, "viral.example" if i < 470 else f"h{i % 7}.example", f"t{i}")
+            for i in range(500)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    base = {
+        (r.doc_id, r.source, r.host_rank)
+        for r in cap_per_host(docs, host_col="source", max_per_host=9).collect()
+    }
+    for n in (1, 4, 64, 1000):
+        salted = {
+            (r.doc_id, r.source, r.host_rank)
+            for r in cap_per_host(
+                docs, host_col="source", max_per_host=9, salt_partitions=n
+            ).collect()
+        }
+        assert salted == base, f"salt_partitions={n} diverged"
