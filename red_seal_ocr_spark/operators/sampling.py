@@ -120,6 +120,74 @@ def cap_per_host(
     )
 
 
+def mix_to_target(
+    df: DataFrame,
+    strata_col: str,
+    target_bps: dict[str, int],
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    salt_partitions: int | None = None,
+) -> DataFrame:
+    """Rebalance a corpus to a target domain mixture (DoReMi/C4-style
+    static mixing): given per-stratum target weights in basis points,
+    emit the LARGEST sub-corpus whose stratum proportions hit the target
+    exactly, selecting documents deterministically.
+
+    Quota math is pure bigint so every engine computes the same sizes:
+    the binding stratum minimizes ``n_s * 10000 div w_s``; that min M is
+    the output size and stratum s keeps ``w_s * M div 10000`` docs.
+    Selection within a stratum is the sampling tier's content-keyed md5
+    rank (partition-independent, stable under reprocessing); unlisted
+    strata are dropped.  Output adds ``mix_rank`` (position in the
+    stratum's hash order among kept rows' ordering domain).
+
+    Scale shape: one map-side-combinable count per stratum, the quota
+    table broadcasts (|strata| rows), one window shuffle keyed by the
+    stratum.  A single giant stratum funnels into one task exactly like
+    ``cap_per_host``; ``salt_partitions=n`` applies the same
+    provably-identical two-phase rank (phase 1 keeps the per-stratum
+    quota within each (stratum, crc32(id) % n) sub-bucket).
+    """
+    from pyspark.sql import Window
+
+    if not target_bps:
+        raise ValueError("target_bps must name at least one stratum")
+    if any(b <= 0 for b in target_bps.values()):
+        raise ValueError("target weights must be positive basis points")
+    spark = df.sparkSession
+    w_df = spark.createDataFrame(
+        sorted(target_bps.items()), f"{strata_col} string, _mix_bps bigint"
+    )
+    filtered = df.join(F.broadcast(w_df), strata_col)
+    counts = filtered.groupBy(strata_col, "_mix_bps").agg(
+        F.count(F.lit(1)).alias("_mix_n")
+    )
+    m = counts.agg(
+        F.min(F.expr("_mix_n * 10000 div _mix_bps")).alias("_mix_m")
+    )
+    quotas = counts.crossJoin(F.broadcast(m)).select(
+        strata_col, F.expr("_mix_bps * _mix_m div 10000").alias("_mix_quota")
+    )
+    ranked = filtered.join(F.broadcast(quotas), strata_col)
+    order = [sample_key(F.col(id_col), salt), F.col(id_col)]
+    if salt_partitions is not None and salt_partitions > 1:
+        bucket = F.pmod(
+            F.crc32(F.col(id_col).cast("string")), F.lit(salt_partitions)
+        )
+        w1 = Window.partitionBy(F.col(strata_col), bucket).orderBy(*order)
+        ranked = (
+            ranked.withColumn("_mix_sub", F.row_number().over(w1))
+            .filter(F.col("_mix_sub") <= F.col("_mix_quota"))
+            .drop("_mix_sub")
+        )
+    w = Window.partitionBy(strata_col).orderBy(*order)
+    return (
+        ranked.withColumn("mix_rank", F.row_number().over(w))
+        .filter(F.col("mix_rank") <= F.col("_mix_quota"))
+        .drop("_mix_bps", "_mix_quota")
+    )
+
+
 def leakage_safe_split(
     df: DataFrame,
     splits: dict[str, int],

@@ -376,7 +376,7 @@ SPARK_QUERIES = {
     "q10_top2_orders_per_cust": q10_top2_orders_per_cust,
     "q11_events_hourly": q11_events_hourly,
     "q81_user_funnel": q12_user_funnel,
-    "q13_string_funcs": q13_string_funcs,
+    "q83_string_funcs": q13_string_funcs,
     "q14_quality_flag": q14_quality_flag,
     "q15_dedup_fingerprint": q15_dedup_fingerprint,
     "q16_token_stats": q16_token_stats,
@@ -481,7 +481,7 @@ ORACLE_SQL = {
         ORDER BY purchases DESC, user_id
         LIMIT 50
     """,
-    "q13_string_funcs": """
+    "q83_string_funcs": """
         SELECT c_custkey,
                md5(lower(trim(c_name))) AS name_md5,
                upper(substring(c_name, 1, 8)) AS name_prefix,

@@ -2038,3 +2038,58 @@ ORACLE_SQL_2["q44b_host_cap"] = """
     WHERE host_rank <= 8
     ORDER BY source, host_rank
 """
+
+
+def q33c_domain_mix(spark, sf):
+    """Target-mixture rebalancing (DoReMi/C4-style): src0/src1/src2 at
+    50/30/20% of the largest exactly-proportioned sub-corpus.  Quota
+    math is pure bigint and selection is the content-keyed md5 rank, so
+    the LIVE oracle states the identical arithmetic and window
+    verbatim."""
+    from ..operators.sampling import mix_to_target
+
+    d = _t(spark, sf, "documents")
+    return (
+        mix_to_target(
+            d,
+            strata_col="source",
+            target_bps={"src0": 5000, "src1": 3000, "src2": 2000},
+        )
+        .select(
+            "doc_id", "source", F.col("mix_rank").cast("int").alias("mix_rank")
+        )
+        .orderBy("source", "mix_rank")
+    )
+
+
+SPARK_QUERIES_2["q33c_domain_mix"] = q33c_domain_mix
+ORACLE_SQL_2["q33c_domain_mix"] = """
+    WITH w(source, bps) AS (
+        VALUES ('src0', CAST(5000 AS BIGINT)),
+               ('src1', CAST(3000 AS BIGINT)),
+               ('src2', CAST(2000 AS BIGINT))
+    ),
+    counts AS (
+        SELECT d.source, w.bps, COUNT(*) AS n
+        FROM documents d JOIN w ON d.source = w.source
+        GROUP BY d.source, w.bps
+    ),
+    m AS (SELECT MIN(n * 10000 // bps) AS m FROM counts),
+    quotas AS (
+        SELECT source, bps * (SELECT m FROM m) // 10000 AS quota
+        FROM counts
+    ),
+    ranked AS (
+        SELECT d.doc_id, d.source, q.quota,
+               ROW_NUMBER() OVER (
+                   PARTITION BY d.source
+                   ORDER BY substr(md5(CAST(d.doc_id AS VARCHAR) || 'mix'), 1, 8),
+                            d.doc_id
+               ) AS mix_rank
+        FROM documents d JOIN quotas q ON d.source = q.source
+    )
+    SELECT doc_id, source, CAST(mix_rank AS INT) AS mix_rank
+    FROM ranked
+    WHERE mix_rank <= quota
+    ORDER BY source, mix_rank
+"""

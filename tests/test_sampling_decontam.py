@@ -354,3 +354,54 @@ def test_cap_per_host_salted_two_phase(spark):
             ).collect()
         }
         assert salted == base, f"salt_partitions={n} diverged"
+
+
+def test_mix_to_target_exact_proportions_and_binding_stratum(spark):
+    """Uneven counts: the scarce stratum binds the output size; kept
+    counts hit the bigint quota math exactly and unlisted strata drop."""
+    from red_seal_ocr_spark.operators.sampling import mix_to_target
+
+    # a:100 docs, b:30, c:200, d (unlisted):40
+    rows = []
+    i = 0
+    for host, n in [("a", 100), ("b", 30), ("c", 200), ("d", 40)]:
+        for _ in range(n):
+            rows.append((i, host, f"t{i}")); i += 1
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    out = mix_to_target(
+        docs, "source", {"a": 5000, "b": 3000, "c": 2000}
+    ).collect()
+    by = {}
+    for r in out:
+        by[r.source] = by.get(r.source, 0) + 1
+    # M = min(100*10000 div 5000, 30*10000 div 3000, 200*10000 div 2000)
+    #   = min(200, 100, 1000) = 100 -> quotas 50/30/20
+    assert by == {"a": 50, "b": 30, "c": 20}
+    assert all(r.source != "d" for r in out)
+    # ranks are 1..quota per stratum
+    assert {r.mix_rank for r in out if r.source == "a"} == set(range(1, 51))
+
+
+def test_mix_to_target_deterministic_and_salted(spark):
+    from red_seal_ocr_spark.operators.sampling import mix_to_target
+
+    rows = [(i, f"s{i % 3}", f"t{i}") for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    tgt = {"s0": 6000, "s1": 2500, "s2": 1500}
+    base = {
+        (r.doc_id, r.source, r.mix_rank)
+        for r in mix_to_target(docs, "source", tgt).collect()
+    }
+    relaid = {
+        (r.doc_id, r.source, r.mix_rank)
+        for r in mix_to_target(docs.repartition(17), "source", tgt).collect()
+    }
+    assert relaid == base
+    for n in (4, 64):
+        salted = {
+            (r.doc_id, r.source, r.mix_rank)
+            for r in mix_to_target(
+                docs, "source", tgt, salt_partitions=n
+            ).collect()
+        }
+        assert salted == base, f"salt_partitions={n} diverged"
