@@ -517,7 +517,11 @@ def unigram_surprisal(
     production run would snapshot and reuse incrementally, exactly like
     the banded LSH corpus.
 
-    Output: (id, n_tokens, surprisal_milli).
+    Output: (id, n_tokens, surprisal_milli).  Scoring semantics, not
+    cleanup: a NULL-text document has no tokens to score and emits no
+    row (empty-but-non-null text scores the single empty token) —
+    callers filtering on the score should left-join it back the way
+    ``repeated_paragraph_dedup`` preserves rows.
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     exploded = docs.select(F.col(id_col), F.explode(toks).alias("term"))
