@@ -544,3 +544,119 @@ def unigram_surprisal(
             ).cast("bigint").alias("surprisal_milli"),
         )
     )
+
+
+def word_frequencies(
+    docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus word-frequency table — the input every tokenizer trainer
+    consumes.  One explode + one map-side-combinable count; output is
+    vocabulary-sized (<< corpus), the table all BPE work happens on.
+    Empty tokens (from blank/NULL text) are dropped."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    return (
+        docs.select(F.explode(toks).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def bpe_pair_counts(
+    words: DataFrame,
+    symbols_col: str = "symbols",
+    freq_col: str = "freq",
+) -> DataFrame:
+    """Adjacent-symbol pair counts weighted by word frequency — one BPE
+    training round's statistics (Sennrich et al. 2016).  ``words`` is a
+    vocabulary table carrying an ``array<string>`` of current symbols
+    per word (start from characters via ``word_frequencies`` +
+    ``split(word, '')``).
+
+    Scale shape: the pair stream explodes the VOCABULARY table, never
+    the corpus — corpus mass was already collapsed into ``freq`` by the
+    word count — and the pair aggregate is map-side combinable on the
+    (a, b) key.  This is why distributed BPE trainers are feasible: each
+    round is one tiny explode + one combinable sum over a
+    vocabulary-sized frame.
+    """
+    n = F.size(F.col(symbols_col))
+    pairs = F.expr(
+        f"transform(sequence(1, size({symbols_col}) - 1), "
+        f"i -> struct({symbols_col}[i - 1] AS a, {symbols_col}[i] AS b))"
+    )
+    return (
+        words.filter(n >= 2)
+        .select(F.explode(pairs).alias("p"), F.col(freq_col))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum(freq_col).alias("pair_freq"))
+    )
+
+
+def merge_symbol_pair(
+    words: DataFrame,
+    a: str,
+    b: str,
+    symbols_col: str = "symbols",
+) -> DataFrame:
+    """Apply one BPE merge (a, b) -> "ab" to every word's symbol array,
+    leftmost-first non-overlapping (the BPE contract: "aaa" under
+    (a, a) becomes [aa, a], and the freshly merged symbol never
+    re-merges within the same round).  Pure JVM fold (``aggregate``
+    higher-order function) over the vocabulary table — row-local, no
+    shuffle, no Python."""
+    merged = F.aggregate(
+        F.col(symbols_col),
+        F.array().cast("array<string>"),
+        # F.get (not element_at) reads the accumulator tail: it returns
+        # NULL on the empty accumulator where ANSI element_at throws
+        lambda acc, x: F.when(
+            (F.get(acc, F.size(acc) - 1) == a) & (x == b),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.lit(a + b)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+    return words.withColumn(symbols_col, merged)
+
+
+def train_bpe_merges(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+) -> list[tuple[str, str]]:
+    """Train ``n_merges`` BPE merge rules on the corpus.  Classic
+    iterative scheme: per round, count pairs (one combinable aggregate
+    over the vocabulary frame), take the argmax (ties broken
+    lexicographically so every engine picks the same rule), merge, and
+    repeat.  The driver pulls ONE row per round — the argmax — never the
+    table; the vocabulary frame is cached between rounds and at 100 TB
+    lives as a snapshot table exactly like the banded LSH corpus.
+
+    Returns the ordered merge list (the tokenizer artifact)."""
+    vocab = word_frequencies(docs, text_col).select(
+        F.split(F.col("word"), "").alias("symbols"), F.col("freq")
+    )
+    vocab = vocab.cache()
+    merges: list[tuple[str, str]] = []
+    try:
+        for _ in range(n_merges):
+            top = (
+                bpe_pair_counts(vocab)
+                .orderBy(F.col("pair_freq").desc(), "a", "b")
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["pair_freq"] <= 0:
+                break
+            a, b = top[0]["a"], top[0]["b"]
+            merges.append((a, b))
+            nxt = merge_symbol_pair(vocab, a, b).cache()
+            nxt.count()  # materialize before dropping the parent cache
+            vocab.unpersist()
+            vocab = nxt
+    finally:
+        vocab.unpersist()
+    return merges

@@ -374,7 +374,7 @@ SPARK_QUERIES_2 = {
     "q69_rollup": q69_rollup,
     "q70_set_ops": q70_set_ops,
     "q71_date_parts": q71_date_parts,
-    "q31_json_extract": q31_json_extract,
+    "q84_json_extract": q31_json_extract,
     "q72_scalar_subquery": q72_scalar_subquery,
     "q33_sessionize_batch": q33_sessionize_batch,
     "q34_ivf_ann_recall": q34_ivf_ann_recall,
@@ -412,7 +412,7 @@ ORACLE_SQL_2 = {
         GROUP BY 1, 2, 3
         ORDER BY y, m, d
     """,
-    "q31_json_extract": """
+    "q84_json_extract": """
         SELECT event_type, COUNT(*) AS n_events,
                ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
                MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
@@ -2092,4 +2092,55 @@ ORACLE_SQL_2["q33c_domain_mix"] = """
     FROM ranked
     WHERE mix_rank <= quota
     ORDER BY source, mix_rank
+"""
+
+
+def q16c_bpe_pairs(spark, sf):
+    """One BPE training round's statistics over the corpus: corpus word
+    frequencies -> character symbols -> adjacent-pair counts weighted by
+    word freq, top 100.  The pair stream explodes the VOCABULARY table
+    (corpus mass already collapsed into freq), so the LIVE oracle can
+    state the identical arithmetic: both engines substring the word —
+    (pair_freq, a, b) is a total order, so the limit is deterministic."""
+    from ..operators.textops import bpe_pair_counts, word_frequencies
+
+    d = _t(spark, sf, "documents")
+    vocab = word_frequencies(d).select(
+        F.split(F.col("word"), "").alias("symbols"), F.col("freq")
+    )
+    return (
+        bpe_pair_counts(vocab)
+        .select("a", "b", F.col("pair_freq").cast("bigint").alias("pair_freq"))
+        .orderBy(F.col("pair_freq").desc(), "a", "b")
+        .limit(100)
+    )
+
+
+SPARK_QUERIES_2["q16c_bpe_pairs"] = q16c_bpe_pairs
+ORACLE_SQL_2["q16c_bpe_pairs"] = """
+    WITH words AS (
+        SELECT w AS word, COUNT(*) AS freq
+        FROM (
+            SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+            FROM documents
+        )
+        WHERE w <> ''
+        GROUP BY w
+    ),
+    pairs AS (
+        SELECT substring(word, CAST(i AS INT), 1) AS a,
+               substring(word, CAST(i AS INT) + 1, 1) AS b,
+               freq
+        FROM (
+            SELECT word, freq,
+                   unnest(generate_series(1, length(word) - 1)) AS i
+            FROM words
+            WHERE length(word) >= 2
+        )
+    )
+    SELECT a, b, CAST(SUM(freq) AS BIGINT) AS pair_freq
+    FROM pairs
+    GROUP BY a, b
+    ORDER BY pair_freq DESC, a, b
+    LIMIT 100
 """

@@ -485,3 +485,79 @@ def test_unigram_surprisal_hand_values(spark):
     assert out[2].surprisal_milli == expected2
     # the rare-token doc is more surprising
     assert out[2].surprisal_milli > out[1].surprisal_milli
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer-training support (round 6)
+# ---------------------------------------------------------------------------
+
+
+def test_merge_symbol_pair_leftmost_nonoverlapping(spark):
+    """The BPE merge contract: 'aaa' under (a,a) -> [aa, a] (a freshly
+    merged symbol never re-merges in the same round); empty and
+    single-symbol arrays pass through untouched (the empty-accumulator
+    read is null-safe under ANSI)."""
+    from red_seal_ocr_spark.operators.textops import merge_symbol_pair
+
+    v = spark.createDataFrame(
+        [(1, ["a", "a", "a"]), (2, []), (3, ["b"]), (4, ["a", "b", "a", "b"]),
+         (5, ["x", "a", "a", "a", "a", "y"])],
+        "i bigint, symbols array<string>",
+    )
+    got = {r.i: r.symbols for r in merge_symbol_pair(v, "a", "a").collect()}
+    assert got == {1: ["aa", "a"], 2: [], 3: ["b"], 4: ["a", "b", "a", "b"],
+                   5: ["x", "aa", "aa", "y"]}
+    got_ab = {r.i: r.symbols
+              for r in merge_symbol_pair(v, "a", "b").collect()}
+    assert got_ab[4] == ["ab", "ab"]
+
+
+def test_train_bpe_merges_matches_pure_python_mirror(spark):
+    """The distributed trainer reproduces the classic sequential BPE
+    algorithm exactly (argmax pair per round, lexicographic tie-break,
+    leftmost-first merge) — checked against an independent pure-python
+    implementation, not against the operator's own primitives."""
+    import collections
+
+    from red_seal_ocr_spark.operators.textops import train_bpe_merges
+
+    texts = ["low lower lowest", "low low newer newest",
+             "wider wide new", "  Low\tnEw  "]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+
+    def mirror(texts, n):
+        wf = collections.Counter()
+        for t in texts:
+            for w in t.lower().strip().split():
+                if w:
+                    wf[w] += 1
+        vocab = {w: list(w) for w in wf}
+        merges = []
+        for _ in range(n):
+            pairs = collections.Counter()
+            for w, sy in vocab.items():
+                for i in range(len(sy) - 1):
+                    pairs[(sy[i], sy[i + 1])] += wf[w]
+            if not pairs:
+                break
+            best = max(pairs.values())
+            a, b = sorted(p for p, c in pairs.items() if c == best)[0]
+            merges.append((a, b))
+            for w, sy in vocab.items():
+                out = []
+                for x in sy:
+                    if out and out[-1] == a and x == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(x)
+                vocab[w] = out
+        return merges
+
+    got = train_bpe_merges(docs, 6)
+    assert got == mirror(texts, 6)
+    # exhausts cleanly when fewer merges exist than asked for
+    tiny = spark.createDataFrame([(1, "ab ab")], "doc_id bigint, text string")
+    got_tiny = train_bpe_merges(tiny, 10)
+    assert got_tiny == mirror(["ab ab"], 10)
