@@ -138,8 +138,10 @@ def mix_to_target(
     the output size and stratum s keeps ``w_s * M div 10000`` docs.
     Selection within a stratum is the sampling tier's content-keyed md5
     rank (partition-independent, stable under reprocessing); unlisted
-    strata are dropped.  Output adds ``mix_rank`` (position in the
-    stratum's hash order among kept rows' ordering domain).
+    strata are dropped, and a TARGET stratum absent from the corpus
+    makes the output empty (n=0 binds M to 0 — the only corpus whose
+    proportions honor the target).  Output adds ``mix_rank`` (position
+    in the stratum's hash order among kept rows' ordering domain).
 
     Scale shape: one map-side-combinable count per stratum, the quota
     table broadcasts (|strata| rows), one window shuffle keyed by the
@@ -159,8 +161,20 @@ def mix_to_target(
         sorted(target_bps.items()), f"{strata_col} string, _mix_bps bigint"
     )
     filtered = df.join(F.broadcast(w_df), strata_col)
-    counts = filtered.groupBy(strata_col, "_mix_bps").agg(
-        F.count(F.lit(1)).alias("_mix_n")
+    # count via the weights table (left join), not the corpus: a target
+    # stratum ABSENT from the corpus must contribute n=0 and force M=0
+    # (empty output) — dropping it from the min would silently emit a
+    # corpus that violates the requested mixture
+    present = filtered.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("_mix_present_n")
+    )
+    counts = (
+        w_df.join(present, on=strata_col, how="left")
+        .select(
+            strata_col,
+            "_mix_bps",
+            F.coalesce("_mix_present_n", F.lit(0)).alias("_mix_n"),
+        )
     )
     m = counts.agg(
         F.min(F.expr("_mix_n * 10000 div _mix_bps")).alias("_mix_m")

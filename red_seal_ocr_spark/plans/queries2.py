@@ -2070,9 +2070,11 @@ ORACLE_SQL_2["q33c_domain_mix"] = """
                ('src2', CAST(2000 AS BIGINT))
     ),
     counts AS (
-        SELECT d.source, w.bps, COUNT(*) AS n
-        FROM documents d JOIN w ON d.source = w.source
-        GROUP BY d.source, w.bps
+        -- LEFT JOIN from the weights table: a target stratum absent
+        -- from the corpus contributes n=0 and forces M=0 (empty output)
+        SELECT w.source, w.bps, COUNT(d.doc_id) AS n
+        FROM w LEFT JOIN documents d ON d.source = w.source
+        GROUP BY w.source, w.bps
     ),
     m AS (SELECT MIN(n * 10000 // bps) AS m FROM counts),
     quotas AS (

@@ -405,3 +405,18 @@ def test_mix_to_target_deterministic_and_salted(spark):
             ).collect()
         }
         assert salted == base, f"salt_partitions={n} diverged"
+
+
+def test_mix_to_target_absent_stratum_yields_empty(spark):
+    """A target stratum with zero corpus presence binds M to 0: the only
+    sub-corpus honoring the requested mixture is the empty one (before
+    the fix, the absent stratum silently dropped out of the min and the
+    output violated the target proportions)."""
+    from red_seal_ocr_spark.operators.sampling import mix_to_target
+
+    rows = [(i, "a" if i % 2 else "b", f"t{i}") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    out = mix_to_target(
+        docs, "source", {"a": 4000, "b": 4000, "ghost": 2000}
+    )
+    assert out.count() == 0
