@@ -655,14 +655,22 @@ def ingest_batch_lsh(
 
     Returns the candidate-pair DataFrame ``(a_id, b_id, n_bands)``.
 
-    Crash model: a failure before step 4's commit leaves orphan parquet
-    files that no snapshot references — readers never see them, and
-    re-running the same batch (any run_id) produces the same candidate
-    set and a table state identical to a crash-free run, because the
-    candidate join and the commit both consume only this run's files
-    plus the committed corpus.  This is the same manifest-pointer
-    protocol the extraction pipeline's resume uses
-    (:mod:`red_seal_ocr_spark.sources.snapshot`).
+    Crash model — replaying the same ``run_id`` is idempotent on BOTH
+    sides of step 4's commit:
+
+    - *pre-commit crash*: the dead attempt's parquet files are orphans
+      no snapshot references; the replay overwrites the deterministic
+      run directory (ErrorIfExists would wedge the retry forever) and
+      proceeds as a crash-free run.
+    - *post-commit replay* (commit landed, ack lost): the run_id is
+      found in the snapshot chain before anything is written; the
+      candidate set is recomputed from that snapshot's OWN files versus
+      its parent's corpus and the commit is skipped.  Without this
+      guard the batch's band rows double-append and every later
+      ingest's ``n_bands`` counts double — permanent table corruption.
+
+    This is the same manifest-pointer protocol the extraction
+    pipeline's resume uses (:mod:`red_seal_ocr_spark.sources.snapshot`).
     """
     import uuid as _uuid
 
@@ -670,13 +678,43 @@ def ingest_batch_lsh(
 
     params = {"num_hashes": num_hashes, "bands": bands,
               "shingle_k": shingle_k, "id_col": id_col}
+    rid = run_id or f"ingest-{_uuid.uuid4().hex[:12]}"
+
+    committed = snap.find_committed_run(table_dir, rid) if run_id else None
+    if committed is not None:
+        if committed.get("lsh_params") != params:
+            raise ValueError(
+                f"run {rid} was committed with lsh_params "
+                f"{committed.get('lsh_params')}, not {params}"
+            )
+        parent_id = committed.get("parent_snapshot_id")
+        parent = (snap.read_snapshot(table_dir, parent_id)
+                  if parent_id is not None else None)
+        parent_files = parent["data_files"] if parent else []
+        run_files = sorted(set(committed["data_files"]) - set(parent_files))
+        nb_read = (spark.read.parquet(*run_files) if run_files
+                   else banded_minhash(new_docs, id_col, text_col,
+                                       num_hashes, bands, shingle_k).limit(0))
+        corpus_banded = (spark.read.parquet(*parent_files) if parent_files
+                         else spark.createDataFrame([], nb_read.schema))
+        return incremental_lsh_candidates(
+            new_docs,
+            id_col=id_col,
+            text_col=text_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_k=shingle_k,
+            max_bucket_size=max_bucket_size,
+            corpus_banded=corpus_banded,
+            new_banded=nb_read,
+        )
+
     corpus_banded = snap.read_banded_corpus(spark, table_dir,
                                             expect_params=params)
-    rid = run_id or f"ingest-{_uuid.uuid4().hex[:12]}"
     nb = banded_minhash(new_docs, id_col, text_col, num_hashes, bands,
                         shingle_k)
     out_dir = f"{table_dir}/data/run-{rid}"
-    nb.repartition("band", "bucket").write.parquet(out_dir)
+    nb.repartition("band", "bucket").write.mode("overwrite").parquet(out_dir)
     files = snap.list_run_files(out_dir)
     nb_read = spark.read.parquet(*files)
     if corpus_banded is None:

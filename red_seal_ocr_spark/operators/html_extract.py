@@ -279,7 +279,10 @@ def strip_lines_by_flag(
     base = docs.select(
         F.col(id_col).alias("doc_id"), F.col(site_col).alias("site")
     )
-    return base.join(agg, on=["doc_id", "site"], how="left").select(
+    # join back on doc_id ALONE: site is carried from base, not matched —
+    # a NULL site key under null-unsafe equality would drop the agg row
+    # and silently blank the document's entire text
+    return base.join(agg.drop("site"), on="doc_id", how="left").select(
         "doc_id", "site",
         F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
         F.coalesce("n_lines_removed", F.lit(0)).alias("n_lines_removed"),

@@ -118,6 +118,23 @@ def read_snapshot(table_dir: str, snapshot_id: int) -> dict | None:
     return json.loads(p.read_text())
 
 
+def find_committed_run(table_dir: str, run_id: str) -> dict | None:
+    """Manifest of the snapshot that committed ``run_id``, walking the
+    parent chain from the current snapshot (None if never committed).
+
+    This is the replay-idempotence primitive: an orchestrator retrying a
+    batch whose previous attempt DID commit (commit landed, ack lost —
+    the classic at-least-once window) must be detected before any write,
+    or the batch's rows double-append into permanent table state."""
+    cur = current_snapshot(table_dir)
+    while cur is not None:
+        if cur.get("run_id") == run_id:
+            return cur
+        parent = cur.get("parent_snapshot_id")
+        cur = None if parent is None else read_snapshot(table_dir, parent)
+    return None
+
+
 def read_table(spark, table_dir: str, lineage: bool = False,
                snapshot_id: int | None = None):
     """DataFrame over exactly one snapshot's files (None if empty).
@@ -168,8 +185,15 @@ def write_banded_corpus(banded, table_dir: str, run_id: str,
     catalog table, letting the ingest join prune to its own buckets.
     A crash after the parquet write but before the commit leaves orphan
     files no snapshot references — re-running the same ingest batch is
-    the resume story (property-tested in test_dedup_similarity).
+    the resume story (property-tested in test_dedup_similarity), and it
+    is idempotent on BOTH sides of the commit: a replay whose previous
+    attempt already committed returns that snapshot untouched (no
+    double-append), and a pre-commit replay overwrites the orphan run
+    directory (ErrorIfExists would wedge the retry forever).
     """
+    already = find_committed_run(table_dir, run_id)
+    if already is not None:
+        return already
     cur = current_snapshot(table_dir)
     if cur is not None and cur.get("lsh_params") != dict(lsh_params):
         raise ValueError(
@@ -178,7 +202,7 @@ def write_banded_corpus(banded, table_dir: str, run_id: str,
             f"with {dict(lsh_params)}"
         )
     out_dir = f"{table_dir}/data/run-{run_id}"
-    banded.repartition("band", "bucket").write.parquet(out_dir)
+    banded.repartition("band", "bucket").write.mode("overwrite").parquet(out_dir)
     files = list_run_files(out_dir)
     return commit_snapshot(
         table_dir, files, [], run_id, extra={"lsh_params": dict(lsh_params)}

@@ -97,7 +97,13 @@ def update_site_line_stats(
         .agg(F.sum("cnt").alias("cnt"))
     )
     out_dir = f"{stats_dir}/data/run-batch-{batch_id}"
-    merged.write.parquet(out_dir)
+    # overwrite: a crash between this write and the commit below makes
+    # foreachBatch replay the SAME batch_id (the at-least-once window
+    # this module documents); the deterministic path must absorb the
+    # orphan files from the dead attempt or the stream wedges forever
+    # on PATH_ALREADY_EXISTS.  Post-commit replays never reach here
+    # (the last_batch_id guard returns first).
+    merged.write.mode("overwrite").parquet(out_dir)
     files = snap.list_run_files(out_dir)
     snap.commit_snapshot(
         stats_dir, files, [], f"batch-{batch_id}",

@@ -939,3 +939,71 @@ def test_quantized_topk_matches_exact_cosine_order(spark):
         expected = [i for _, i in sims[:4]]
         assert by_q[qid] == expected, qid
         assert 12 not in by_q[qid]
+
+
+def test_ingest_batch_lsh_fixed_run_id_replay_idempotent(spark, tmp_path,
+                                                         monkeypatch):
+    """Replaying a FIXED run_id is idempotent on both sides of the
+    commit: a pre-commit crash replay overwrites the orphan run dir and
+    commits once; a post-commit replay (commit landed, ack lost)
+    recomputes the same candidate set without re-appending band rows —
+    the double-append would permanently double n_bands for every later
+    ingest."""
+    import red_seal_ocr_spark.sources.snapshot as snapmod
+    from red_seal_ocr_spark.operators.dedup import ingest_batch_lsh
+    from red_seal_ocr_spark.sources.snapshot import current_snapshot
+
+    b1, b2 = _ingest_batches(spark)
+    t = str(tmp_path / "banded")
+    ingest_batch_lsh(spark, b1, t, run_id="batch-1")
+
+    # pre-commit crash, then replay with the SAME run_id
+    real_commit = snapmod.commit_snapshot
+    monkeypatch.setattr(
+        snapmod, "commit_snapshot",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("boom")),
+    )
+    with pytest.raises(RuntimeError, match="boom"):
+        ingest_batch_lsh(spark, b2, t, run_id="batch-2")
+    monkeypatch.setattr(snapmod, "commit_snapshot", real_commit)
+    c2 = {(r.a_id, r.b_id, r.n_bands)
+          for r in ingest_batch_lsh(spark, b2, t, run_id="batch-2").collect()}
+    snap_after = current_snapshot(t)
+    assert spark.read.parquet(*snap_after["data_files"]).count() == 6 * 8
+
+    # post-commit replay: same candidates, NO new snapshot, no new rows
+    c2_replay = {
+        (r.a_id, r.b_id, r.n_bands)
+        for r in ingest_batch_lsh(spark, b2, t, run_id="batch-2").collect()
+    }
+    assert c2_replay == c2
+    snap_replay = current_snapshot(t)
+    assert snap_replay["snapshot_id"] == snap_after["snapshot_id"]
+    assert spark.read.parquet(*snap_replay["data_files"]).count() == 6 * 8
+    # a third batch still sees single-counted bands (max possible = 8)
+    b3 = spark.createDataFrame(
+        [(20, " ".join([f"token{i}" for i in range(119)]) + " tokenQ")],
+        "doc_id bigint, text string",
+    )
+    c3 = ingest_batch_lsh(spark, b3, t, run_id="batch-3").collect()
+    assert c3 and max(r.n_bands for r in c3) <= 8
+
+
+def test_write_banded_corpus_replay_returns_committed_manifest(spark, tmp_path):
+    from red_seal_ocr_spark.operators.dedup import banded_minhash
+    from red_seal_ocr_spark.sources.snapshot import (
+        current_snapshot,
+        write_banded_corpus,
+    )
+
+    b1, _ = _ingest_batches(spark)
+    t = str(tmp_path / "banded")
+    params = {"num_hashes": 32, "bands": 8, "shingle_k": 3,
+              "id_col": "doc_id"}
+    nb = banded_minhash(b1, num_hashes=32, bands=8)
+    m1 = write_banded_corpus(nb, t, "run-1", params)
+    m2 = write_banded_corpus(nb, t, "run-1", params)  # replay
+    assert m2 == m1
+    cur = current_snapshot(t)
+    assert cur["snapshot_id"] == m1["snapshot_id"]
+    assert spark.read.parquet(*cur["data_files"]).count() == 3 * 8

@@ -128,3 +128,25 @@ def test_site_template_strip_row_preserving(spark):
     assert (out[3].n_lines_kept, out[3].n_lines_removed, out[3].main_text) == (0, 0, "")
     assert (out[4].n_lines_kept, out[4].n_lines_removed, out[4].main_text) == (0, 0, "")
     assert out[1].main_text == "body one"  # template stripped from real docs
+
+
+def test_strip_lines_by_flag_null_site_preserves_text(spark):
+    """A document with a NULL site key has no verdicts to match, but its
+    text must survive intact — the join-back is keyed on doc_id alone
+    (null-unsafe equality on the site key used to drop the aggregate row
+    and emit main_text='' while the row survived looking legitimate)."""
+    from red_seal_ocr_spark.operators.html_extract import strip_lines_by_flag
+
+    docs = spark.createDataFrame(
+        [("d1", None, "real line one\nreal line two"),
+         ("d2", "s", "tpl\nbody")],
+        "doc_id string, source string, text string",
+    )
+    boiler = spark.createDataFrame(
+        [("s", "tpl", True)], "site string, line string, is_boiler boolean"
+    )
+    got = {r.doc_id: r for r in strip_lines_by_flag(docs, boiler).collect()}
+    assert got["d1"].main_text == "real line one\nreal line two"
+    assert got["d1"].n_lines_kept == 2 and got["d1"].n_lines_removed == 0
+    assert got["d1"].site is None
+    assert got["d2"].main_text == "body" and got["d2"].n_lines_removed == 1

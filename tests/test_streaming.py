@@ -250,3 +250,23 @@ def test_update_site_line_stats_replay_is_exactly_once(spark, tmp_path):
     st = {(r.site, r.line): r.cnt for r in read_table(spark, stats).collect()}
     assert st[("s", "shared")] == 2
     assert st[("s", None)] == 2
+
+
+def test_update_site_line_stats_precommit_crash_replay_recovers(spark, tmp_path):
+    """The OTHER half of at-least-once: a crash between the stats write
+    and its commit leaves orphan files at the deterministic run-batch-N
+    path; the replay must overwrite them and progress (ErrorIfExists
+    would wedge the stream on every restart)."""
+    from red_seal_ocr_spark.sources.snapshot import read_table
+    from red_seal_ocr_spark.streaming.curate_stream import update_site_line_stats
+
+    stats = str(tmp_path / "stats")
+    b = spark.createDataFrame(
+        [("d1", "s", "shared\nown1"), ("d2", "s", "shared\nown2")],
+        "doc_id string, source string, text string",
+    )
+    # simulate the dead attempt: files exist at batch 0's path, no commit
+    b.limit(1).write.parquet(f"{stats}/data/run-batch-0")
+    update_site_line_stats(spark, b, stats, batch_id=0)  # replay of batch 0
+    st = {(r.site, r.line): r.cnt for r in read_table(spark, stats).collect()}
+    assert st[("s", "shared")] == 2
