@@ -175,6 +175,29 @@ def synth_html_page(doc_id: str, article_text: str, seed: int = 42) -> tuple[str
     return html, expected
 
 
+def doc_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    site_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(doc_id, site, line_idx, line)`` rows for every NON-BLANK line —
+    THE line definition all boilerplate components share (batch
+    :func:`site_template_strip`, :func:`strip_lines_by_flag`, and the
+    streaming cumulative stats in ``streaming/curate_stream.py``).  The
+    cross-batch additivity argument for the streaming counts requires
+    every consumer to agree on what counts as a line; one definition
+    makes divergence impossible."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(site_col).alias("site"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("line_idx", "line"),
+        )
+        .filter(F.length(F.trim("line")) > 0)
+    )
+
+
 def site_template_strip(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -203,14 +226,7 @@ def site_template_strip(
     emits (0, 0, '') via a left join back to the input id set (ADVICE
     r05: a cleanup operator must not lose rows).
     """
-    lines = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.col(site_col).alias("site"),
-            F.posexplode(F.split(F.col(text_col), "\n")).alias("line_idx", "line"),
-        )
-        .filter(F.length(F.trim("line")) > 0)
-    )
+    lines = doc_lines(docs, id_col, site_col, text_col)
     site_docs = (
         docs.groupBy(F.col(site_col).alias("site"))
         .agg(F.countDistinct(id_col).alias("n_site_docs"))
@@ -244,14 +260,7 @@ def strip_lines_by_flag(
     corpus) and the streaming path (verdicts from CUMULATIVE cross-batch
     stats — ``streaming/curate_stream.py``).  Lines absent from
     ``boiler`` are kept (left join + coalesce false)."""
-    lines = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.col(site_col).alias("site"),
-            F.posexplode(F.split(F.col(text_col), "\n")).alias("line_idx", "line"),
-        )
-        .filter(F.length(F.trim("line")) > 0)
-    )
+    lines = doc_lines(docs, id_col, site_col, text_col)
     tagged = lines.join(boiler, on=["site", "line"], how="left").withColumn(
         "is_boiler", F.coalesce("is_boiler", F.lit(False))
     )

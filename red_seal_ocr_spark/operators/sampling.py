@@ -129,13 +129,20 @@ def mix_to_target(
     salt_partitions: int | None = None,
 ) -> DataFrame:
     """Rebalance a corpus to a target domain mixture (DoReMi/C4-style
-    static mixing): given per-stratum target weights in basis points,
-    emit the LARGEST sub-corpus whose stratum proportions hit the target
-    exactly, selecting documents deterministically.
+    static mixing): given per-stratum target weights in basis points
+    (must sum to exactly 10000), emit the LARGEST sub-corpus whose
+    stratum proportions hit the target, selecting documents
+    deterministically.
 
     Quota math is pure bigint so every engine computes the same sizes:
     the binding stratum minimizes ``n_s * 10000 div w_s``; that min M is
     the output size and stratum s keeps ``w_s * M div 10000`` docs.
+    Quotas are FLOORS: proportions are exact whenever ``w_s * M``
+    divides by 10000 (e.g. round-number weights over a non-tiny corpus)
+    and otherwise undershoot a stratum by at most one document — at a
+    degenerate scale (M of a few docs against fine-grained weights) the
+    floor can zero a stratum out, so validate output proportions when
+    mixing minuscule corpora.
     Selection within a stratum is the sampling tier's content-keyed md5
     rank (partition-independent, stable under reprocessing); unlisted
     strata are dropped, and a TARGET stratum absent from the corpus
@@ -156,6 +163,13 @@ def mix_to_target(
         raise ValueError("target_bps must name at least one stratum")
     if any(b <= 0 for b in target_bps.values()):
         raise ValueError("target weights must be positive basis points")
+    if sum(target_bps.values()) != 10000:
+        # silently renormalizing would make the output proportions
+        # w_s / sum instead of the basis points the caller wrote down
+        raise ValueError(
+            f"target weights must sum to 10000 basis points, got "
+            f"{sum(target_bps.values())}"
+        )
     spark = df.sparkSession
     w_df = spark.createDataFrame(
         sorted(target_bps.items()), f"{strata_col} string, _mix_bps bigint"

@@ -1769,6 +1769,26 @@ ORACLE_SQL_2["q21b_pii_redaction"] = r"""
 """
 
 
+def _q19_pair_graph(spark, sf):
+    """The near-dup pair graph q19b and q19c BOTH cluster — one
+    definition, so the two gates' premise ("identical graph, two
+    algorithms, identical oracle") is enforced by construction rather
+    than by keeping two copies in sync."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 60)
+    toks = F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+    t = d.select("doc_id", "lang", toks.alias("toks"))
+    a = t.select(F.col("doc_id").alias("a_id"), F.col("lang").alias("a_lang"),
+                 F.col("toks").alias("a_toks"))
+    b = t.select(F.col("doc_id").alias("b_id"), F.col("lang").alias("b_lang"),
+                 F.col("toks").alias("b_toks"))
+    return (
+        a.join(b, (F.col("a_lang") == F.col("b_lang"))
+               & (F.col("a_id") < F.col("b_id")))
+        .filter(F.size(F.array_intersect("a_toks", "b_toks")) >= 20)
+        .select("a_id", "b_id")
+    )
+
+
 def q19b_dup_clusters(spark, sf):
     """Connected components over the q19 near-dup pair graph (min-label
     propagation) — the first driver-gated run of the clustering stage
@@ -1779,19 +1799,7 @@ def q19b_dup_clusters(spark, sf):
     extension graded alongside SURVEY section 2)."""
     from ..operators.dedup import duplicate_clusters
 
-    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 60)
-    toks = F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
-    t = d.select("doc_id", "lang", toks.alias("toks"))
-    a = t.select(F.col("doc_id").alias("a_id"), F.col("lang").alias("a_lang"),
-                 F.col("toks").alias("a_toks"))
-    b = t.select(F.col("doc_id").alias("b_id"), F.col("lang").alias("b_lang"),
-                 F.col("toks").alias("b_toks"))
-    pairs = (
-        a.join(b, (F.col("a_lang") == F.col("b_lang"))
-               & (F.col("a_id") < F.col("b_id")))
-        .filter(F.size(F.array_intersect("a_toks", "b_toks")) >= 20)
-        .select("a_id", "b_id")
-    )
+    pairs = _q19_pair_graph(spark, sf)
     return duplicate_clusters(pairs, partitions=8).orderBy("doc_id")
 
 
@@ -1834,19 +1842,7 @@ def q19c_star_clusters(spark, sf):
     algorithms must agree exactly)."""
     from ..operators.dedup import duplicate_clusters
 
-    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 60)
-    toks = F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
-    t = d.select("doc_id", "lang", toks.alias("toks"))
-    a = t.select(F.col("doc_id").alias("a_id"), F.col("lang").alias("a_lang"),
-                 F.col("toks").alias("a_toks"))
-    b = t.select(F.col("doc_id").alias("b_id"), F.col("lang").alias("b_lang"),
-                 F.col("toks").alias("b_toks"))
-    pairs = (
-        a.join(b, (F.col("a_lang") == F.col("b_lang"))
-               & (F.col("a_id") < F.col("b_id")))
-        .filter(F.size(F.array_intersect("a_toks", "b_toks")) >= 20)
-        .select("a_id", "b_id")
-    )
+    pairs = _q19_pair_graph(spark, sf)
     return duplicate_clusters(pairs, partitions=8,
                               algorithm="star").orderBy("doc_id")
 

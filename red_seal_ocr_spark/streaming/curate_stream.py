@@ -52,14 +52,9 @@ def batch_site_line_stats(
 ) -> DataFrame:
     """Per-(site, line) distinct-doc counts for ONE batch, plus the
     per-site doc totals as ``line IS NULL`` rows."""
-    lines = (
-        batch_docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.col(site_col).alias("site"),
-            F.explode(F.split(F.col(text_col), "\n")).alias("line"),
-        )
-        .filter(F.length(F.trim("line")) > 0)
-    )
+    from ..operators.html_extract import doc_lines
+
+    lines = doc_lines(batch_docs, id_col, site_col, text_col)
     line_stats = (
         lines.groupBy("site", "line")
         .agg(F.countDistinct("doc_id").cast("long").alias("cnt"))
