@@ -561,3 +561,77 @@ def test_train_bpe_merges_matches_pure_python_mirror(spark):
     tiny = spark.createDataFrame([(1, "ab ab")], "doc_id bigint, text string")
     got_tiny = train_bpe_merges(tiny, 10)
     assert got_tiny == mirror(["ab ab"], 10)
+
+
+def test_bm25_surprisal_rounding_margins_at_gate_fixture():
+    """q17b/q21c hash-compare micro/milli-rounded doubles across engines.
+    Cross-engine noise — double-sum reordering (N*eps*|sum| with N~500
+    tokens) plus per-term libm ln ulp skew — is bounded by ~1e-12 in the
+    scaled units both queries round.  This probe recomputes every doc's
+    PRE-rounding score with an independent python mirror on the exact
+    gate fixture (sf0.01) and asserts each value sits >= 1e-6 from the
+    nearest .5 rounding boundary — a million times the noise bound, so
+    both engines are guaranteed to round identically and the gate
+    cannot flake.  (Measured floor on this fixture: bm25 ~1e-3,
+    surprisal 2.0e-4 at doc 61.)"""
+    import math
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table("/root/testdata/sf0.01/documents.parquet",
+                        columns=["doc_id", "text"])
+    docs = list(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+
+    def toks(t):
+        return [w for w in (t or "").lower().strip().split()]
+
+    # --- BM25 mirror (terms/k1/b mirror q17b_bm25_rank) ---
+    terms = ("spark", "shuffle", "kernel", "seal")
+    k1, b = 1.2, 0.75
+    dl = {i: len(toks(t)) for i, t in docs}
+    n_docs = float(len(docs))
+    avgdl = sum(dl.values()) / n_docs
+    tf = {}
+    df = dict.fromkeys(terms, 0)
+    for i, t in docs:
+        tt = toks(t)
+        for term in terms:
+            c = tt.count(term)
+            if c:
+                tf[(i, term)] = c
+        for term in terms:
+            if term in tt:
+                df[term] += 1
+    margins = []
+    for i, _ in docs:
+        s = 0.0
+        for term in terms:
+            c = tf.get((i, term))
+            if not c:
+                continue
+            idf = math.log(1.0 + (n_docs - df[term] + 0.5) / (df[term] + 0.5))
+            s += idf * c * (k1 + 1.0) / (c + k1 * (1 - b + b * dl[i] / avgdl))
+        if s:
+            x = s * 1_000_000.0
+            margins.append(abs(x - math.floor(x) - 0.5))
+    assert margins, "fixture has no hits — probe is vacuous"
+    assert min(margins) >= 1e-6, f"bm25 rounding margin too thin: {min(margins)}"
+
+    # --- unigram surprisal mirror (q21c scopes corpus AND scoring to
+    # doc_id < 100; the vocabulary is built from the filtered set) ---
+    sub = [(i, t) for i, t in docs if i < 100]
+    cnt = {}
+    for _, t in sub:
+        for w in toks(t):
+            cnt[w] = cnt.get(w, 0) + 1
+    total = float(sum(cnt.values()))
+    margins2 = []
+    for i, t in sub:
+        tt = toks(t)
+        if not tt:
+            continue
+        s = sum(-math.log(cnt[w] / total) for w in tt)
+        x = s / len(tt) * 1000.0
+        margins2.append(abs(x - math.floor(x) - 0.5))
+    assert margins2, "fixture has no surprisal rows — probe is vacuous"
+    assert min(margins2) >= 1e-6, f"surprisal margin too thin: {min(margins2)}"
