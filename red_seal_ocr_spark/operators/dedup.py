@@ -733,3 +733,137 @@ def ingest_batch_lsh(
     snap.commit_snapshot(table_dir, files, [], rid,
                          extra={"lsh_params": params})
     return cands
+
+
+def duplicated_ngram_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+    max_docs: int | None = None,
+) -> DataFrame:
+    """Maximal duplicated token spans per document (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499 — the substring-dedup family, re-expressed as a
+    distributed n-gram coverage merge instead of a suffix array).
+
+    A token position is *duplicated* when some length-``n`` token n-gram
+    covering it occurs in at least ``min_docs`` distinct documents.
+    Overlapping and adjacent duplicated n-gram starts are merged into
+    maximal spans (gaps-and-islands): output is one row per maximal span
+    ``(doc_id, span_start, span_end, n_dup_tokens)`` with ``span_end``
+    exclusive, in token offsets of the whitespace-lowercase tokenization.
+
+    Scale shape (no reference analog — the reference is a single-image
+    OCR pipeline; this is the training-data tier):
+
+    - gram construction is the fixed-offset ``arrays_zip`` form (the
+      lambda-parameterized ``slice`` drops out of codegen — see
+      :func:`_shingles`), exploded WITH position via ``posexplode`` so
+      span offsets come free;
+    - grams are keyed by ``md5`` (fixed-width shuffle key, identical in
+      the DuckDB oracle); document frequency is one map-side-combinable
+      ``groupBy(gram)`` + ``countDistinct``;
+    - the join-back is an equi-join on the hash key; a boilerplate gram
+      shared by millions of docs fans out only to its true positions —
+      that fan-out IS the answer, but ``max_docs`` caps it when callers
+      want near-dup spans rather than corpus-wide boilerplate (same dial
+      as decontamination's ``max_shingle_df``);
+    - the islands merge is a per-document window (shuffle keyed by
+      ``id_col`` — uniform), never a global sort.
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    base = docs.select(F.col(id_col), toks.alias("t")).filter(F.size("t") >= n)
+    shifted = [F.slice(F.col("t"), j + 1, F.size("t")).alias(f"t{j}") for j in range(n)]
+    z = F.slice(F.arrays_zip(*shifted), 1, F.size(F.col("t")) - F.lit(n - 1))
+    grams = base.select(
+        F.col(id_col), F.posexplode(z).alias("s", "g")
+    ).select(
+        F.col(id_col),
+        F.col("s").cast("int").alias("s"),
+        F.md5(F.concat_ws(" ", *[F.col("g")[f"t{j}"] for j in range(n)])).alias("g"),
+    )
+    df_filter = F.col("df") >= min_docs
+    if max_docs is not None:
+        df_filter = df_filter & (F.col("df") <= max_docs)
+    dup = (
+        grams.groupBy("g")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .filter(df_filter)
+        .select("g")
+    )
+    hits = grams.join(dup, "g").select(id_col, "s")
+    win = Window.partitionBy(id_col).orderBy("s")
+    flagged = hits.select(
+        F.col(id_col),
+        F.col("s"),
+        F.when(F.col("s") - F.lag("s").over(win) <= n, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("flag"),
+    )
+    isl = flagged.select(
+        F.col(id_col),
+        F.col("s"),
+        F.sum("flag")
+        .over(win.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("island"),
+    )
+    return (
+        isl.groupBy(id_col, "island")
+        .agg(
+            F.min("s").cast("int").alias("span_start"),
+            (F.max("s") + n).cast("int").alias("span_end"),
+        )
+        .select(
+            F.col(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("n_dup_tokens"),
+        )
+    )
+
+
+def strip_duplicated_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove the tokens covered by :func:`duplicated_ngram_spans` from
+    each document — the actionable curation form (C4/Lee-et-al. drop the
+    duplicated substring, keeping the remainder).
+
+    Row-preserving: every input document comes back exactly once
+    (span-less docs pass through with ``n_removed_tokens = 0``), so
+    downstream joins and counts are safe — the round-5 advice contract.
+    The spans aggregate is one map-side ``collect_list`` per doc and the
+    removal is a token-position filter via ``exists`` over the (short)
+    span list — all JVM expressions, no Python.
+    """
+    agg = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("sp")
+    )
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    joined = docs.join(agg, on=id_col, how="left")
+    indexed = F.transform(toks, lambda x, i: F.struct(x.alias("x"), i.alias("i")))
+    kept = F.filter(
+        indexed,
+        lambda t: ~F.exists(
+            F.coalesce(F.col("sp"), F.array()),
+            lambda sp: (t["i"] >= sp["span_start"]) & (t["i"] < sp["span_end"]),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", F.transform(kept, lambda t: t["x"])).alias("text"),
+        (F.size(toks) - F.size(kept)).cast("int").alias("n_removed_tokens"),
+    )

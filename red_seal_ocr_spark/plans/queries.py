@@ -367,7 +367,7 @@ SPARK_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q64_top_orders": q64_top_orders,
     "q65_order_priority": q65_order_priority,
-    "q04_nation_revenue": q04_nation_revenue,
+    "q85_nation_revenue": q04_nation_revenue,
     "q66_region_nations": q66_region_nations,
     "q79_parts_in_lineitem": q06_parts_in_lineitem,
     "q80_customers_no_orders": q07_customers_no_orders,
@@ -415,7 +415,7 @@ ORACLE_SQL = {
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
     """,
-    "q04_nation_revenue": """
+    "q85_nation_revenue": """
         SELECT n_name, COUNT(*) AS orders_cnt,
                CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) AS revenue_cents
         FROM orders

@@ -2142,3 +2142,57 @@ ORACLE_SQL_2["q16c_bpe_pairs"] = """
     ORDER BY pair_freq DESC, a, b
     LIMIT 100
 """
+
+
+def q15c_dup_spans(spark, sf):
+    """Maximal duplicated 8-gram token spans across the corpus (the
+    Lee-et-al. substring-dedup family as a distributed coverage merge).
+    LIVE oracle: both engines key grams by md5 and run the identical
+    gaps-and-islands window, so the span set is bit-identical."""
+    from ..operators.dedup import duplicated_ngram_spans
+
+    d = _t(spark, sf, "documents")
+    return (
+        duplicated_ngram_spans(d, n=8, min_docs=2)
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            F.col("n_dup_tokens").cast("int").alias("n_dup_tokens"),
+        )
+        .orderBy("doc_id", "span_start")
+    )
+
+
+SPARK_QUERIES_2["q15c_dup_spans"] = q15c_dup_spans
+ORACLE_SQL_2["q15c_dup_spans"] = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, CAST(i AS INT) - 1 AS s,
+             md5(array_to_string(t[i:i+7], ' ')) AS g
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+            FROM toks WHERE len(t) >= 8)
+    ),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+    hits AS (SELECT doc_id, s FROM grams JOIN dup USING (g)),
+    flagged AS (
+      SELECT doc_id, s,
+             CASE WHEN s - lag(s) OVER (PARTITION BY doc_id ORDER BY s) <= 8
+                  THEN 0 ELSE 1 END AS flag
+      FROM hits
+    ),
+    isl AS (SELECT doc_id, s,
+                   SUM(flag) OVER (PARTITION BY doc_id ORDER BY s) AS island
+            FROM flagged)
+    SELECT doc_id,
+           CAST(MIN(s) AS INT) AS span_start,
+           CAST(MAX(s) + 8 AS INT) AS span_end,
+           CAST(MAX(s) + 8 - MIN(s) AS INT) AS n_dup_tokens
+    FROM isl GROUP BY doc_id, island
+    ORDER BY doc_id, span_start
+"""

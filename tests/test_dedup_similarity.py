@@ -1007,3 +1007,76 @@ def test_write_banded_corpus_replay_returns_committed_manifest(spark, tmp_path):
     cur = current_snapshot(t)
     assert cur["snapshot_id"] == m1["snapshot_id"]
     assert spark.read.parquet(*cur["data_files"]).count() == 3 * 8
+
+
+def test_duplicated_ngram_spans_planted_passage(spark):
+    from red_seal_ocr_spark.operators.dedup import duplicated_ngram_spans
+
+    shared = " ".join(f"w{i}" for i in range(10))  # 10-token shared passage
+    rows = [
+        (1, "alpha beta " + shared + " gamma delta"),
+        (2, shared + " epsilon zeta eta theta iota kappa"),
+        (3, "totally unrelated words here nothing shared at all ok fine"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = duplicated_ngram_spans(d, n=4, min_docs=2).orderBy("doc_id").collect()
+    # doc 1: passage occupies token offsets [2, 12); doc 2: [0, 10)
+    assert [(r.doc_id, r.span_start, r.span_end, r.n_dup_tokens) for r in spans] == [
+        (1, 2, 12, 10),
+        (2, 0, 10, 10),
+    ]
+
+
+def test_duplicated_ngram_spans_merges_adjacent_islands(spark):
+    from red_seal_ocr_spark.operators.dedup import duplicated_ngram_spans
+
+    # Two shared passages separated by a LONG unique gap in doc 1 ->
+    # two maximal spans, not one.
+    p1 = " ".join(f"a{i}" for i in range(6))
+    p2 = " ".join(f"b{i}" for i in range(6))
+    gap = " ".join(f"u{i}" for i in range(15))
+    rows = [
+        (1, p1 + " " + gap + " " + p2),
+        (2, p1 + " something else entirely " + p2),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = duplicated_ngram_spans(d, n=4, min_docs=2)
+    r1 = sorted(
+        (r.span_start, r.span_end) for r in spans.filter("doc_id = 1").collect()
+    )
+    assert r1 == [(0, 6), (21, 27)]
+
+
+def test_duplicated_ngram_spans_max_docs_cap(spark):
+    from red_seal_ocr_spark.operators.dedup import duplicated_ngram_spans
+
+    boiler = " ".join(f"c{i}" for i in range(5))
+    rows = [(i, boiler + f" unique{i} tail{i} pad{i} filler{i}") for i in range(10)]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = duplicated_ngram_spans(d, n=4, min_docs=2)
+    capped = duplicated_ngram_spans(d, n=4, min_docs=2, max_docs=5)
+    assert uncapped.count() == 10  # boilerplate gram in all 10 docs
+    assert capped.count() == 0  # df=10 exceeds the cap
+
+
+def test_strip_duplicated_spans_row_preserving(spark):
+    from red_seal_ocr_spark.operators.dedup import (
+        duplicated_ngram_spans,
+        strip_duplicated_spans,
+    )
+
+    shared = " ".join(f"w{i}" for i in range(8))
+    rows = [
+        (1, "alpha beta " + shared + " gamma delta"),
+        (2, shared + " epsilon zeta eta theta"),
+        (3, "no duplication in this document at all whatsoever today"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = duplicated_ngram_spans(d, n=4, min_docs=2)
+    out = {r.doc_id: r for r in strip_duplicated_spans(d, spans).collect()}
+    assert len(out) == 3  # row-preserving, span-less doc included
+    assert out[1].text == "alpha beta gamma delta"
+    assert out[1].n_removed_tokens == 8
+    assert out[2].text == "epsilon zeta eta theta"
+    assert out[3].n_removed_tokens == 0
+    assert out[3].text.startswith("no duplication")
