@@ -1,0 +1,182 @@
+"""Corpus-trained document classification and importance weighting.
+
+The linear-classifier tier of a training-data pipeline: before any neural
+quality model exists, curation stacks score documents with closed-form
+models trained on the corpus itself — a Naive-Bayes log-odds scorer (the
+fastText-substitute; fastText's linear regime is NB-with-learned-weights)
+and DSIR importance weights (Xie et al. 2023, "Data Selection for
+Language Models via Importance Resampling", arXiv:2302.03169).
+
+Both are pure aggregation: token/feature counts per class, a log of an
+exact integer rational per term, and a weighted sum per document.  No
+iteration, no gradient, no Python — training IS one groupBy, so the
+"model" is a DataFrame a production run snapshots and reuses exactly like
+the banded LSH corpus.  There is no reference analog (the reference is a
+single-image OCR service); this is the beyond-reference tier.
+
+At 100 TB: the explode stream shuffles on the term/bucket key only
+(uniformly distributed, map-side combinable); the weights table is
+vocabulary-sized (<< corpus) and broadcast into the scoring join; text
+bytes are never reshuffled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _toks(text_col: str):
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def nb_log_odds_scores(
+    docs: DataFrame,
+    label_col: str = "is_target",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Multinomial Naive-Bayes log-odds score per document, trained and
+    scored on the same labeled corpus (the self-train bootstrap every
+    curation stack starts from; swap ``docs`` for a held-out labeled set
+    to train/score separately).
+
+    With Laplace(+1) smoothing, per-term weight is a single log of an
+    exact integer rational — ``ln((c_pos+1)(N_neg+V) / ((c_neg+1)(N_pos+V)))``
+    — so both engines round the identical quotient before the one
+    transcendental call (the q21c float-determinism discipline).  The
+    document score is ``ln(D_pos/D_neg) + sum tf * weight`` in milli-nats.
+
+    Scoring semantics, not cleanup: NULL-text docs emit no row (same
+    contract as ``unigram_surprisal``); callers left-join the score back.
+
+    Output: ``(id, n_tokens:int, nb_milli:bigint)``.
+    """
+    lbl = F.col(label_col).cast("boolean")
+    exploded = docs.select(
+        F.col(id_col), lbl.alias("y"), F.explode(_toks(text_col)).alias("term")
+    )
+    term_counts = exploded.groupBy("term").agg(
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("c_pos"),
+        F.sum(F.when(F.col("y"), 0).otherwise(1)).alias("c_neg"),
+    )
+    totals = term_counts.agg(
+        F.sum("c_pos").alias("n_pos"),
+        F.sum("c_neg").alias("n_neg"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    doc_counts = docs.agg(
+        F.sum(F.when(lbl, 1).otherwise(0)).alias("d_pos"),
+        F.sum(F.when(lbl, 0).otherwise(1)).alias("d_neg"),
+    )
+    weights = term_counts.crossJoin(F.broadcast(totals)).select(
+        "term",
+        F.log(
+            ((F.col("c_pos") + 1) * (F.col("n_neg") + F.col("v"))).cast("double")
+            / ((F.col("c_neg") + 1) * (F.col("n_pos") + F.col("v"))).cast("double")
+        ).alias("w"),
+    )
+    doc_terms = exploded.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    return (
+        doc_terms.join(F.broadcast(weights), on="term")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("int").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("w")).alias("s"),
+        )
+        .crossJoin(F.broadcast(doc_counts))
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.round(
+                (
+                    F.log(F.col("d_pos").cast("double") / F.col("d_neg").cast("double"))
+                    + F.col("s")
+                )
+                * 1000.0
+            )
+            .cast("bigint")
+            .alias("nb_milli"),
+        )
+    )
+
+
+def _hashed_features(text_col: str, prefix_len: int):
+    """Hashed unigram+bigram feature buckets as an array column.
+
+    Bucket key = first ``prefix_len`` hex chars of md5 (a string key —
+    bit-identical across engines, no hex-int parsing).  Bigrams use the
+    fixed-offset arrays_zip form (the lambda-parameterized ``slice``
+    codegen gotcha, see ``dedup._shingles``).
+    """
+    toks = F.filter(_toks(text_col), lambda x: x != F.lit(""))
+    uni = toks
+    a = F.slice(toks, 1, F.size(toks))
+    b = F.slice(toks, 2, F.size(toks))
+    bi = F.transform(
+        F.slice(F.arrays_zip(a.alias("a"), b.alias("b")), 1,
+                F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda s: F.concat_ws(" ", s["a"], s["b"]),
+    )
+    return F.transform(
+        F.concat(uni, bi), lambda x: F.substring(F.md5(x), 1, prefix_len)
+    )
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    target_col: str = "is_target",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_hex_chars: int = 4,
+) -> DataFrame:
+    """DSIR importance weight per document (Xie et al. 2023): hashed
+    unigram+bigram features, bucket distributions estimated on the
+    target subset vs the full raw corpus, and per-document weight
+    ``sum_f n_f(doc) * ln(p_target(f) / p_raw(f))`` in milli-nats.
+    Resampling keeps the top-weight documents (pair with the
+    content-keyed rank of ``sampling.cap_per_host`` for the draw).
+
+    ``B = 16^bucket_hex_chars`` buckets (default 65,536, the DSIR paper
+    scale); +1 smoothing keeps every log an exact integer rational, the
+    same cross-engine float discipline as :func:`nb_log_odds_scores`.
+
+    Output: ``(id, n_feats:int, dsir_milli:bigint)``; NULL/blank-text
+    docs have no features and emit no row (left-join to preserve rows).
+    """
+    n_buckets = 16 ** bucket_hex_chars
+    tgt = F.col(target_col).cast("boolean")
+    exploded = docs.select(
+        F.col(id_col),
+        tgt.alias("y"),
+        F.explode(_hashed_features(text_col, bucket_hex_chars)).alias("bucket"),
+    )
+    bucket_counts = exploded.groupBy("bucket").agg(
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("c_tgt"),
+        F.count(F.lit(1)).alias("c_raw"),
+    )
+    totals = bucket_counts.agg(
+        F.sum("c_tgt").alias("n_tgt"), F.sum("c_raw").alias("n_raw")
+    )
+    weights = bucket_counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.log(
+            ((F.col("c_tgt") + 1) * (F.col("n_raw") + n_buckets)).cast("double")
+            / ((F.col("c_raw") + 1) * (F.col("n_tgt") + n_buckets)).cast("double")
+        ).alias("w"),
+    )
+    doc_feats = exploded.groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).alias("nf")
+    )
+    return (
+        doc_feats.join(F.broadcast(weights), on="bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("nf").cast("int").alias("n_feats"),
+            F.round(F.sum(F.col("nf") * F.col("w")) * 1000.0)
+            .cast("bigint")
+            .alias("dsir_milli"),
+        )
+    )

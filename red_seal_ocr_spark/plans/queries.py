@@ -373,8 +373,8 @@ SPARK_QUERIES = {
     "q80_customers_no_orders": q07_customers_no_orders,
     "q67_distinct_segments": q67_distinct_segments,
     "q68_union_nationkeys": q68_union_nationkeys,
-    "q10_top2_orders_per_cust": q10_top2_orders_per_cust,
-    "q11_events_hourly": q11_events_hourly,
+    "q86_top2_orders_per_cust": q10_top2_orders_per_cust,
+    "q87_events_hourly": q11_events_hourly,
     "q81_user_funnel": q12_user_funnel,
     "q83_string_funcs": q13_string_funcs,
     "q14_quality_flag": q14_quality_flag,
@@ -453,7 +453,7 @@ ORACLE_SQL = {
             SELECT s_nationkey AS nationkey FROM supplier
         ) ORDER BY nationkey
     """,
-    "q10_top2_orders_per_cust": """
+    "q86_top2_orders_per_cust": """
         SELECT o_custkey, o_orderkey, rn FROM (
             SELECT o_custkey, o_orderkey,
                    ROW_NUMBER() OVER (PARTITION BY o_custkey
@@ -462,7 +462,7 @@ ORACLE_SQL = {
         ) WHERE rn <= 2
         ORDER BY o_custkey, rn
     """,
-    "q11_events_hourly": """
+    "q87_events_hourly": """
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
                COUNT(*) AS n_events,
                CAST(ROUND(SUM(value) * 100) AS BIGINT) AS value_cents

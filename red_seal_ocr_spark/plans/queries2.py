@@ -2196,3 +2196,99 @@ ORACLE_SQL_2["q15c_dup_spans"] = """
     FROM isl GROUP BY doc_id, island
     ORDER BY doc_id, span_start
 """
+
+
+def q17c_nb_score(spark, sf):
+    """Naive-Bayes log-odds quality/domain score (closed-form train +
+    score on the corpus itself, target class lang='en').  LIVE oracle:
+    every per-term weight is one ln of an exact integer rational, so
+    both engines feed identical doubles to the transcendental."""
+    from ..operators.classify import nb_log_odds_scores
+
+    d = _t(spark, sf, "documents").withColumn("is_target", F.col("lang") == "en")
+    return nb_log_odds_scores(d).orderBy("doc_id")
+
+
+SPARK_QUERIES_2["q17c_nb_score"] = q17c_nb_score
+ORACLE_SQL_2["q17c_nb_score"] = """
+    WITH ex AS (
+      SELECT doc_id, (lang = 'en') AS y,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    tc AS (
+      SELECT term,
+             SUM(CASE WHEN y THEN 1 ELSE 0 END) AS c_pos,
+             SUM(CASE WHEN y THEN 0 ELSE 1 END) AS c_neg
+      FROM ex GROUP BY term
+    ),
+    tot AS (SELECT SUM(c_pos) AS n_pos, SUM(c_neg) AS n_neg, COUNT(*) AS v
+            FROM tc),
+    dc AS (SELECT SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS d_pos,
+                  SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS d_neg
+           FROM documents),
+    w AS (
+      SELECT term,
+             ln(CAST((c_pos + 1) * (n_neg + v) AS DOUBLE)
+                / CAST((c_neg + 1) * (n_pos + v) AS DOUBLE)) AS w
+      FROM tc CROSS JOIN tot
+    ),
+    dt AS (SELECT doc_id, term, COUNT(*) AS tf FROM ex GROUP BY doc_id, term)
+    SELECT doc_id, CAST(SUM(tf) AS INT) AS n_tokens,
+           CAST(ROUND((ln(CAST(d_pos AS DOUBLE) / CAST(d_neg AS DOUBLE))
+                       + SUM(tf * w)) * 1000.0) AS BIGINT) AS nb_milli
+    FROM dt JOIN w USING (term) CROSS JOIN dc
+    GROUP BY doc_id, d_pos, d_neg
+    ORDER BY doc_id
+"""
+
+
+def q33d_dsir_weights(spark, sf):
+    """DSIR importance weights (hashed unigram+bigram buckets, target
+    distribution lang='en' vs the raw corpus).  LIVE oracle: bucket keys
+    are md5-prefix strings and every log is an exact integer rational —
+    same float discipline as q17c/q21c."""
+    from ..operators.classify import dsir_importance_weights
+
+    d = _t(spark, sf, "documents").withColumn("is_target", F.col("lang") == "en")
+    return dsir_importance_weights(d).orderBy("doc_id")
+
+
+SPARK_QUERIES_2["q33d_dsir_weights"] = q33d_dsir_weights
+ORACLE_SQL_2["q33d_dsir_weights"] = """
+    WITH toks AS (
+      SELECT doc_id, (lang = 'en') AS y,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, y,
+             list_concat(
+               t,
+               list_transform(generate_series(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i + 1])) AS fs
+      FROM toks
+    ),
+    ex AS (
+      SELECT doc_id, y, substr(md5(f), 1, 4) AS bucket
+      FROM (SELECT doc_id, y, unnest(fs) AS f FROM feats)
+    ),
+    bc AS (
+      SELECT bucket,
+             SUM(CASE WHEN y THEN 1 ELSE 0 END) AS c_tgt,
+             COUNT(*) AS c_raw
+      FROM ex GROUP BY bucket
+    ),
+    tot AS (SELECT SUM(c_tgt) AS n_tgt, SUM(c_raw) AS n_raw FROM bc),
+    w AS (
+      SELECT bucket,
+             ln(CAST((c_tgt + 1) * (n_raw + 65536) AS DOUBLE)
+                / CAST((c_raw + 1) * (n_tgt + 65536) AS DOUBLE)) AS w
+      FROM bc CROSS JOIN tot
+    ),
+    df AS (SELECT doc_id, bucket, COUNT(*) AS nf FROM ex GROUP BY doc_id, bucket)
+    SELECT doc_id, CAST(SUM(nf) AS INT) AS n_feats,
+           CAST(ROUND(SUM(nf * w) * 1000.0) AS BIGINT) AS dsir_milli
+    FROM df JOIN w USING (bucket) GROUP BY doc_id ORDER BY doc_id
+"""

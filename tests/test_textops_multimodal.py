@@ -635,3 +635,164 @@ def test_bm25_surprisal_rounding_margins_at_gate_fixture():
         margins2.append(abs(x - math.floor(x) - 0.5))
     assert margins2, "fixture has no surprisal rows — probe is vacuous"
     assert min(margins2) >= 1e-6, f"surprisal margin too thin: {min(margins2)}"
+
+
+def test_nb_log_odds_scores_separates_classes(spark):
+    import math
+
+    from red_seal_ocr_spark.operators.classify import nb_log_odds_scores
+
+    rows = [
+        (1, True, "good clean prose good clean"),
+        (2, True, "good prose clean text good"),
+        (3, False, "spam junk spam junk noise"),
+        (4, False, "junk noise spam noise junk"),
+        (5, True, "good text prose clean words"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "is_target", "text"])
+    out = {r.doc_id: r.nb_milli for r in nb_log_odds_scores(d).collect()}
+    assert out[1] > 0 and out[2] > 0 and out[5] > 0
+    assert out[3] < 0 and out[4] < 0
+
+    # exact mirror: closed-form NB in pure python
+    from collections import Counter
+
+    pos, neg = Counter(), Counter()
+    for _, y, t in rows:
+        (pos if y else neg).update(t.split())
+    vocab = set(pos) | set(neg)
+    n_pos, n_neg, v = sum(pos.values()), sum(neg.values()), len(vocab)
+    d_pos = sum(1 for r in rows if r[1])
+    d_neg = len(rows) - d_pos
+    for doc_id, _, t in rows:
+        s = math.log(d_pos / d_neg)
+        for term in t.split():
+            s += math.log(
+                ((pos[term] + 1) * (n_neg + v)) / ((neg[term] + 1) * (n_pos + v))
+            )
+        assert out[doc_id] == round(s * 1000)
+
+
+def test_dsir_importance_weights_mirror(spark):
+    import hashlib
+    import math
+
+    from red_seal_ocr_spark.operators.classify import dsir_importance_weights
+
+    rows = [
+        (1, True, "alpha beta gamma alpha beta"),
+        (2, True, "alpha gamma beta delta"),
+        (3, False, "omega psi chi omega"),
+        (4, False, "psi chi omega phi"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "is_target", "text"])
+    out = {r.doc_id: r for r in dsir_importance_weights(d).collect()}
+    assert out[1].dsir_milli > 0 and out[3].dsir_milli < 0
+
+    def feats(t):
+        toks = [x for x in t.lower().split() if x]
+        fs = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        return [hashlib.md5(f.encode()).hexdigest()[:4] for f in fs]
+
+    from collections import Counter
+
+    tgt, raw = Counter(), Counter()
+    for _, y, t in rows:
+        bs = feats(t)
+        raw.update(bs)
+        if y:
+            tgt.update(bs)
+    n_tgt, n_raw, B = sum(tgt.values()), sum(raw.values()), 16 ** 4
+    for doc_id, _, t in rows:
+        s = sum(
+            math.log(((tgt[b] + 1) * (n_raw + B)) / ((raw[b] + 1) * (n_tgt + B)))
+            for b in feats(t)
+        )
+        assert out[doc_id].dsir_milli == round(s * 1000)
+        assert out[doc_id].n_feats == len(feats(t))
+
+
+def test_classify_null_and_blank_text_contract(spark):
+    from red_seal_ocr_spark.operators.classify import (
+        dsir_importance_weights,
+        nb_log_odds_scores,
+    )
+
+    rows = [(1, True, "some words here"), (2, False, None), (3, False, "")]
+    d = spark.createDataFrame(rows, ["doc_id", "is_target", "text"])
+    nb = {r.doc_id for r in nb_log_odds_scores(d).collect()}
+    assert nb == {1, 3}  # NULL drops; blank scores the empty token
+    ds = {r.doc_id for r in dsir_importance_weights(d).collect()}
+    assert ds == {1}  # featureless docs emit no row
+
+
+def test_nb_dsir_rounding_margins_at_gate_fixture():
+    """q17c/q33d hash-compare milli-rounded doubles across engines — the
+    same flake risk as q17b/q21c.  Independent python mirrors recompute
+    every doc's PRE-rounding score on the exact gate fixture and assert
+    >= 1e-6 distance from the nearest .5 boundary, a million times the
+    cross-engine noise bound (double-sum reordering + libm ln ulps,
+    ~1e-11 in milli units at these magnitudes).  Measured floor on this
+    fixture: NB 5.9e-4, DSIR 3.5e-4."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        "/root/testdata/sf0.01/documents.parquet",
+        columns=["doc_id", "text", "lang"],
+    )
+    docs = list(
+        zip(tbl["doc_id"].to_pylist(), tbl["lang"].to_pylist(), tbl["text"].to_pylist())
+    )
+
+    def margin(v):
+        return abs(abs(v * 1000.0) % 1.0 - 0.5)
+
+    # --- NB mirror (unfiltered \s+ split of trimmed text, as q17c) ---
+    def nb_toks(t):
+        return re.split(r"\s+", t.lower().strip())
+
+    pos, neg = Counter(), Counter()
+    for _, lang, t in docs:
+        if t is not None:
+            (pos if lang == "en" else neg).update(nb_toks(t))
+    vocab = set(pos) | set(neg)
+    n_pos, n_neg, v = sum(pos.values()), sum(neg.values()), len(vocab)
+    d_pos = sum(1 for _, lang, _ in docs if lang == "en")
+    d_neg = len(docs) - d_pos
+    for _, lang, t in docs:
+        if t is None:
+            continue
+        s = math.log(d_pos / d_neg)
+        for term in nb_toks(t):
+            s += math.log(
+                ((pos[term] + 1) * (n_neg + v)) / ((neg[term] + 1) * (n_pos + v))
+            )
+        assert margin(s) >= 1e-6
+
+    # --- DSIR mirror (empty-filtered unigrams+bigrams, md5[:4] buckets) ---
+    def feats(t):
+        toks = [x for x in re.split(r"\s+", (t or "").lower().strip()) if x]
+        fs = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        return [hashlib.md5(f.encode()).hexdigest()[:4] for f in fs]
+
+    tgt, raw = Counter(), Counter()
+    for _, lang, t in docs:
+        bs = feats(t)
+        raw.update(bs)
+        if lang == "en":
+            tgt.update(bs)
+    n_tgt, n_raw, big_b = sum(tgt.values()), sum(raw.values()), 16 ** 4
+    for _, lang, t in docs:
+        bs = feats(t)
+        if not bs:
+            continue
+        s = sum(
+            math.log(((tgt[b] + 1) * (n_raw + big_b)) / ((raw[b] + 1) * (n_tgt + big_b)))
+            for b in bs
+        )
+        assert margin(s) >= 1e-6
