@@ -660,3 +660,127 @@ def train_bpe_merges(
     finally:
         vocab.unpersist()
     return merges
+
+
+def bpe_encode_words(
+    words: DataFrame,
+    merges,
+    word_col: str = "word",
+    symbols_col: str = "symbols",
+    max_rounds: int | None = None,
+) -> DataFrame:
+    """Apply a trained BPE merge list to a vocabulary table — the encode
+    half of the tokenizer (Sennrich et al. 2016; the GPT-2 scheme:
+    per round, find each word's lowest-rank applicable merge and fuse
+    ALL its occurrences leftmost-first, repeat until none applies).
+
+    ``merges`` is the tokenizer artifact: an ordered ``list[(a, b)]``
+    (rank = position, as :func:`train_bpe_merges` returns) or a
+    DataFrame ``(a, b, rank)``.  Encoding runs on the VOCABULARY frame,
+    never the corpus — the reason tokenizing 100 TB is feasible: distinct
+    words are encoded once and the result joins back to the token stream
+    (:func:`bpe_token_counts`).
+
+    Per round, all JVM expressions: adjacent pairs explode from the
+    symbol array, an equi-join against the (broadcast) merge table finds
+    each word's best rank, and the fuse is the same ``aggregate`` fold
+    as :func:`merge_symbol_pair` parameterized by the row's own merge
+    columns ("aaa" under (a,a) -> [aa, a]; the fused symbol cannot
+    re-match within its round).  ``max_rounds=k`` applies exactly k
+    rounds with ZERO driver actions (the gate-query form);
+    ``max_rounds=None`` iterates to convergence with one tiny count per
+    round, caching round frames like the trainer.
+    """
+    spark = words.sparkSession
+    if not isinstance(merges, DataFrame):
+        merges = spark.createDataFrame(
+            [(a, b, i) for i, (a, b) in enumerate(merges)], "a string, b string, rank int"
+        )
+    other_cols = [c for c in words.columns if c != symbols_col]
+    converge = max_rounds is None
+    rounds = 256 if converge else max_rounds
+
+    state = words
+    for _ in range(rounds):
+        pairs_expr = F.expr(
+            f"transform(sequence(1, size({symbols_col}) - 1), "
+            f"i -> struct({symbols_col}[i - 1] AS a, {symbols_col}[i] AS b))"
+        )
+        pairs = (
+            state.filter(F.size(symbols_col) >= 2)
+            .select(F.col(word_col), F.explode(pairs_expr).alias("p"))
+            .select(word_col, F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        )
+        best = (
+            pairs.join(F.broadcast(merges), ["a", "b"])
+            .groupBy(word_col)
+            .agg(F.min("rank").alias("rank"))
+            .join(F.broadcast(merges), "rank")
+            .select(word_col, F.col("a").alias("_ma"), F.col("b").alias("_mb"))
+        )
+        nxt = state.join(best, word_col, "left")
+        fused = F.aggregate(
+            F.col(symbols_col),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.get(acc, F.size(acc) - 1) == F.col("_ma"))
+                & (x == F.col("_mb")),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(F.col("_ma"), F.col("_mb"))),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        nxt = nxt.select(
+            *other_cols,
+            F.when(F.col("_ma").isNull(), F.col(symbols_col))
+            .otherwise(fused)
+            .alias(symbols_col),
+        )
+        if converge:
+            nxt = nxt.cache()
+            # an applicable merge always fuses, so progress <=> best != empty
+            any_applicable = best.limit(1).count()
+            if state is not words:
+                state.unpersist()
+            state = nxt
+            if any_applicable == 0:
+                break
+        else:
+            state = nxt
+    return state.select(*other_cols, symbols_col)
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    merges,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document token counts under a trained BPE tokenizer — the
+    corpus-level encode: build the word-frequency vocabulary, encode
+    each DISTINCT word once (:func:`bpe_encode_words`), then join the
+    per-word token count back onto the exploded token stream and sum per
+    document.  The expensive iterative work is vocabulary-sized; the
+    corpus-sized stages are one explode and one equi-join on the word
+    key.  Output: ``(id, n_words:int, n_bpe_tokens:int)``; docs with no
+    non-blank tokens emit no row (left-join to preserve, as with
+    ``unigram_surprisal``)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    stream = (
+        docs.select(F.col(id_col), F.explode(toks).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    vocab = stream.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    enc = bpe_encode_words(
+        vocab.select("word", "freq", F.split("word", "").alias("symbols")),
+        merges,
+    ).select("word", F.size("symbols").alias("word_tokens"))
+    return (
+        stream.join(enc, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_words"),
+            F.sum("word_tokens").cast("int").alias("n_bpe_tokens"),
+        )
+    )

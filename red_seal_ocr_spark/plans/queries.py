@@ -377,7 +377,7 @@ SPARK_QUERIES = {
     "q87_events_hourly": q11_events_hourly,
     "q81_user_funnel": q12_user_funnel,
     "q83_string_funcs": q13_string_funcs,
-    "q14_quality_flag": q14_quality_flag,
+    "q88_quality_flag": q14_quality_flag,
     "q15_dedup_fingerprint": q15_dedup_fingerprint,
     "q16_token_stats": q16_token_stats,
     "q17_doc_quality": q17_doc_quality,
@@ -490,7 +490,7 @@ ORACLE_SQL = {
         WHERE c_custkey <= 20
         ORDER BY c_custkey
     """,
-    "q14_quality_flag": """
+    "q88_quality_flag": """
         SELECT CASE WHEN o_totalprice < 50000 OR o_orderpriority = '5-LOW'
                     THEN 'low' ELSE 'high' END AS quality,
                COUNT(*) AS n_orders

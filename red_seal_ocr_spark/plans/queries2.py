@@ -2292,3 +2292,128 @@ ORACLE_SQL_2["q33d_dsir_weights"] = """
            CAST(ROUND(SUM(nf * w) * 1000.0) AS BIGINT) AS dsir_milli
     FROM df JOIN w USING (bucket) GROUP BY doc_id ORDER BY doc_id
 """
+
+
+def q16d_bpe_encode(spark, sf):
+    """BPE ENCODE over the corpus vocabulary: top-20 round-1 char-pair
+    merges (the q16c ranking, a total order) applied for exactly 3
+    greedy rounds — lowest-rank applicable pair per word per round, all
+    occurrences fused leftmost-first.  Zero driver actions (bounded-round
+    form).  LIVE oracle: the same rounds as string-replace over a
+    separator-bounded symbol encoding (replace() is leftmost
+    non-overlapping in both engines — the exact BPE fuse contract);
+    convergence-mode encode is mirror-tested in pytest."""
+    from pyspark.sql import Window
+
+    from ..operators.textops import (
+        bpe_encode_words,
+        bpe_pair_counts,
+        word_frequencies,
+    )
+
+    d = _t(spark, sf, "documents")
+    wf = word_frequencies(d)
+    vocab_chars = wf.select(F.split("word", "").alias("symbols"), "freq")
+    merges = (
+        bpe_pair_counts(vocab_chars)
+        .orderBy(F.col("pair_freq").desc(), "a", "b")
+        .limit(20)
+        .select(
+            "a",
+            "b",
+            (
+                F.row_number().over(
+                    Window.orderBy(F.col("pair_freq").desc(), "a", "b")
+                )
+                - 1
+            ).alias("rank"),
+        )
+    )
+    vocab = wf.select("word", "freq", F.split("word", "").alias("symbols"))
+    enc = bpe_encode_words(vocab, merges, max_rounds=3)
+    return (
+        enc.select(
+            "word",
+            F.col("freq").cast("bigint").alias("freq"),
+            F.size("symbols").alias("n_tokens"),
+            F.array_join("symbols", " ").alias("toks"),
+        )
+        .orderBy(F.col("freq").desc(), "word")
+        .limit(200)
+    )
+
+
+SPARK_QUERIES_2["q16d_bpe_encode"] = q16d_bpe_encode
+ORACLE_SQL_2["q16d_bpe_encode"] = """
+    WITH words AS (
+        SELECT w AS word, COUNT(*) AS freq
+        FROM (
+            SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+            FROM documents
+        )
+        WHERE w <> ''
+        GROUP BY w
+    ),
+    pairs AS (
+        SELECT substring(word, CAST(i AS INT), 1) AS a,
+               substring(word, CAST(i AS INT) + 1, 1) AS b,
+               freq
+        FROM (
+            SELECT word, freq,
+                   unnest(generate_series(1, length(word) - 1)) AS i
+            FROM words WHERE length(word) >= 2
+        )
+    ),
+    merges AS (
+        SELECT a, b,
+               chr(1) || a || chr(1) || chr(1) || b || chr(1) AS pat,
+               chr(1) || a || b || chr(1) AS rep,
+               ROW_NUMBER() OVER (ORDER BY SUM(freq) DESC, a, b) - 1 AS rank
+        FROM pairs GROUP BY a, b
+        ORDER BY SUM(freq) DESC, a, b LIMIT 20
+    ),
+    s0 AS (
+        SELECT word, freq,
+               chr(1) || array_to_string(string_split(word, ''),
+                                         chr(1) || chr(1)) || chr(1) AS s
+        FROM words
+    ),
+    b1 AS (
+        SELECT s.word, m.pat, m.rep FROM s0 s
+        JOIN merges m ON contains(s.s, m.pat)
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY s.word ORDER BY m.rank) = 1
+    ),
+    s1 AS (
+        SELECT s0.word, s0.freq,
+               CASE WHEN b1.pat IS NULL THEN s0.s
+                    ELSE replace(s0.s, b1.pat, b1.rep) END AS s
+        FROM s0 LEFT JOIN b1 USING (word)
+    ),
+    b2 AS (
+        SELECT s.word, m.pat, m.rep FROM s1 s
+        JOIN merges m ON contains(s.s, m.pat)
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY s.word ORDER BY m.rank) = 1
+    ),
+    s2 AS (
+        SELECT s1.word, s1.freq,
+               CASE WHEN b2.pat IS NULL THEN s1.s
+                    ELSE replace(s1.s, b2.pat, b2.rep) END AS s
+        FROM s1 LEFT JOIN b2 USING (word)
+    ),
+    b3 AS (
+        SELECT s.word, m.pat, m.rep FROM s2 s
+        JOIN merges m ON contains(s.s, m.pat)
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY s.word ORDER BY m.rank) = 1
+    ),
+    s3 AS (
+        SELECT s2.word, s2.freq,
+               CASE WHEN b3.pat IS NULL THEN s2.s
+                    ELSE replace(s2.s, b3.pat, b3.rep) END AS s
+        FROM s2 LEFT JOIN b3 USING (word)
+    )
+    SELECT word, CAST(freq AS BIGINT) AS freq,
+           CAST(len(string_split(s, chr(1) || chr(1))) AS INT) AS n_tokens,
+           replace(trim(s, chr(1)), chr(1) || chr(1), ' ') AS toks
+    FROM s3
+    ORDER BY freq DESC, word LIMIT 200
+"""

@@ -796,3 +796,104 @@ def test_nb_dsir_rounding_margins_at_gate_fixture():
             for b in bs
         )
         assert margin(s) >= 1e-6
+
+
+def _bpe_encode_mirror(word, merges):
+    """GPT-2-style encode: per round, fuse ALL occurrences of the
+    lowest-rank applicable pair, leftmost-first non-overlapping."""
+    ranks = {m: i for i, m in enumerate(merges)}
+    syms = list(word)
+    while len(syms) >= 2:
+        pairs = set(zip(syms, syms[1:]))
+        best = min(pairs, key=lambda p: ranks.get(p, len(merges)))
+        if best not in ranks:
+            break
+        a, b = best
+        out = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_encode_words_matches_mirror(spark):
+    from red_seal_ocr_spark.operators.textops import (
+        bpe_encode_words,
+        train_bpe_merges,
+        word_frequencies,
+    )
+
+    corpus = [
+        "low lower lowest newest newer new wide widest",
+        "low low lower newest newest wide widely",
+        "aaa aaaa ab ab abab banana bandana",
+    ]
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id bigint, text string"
+    )
+    merges = train_bpe_merges(d, 12)
+    assert len(merges) == 12
+    vocab = word_frequencies(d).select(
+        "word", "freq", F.split("word", "").alias("symbols")
+    )
+    enc = {r.word: list(r.symbols) for r in bpe_encode_words(vocab, merges).collect()}
+    for w in enc:
+        assert enc[w] == _bpe_encode_mirror(w, merges), (w, enc[w])
+    # round-trip: concatenation always reconstructs the word
+    for w, syms in enc.items():
+        assert "".join(syms) == w
+
+
+def test_bpe_encode_overlap_and_rank_order(spark):
+    from red_seal_ocr_spark.operators.textops import bpe_encode_words
+
+    # rank 0: (a,a) — "aaaa" fuses leftmost-first to [aa, aa], then rank 1
+    # (aa,aa) fuses to [aaaa]; "aaa" -> [aa, a] and STOPS (no (aa,a) rule)
+    merges = [("a", "a"), ("aa", "aa"), ("b", "c")]
+    vocab = spark.createDataFrame(
+        [("aaaa",), ("aaa",), ("abc",), ("x",)], ["word"]
+    ).select("word", F.split("word", "").alias("symbols"))
+    enc = {r.word: list(r.symbols) for r in bpe_encode_words(vocab, merges).collect()}
+    assert enc["aaaa"] == ["aaaa"]
+    assert enc["aaa"] == ["aa", "a"]
+    assert enc["abc"] == ["a", "bc"]  # (b,c) applies even though (a,a) ranks lower
+    assert enc["x"] == ["x"]
+
+
+def test_bpe_encode_max_rounds_is_prefix_of_convergence(spark):
+    from red_seal_ocr_spark.operators.textops import bpe_encode_words
+
+    merges = [("a", "a"), ("aa", "aa"), ("aaaa", "b")]
+    vocab = spark.createDataFrame([("aaaab",)], ["word"]).select(
+        "word", F.split("word", "").alias("symbols")
+    )
+    states = []
+    for k in (1, 2, 3):
+        enc = bpe_encode_words(vocab, merges, max_rounds=k).collect()[0]
+        states.append(list(enc.symbols))
+    assert states == [["aa", "aa", "b"], ["aaaa", "b"], ["aaaab"]]
+
+
+def test_bpe_token_counts(spark):
+    from red_seal_ocr_spark.operators.textops import (
+        bpe_token_counts,
+        train_bpe_merges,
+    )
+
+    corpus = ["low low lower lowest", "new newer newest new wide"]
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id bigint, text string"
+    )
+    merges = train_bpe_merges(d, 8)
+    out = {r.doc_id: r for r in bpe_token_counts(d, merges).collect()}
+    for i, t in enumerate(corpus):
+        words = t.split()
+        expect = sum(len(_bpe_encode_mirror(w, merges)) for w in words)
+        assert out[i].n_words == len(words)
+        assert out[i].n_bpe_tokens == expect
