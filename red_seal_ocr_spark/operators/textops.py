@@ -784,3 +784,87 @@ def bpe_token_counts(
             F.sum("word_tokens").cast("int").alias("n_bpe_tokens"),
         )
     )
+
+
+def bigram_surprisal(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lambda_bps: int = 7000,
+) -> DataFrame:
+    """Interpolated bigram LM surprisal — the CCNet-style LM quality
+    filter (Wenzek et al. 2020 score with a KenLM; this is the
+    n-gram-LM grade of that filter, trained on the corpus itself):
+    per-token ``-ln p(t_i | t_{i-1})`` with Jelinek-Mercer
+    interpolation ``p(b|a) = L*c(a,b)/c(a) + (1-L)*c(b)/T`` and
+    ``L = lambda_bps/10000``; the first token scores against the
+    unigram model.  Output mean milli-nats per token:
+    ``(id, n_tokens:int, bi_surprisal_milli:bigint)``.
+
+    Scale shape: unigram and bigram count tables are vocabulary-sized
+    (map-side-combinable groupBys on the word / word-pair key) and
+    broadcast into the scoring joins; the per-doc stream shuffles on
+    uniformly distributed keys only, and text bytes never reshuffle.
+    Counts stay exact integers until the one interpolated division, so
+    both engines feed identical doubles to ``ln`` (the q17c/q21c float
+    discipline).  NULL-text docs emit no row (left-join to preserve).
+    """
+    lam = lambda_bps / 10000.0
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = docs.select(F.col(id_col), toks.alias("t")).filter(F.size("t") >= 1)
+    uni = (
+        base.select(F.explode(F.col("t")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    total = uni.agg(F.sum("cw").alias("tt"))
+    a = F.slice(F.col("t"), 1, F.size("t"))
+    b = F.slice(F.col("t"), 2, F.size("t"))
+    pairs_arr = F.slice(
+        F.arrays_zip(a.alias("a"), b.alias("b")),
+        1,
+        F.greatest(F.size(F.col("t")) - 1, F.lit(0)),
+    )
+    big = base.select(F.col(id_col), F.explode(pairs_arr).alias("p")).select(
+        F.col(id_col), F.col("p.a").alias("a"), F.col("p.b").alias("b")
+    )
+    bc = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab"))
+    scored_pairs = (
+        big.join(F.broadcast(bc), ["a", "b"])
+        .join(F.broadcast(uni.select(F.col("w").alias("a"), F.col("cw").alias("ca"))), "a")
+        .join(F.broadcast(uni.select(F.col("w").alias("b"), F.col("cw").alias("cb"))), "b")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                -F.log(
+                    F.lit(lam) * (F.col("cab").cast("double") / F.col("ca").cast("double"))
+                    + F.lit(1.0 - lam) * (F.col("cb").cast("double") / F.col("tt").cast("double"))
+                )
+            ).alias("s_bi"),
+            F.count(F.lit(1)).alias("n_bi"),
+        )
+    )
+    first = (
+        base.select(F.col(id_col), F.get(F.col("t"), 0).alias("w"))
+        .join(F.broadcast(uni), "w")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            (-F.log(F.col("cw").cast("double") / F.col("tt").cast("double"))).alias("s_first"),
+        )
+    )
+    return (
+        first.join(scored_pairs, id_col, "left")
+        .select(
+            F.col(id_col),
+            (F.coalesce(F.col("n_bi"), F.lit(0)) + 1).cast("int").alias("n_tokens"),
+            F.round(
+                (F.col("s_first") + F.coalesce(F.col("s_bi"), F.lit(0.0)))
+                / (F.coalesce(F.col("n_bi"), F.lit(0)) + 1)
+                * 1000.0
+            )
+            .cast("bigint")
+            .alias("bi_surprisal_milli"),
+        )
+    )

@@ -379,7 +379,7 @@ SPARK_QUERIES = {
     "q83_string_funcs": q13_string_funcs,
     "q88_quality_flag": q14_quality_flag,
     "q15_dedup_fingerprint": q15_dedup_fingerprint,
-    "q16_token_stats": q16_token_stats,
+    "q89_token_stats": q16_token_stats,
     "q17_doc_quality": q17_doc_quality,
     "q18_ann_cosine_topk": q18_ann_cosine_topk,
     "q19_ngram_overlap_pairs": q19_ngram_overlap_pairs,
@@ -503,7 +503,7 @@ ORACLE_SQL = {
                COUNT(DISTINCT md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS n_distinct
         FROM documents
     """,
-    "q16_token_stats": """
+    "q89_token_stats": """
         SELECT lang, COUNT(*) AS n_docs,
                ROUND(AVG(len(string_split_regex(trim(text), '\\s+'))), 4) AS avg_tokens,
                MAX(len(string_split_regex(trim(text), '\\s+'))) AS max_tokens

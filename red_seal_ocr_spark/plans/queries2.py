@@ -2417,3 +2417,59 @@ ORACLE_SQL_2["q16d_bpe_encode"] = """
     FROM s3
     ORDER BY freq DESC, word LIMIT 200
 """
+
+
+def q21d_bigram_lm(spark, sf):
+    """Interpolated bigram LM surprisal (the CCNet-style LM filter at
+    n-gram grade, corpus-self-trained, L=0.7).  LIVE oracle: counts are
+    exact integers until one interpolated division, so both engines
+    feed identical doubles to ln — the q21c float discipline, margin-
+    probed in pytest."""
+    from ..operators.textops import bigram_surprisal
+
+    d = _t(spark, sf, "documents")
+    return bigram_surprisal(d).orderBy("doc_id")
+
+
+SPARK_QUERIES_2["q21d_bigram_lm"] = q21d_bigram_lm
+ORACLE_SQL_2["q21d_bigram_lm"] = """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    uni AS (
+      SELECT w, COUNT(*) AS cw
+      FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+    ),
+    tot AS (SELECT SUM(cw) AS tt FROM uni),
+    big AS (
+      SELECT doc_id, t[i] AS a, t[i + 1] AS b
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+            FROM toks WHERE len(t) >= 2)
+    ),
+    bc AS (SELECT a, b, COUNT(*) AS cab FROM big GROUP BY a, b),
+    sp AS (
+      SELECT big.doc_id,
+             SUM(-ln(0.7 * (CAST(cab AS DOUBLE) / CAST(ua.cw AS DOUBLE))
+                     + 0.3 * (CAST(ub.cw AS DOUBLE) / CAST(tt AS DOUBLE)))) AS s_bi,
+             COUNT(*) AS n_bi
+      FROM big
+      JOIN bc USING (a, b)
+      JOIN uni ua ON ua.w = big.a
+      JOIN uni ub ON ub.w = big.b
+      CROSS JOIN tot
+      GROUP BY big.doc_id
+    ),
+    fst AS (
+      SELECT toks.doc_id,
+             -ln(CAST(cw AS DOUBLE) / CAST(tt AS DOUBLE)) AS s_first
+      FROM toks JOIN uni ON uni.w = t[1] CROSS JOIN tot
+    )
+    SELECT fst.doc_id,
+           CAST(COALESCE(n_bi, 0) + 1 AS INT) AS n_tokens,
+           CAST(ROUND((s_first + COALESCE(s_bi, 0.0))
+                      / (COALESCE(n_bi, 0) + 1) * 1000.0) AS BIGINT)
+               AS bi_surprisal_milli
+    FROM fst LEFT JOIN sp USING (doc_id)
+    ORDER BY fst.doc_id
+"""

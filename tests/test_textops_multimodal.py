@@ -897,3 +897,70 @@ def test_bpe_token_counts(spark):
         expect = sum(len(_bpe_encode_mirror(w, merges)) for w in words)
         assert out[i].n_words == len(words)
         assert out[i].n_bpe_tokens == expect
+
+
+def test_bigram_surprisal_matches_mirror(spark):
+    import math
+    import re
+    from collections import Counter
+
+    from red_seal_ocr_spark.operators.textops import bigram_surprisal
+
+    corpus = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat ran on the hill"),
+        (3, "a dog sat on a mat"),
+        (4, "zq"),  # single-token doc: unigram-only score
+        (5, None),  # NULL text: no row
+    ]
+    d = spark.createDataFrame(corpus, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in bigram_surprisal(d).collect()}
+    assert set(out) == {1, 2, 3, 4}
+
+    lam = 0.7
+    docs_t = {i: re.split(r"\s+", t.lower().strip()) for i, t in corpus if t is not None}
+    uni, bi = Counter(), Counter()
+    for t in docs_t.values():
+        uni.update(t)
+        bi.update(zip(t, t[1:]))
+    tt = sum(uni.values())
+    for i, t in docs_t.items():
+        s = -math.log(uni[t[0]] / tt)
+        for a, b in zip(t, t[1:]):
+            s += -math.log(lam * bi[(a, b)] / uni[a] + (1 - lam) * uni[b] / tt)
+        assert out[i].n_tokens == len(t)
+        assert out[i].bi_surprisal_milli == round(s / len(t) * 1000)
+    # a frequent in-corpus phrase scores lower than the rare-word doc
+    assert out[1].bi_surprisal_milli < out[4].bi_surprisal_milli
+
+
+def test_bigram_lm_rounding_margin_at_gate_fixture():
+    """q21d margin probe, same discipline as the NB/DSIR/q17b/q21c
+    probes: every doc's pre-rounding mean-milli score must sit >= 1e-6
+    from the nearest .5 boundary (cross-engine noise bound ~1e-11)."""
+    import math
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        "/root/testdata/sf0.01/documents.parquet", columns=["doc_id", "text"]
+    )
+    docs = {
+        i: re.split(r"\s+", t.lower().strip())
+        for i, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())
+        if t is not None
+    }
+    lam = 0.7
+    uni, bi = Counter(), Counter()
+    for t in docs.values():
+        uni.update(t)
+        bi.update(zip(t, t[1:]))
+    tt = sum(uni.values())
+    for t in docs.values():
+        s = -math.log(uni[t[0]] / tt)
+        for a, b in zip(t, t[1:]):
+            s += -math.log(lam * bi[(a, b)] / uni[a] + (1 - lam) * uni[b] / tt)
+        v = s / len(t) * 1000.0
+        assert abs(abs(v) % 1.0 - 0.5) >= 1e-6
