@@ -545,3 +545,80 @@ def quantized_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "dot_int")
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 8,
+    min_cos_bps: int = 9500,
+    seed: int = 42,
+    centroids=None,
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication", arXiv:2303.09540):
+    cluster the embedding space, then drop near-identical points WITHIN
+    each cluster only — the trick that makes semantic dedup linear-ish:
+    the quadratic compare is confined to cluster-sized blocks and the
+    cross-cluster compare never exists.
+
+    Keep rule (deterministic, id-greedy): a vector is dropped iff some
+    LOWER-id vector in the same cluster has cosine >= min_cos_bps/10000
+    with it — the "keep first occurrence" sweep of the reference
+    implementation with doc order as the priority.  Output is
+    row-preserving: ``(id, list_id:int, keep:boolean)`` for every input
+    vector.
+
+    Scale shape: assignment is the broadcast-centroid GEMM pandas UDF
+    (:func:`nearest_lists_udf` — no per-centroid plan literals, FAISS
+    shape); the within-cluster pair join is an equi-join on the list id;
+    ``n_lists`` is the quadratic-block dial (SemDeDup's paper setting
+    keeps clusters ~|corpus|/n_lists small).  ``max_cluster_size``
+    guards degenerate clusterings: over-cap clusters SKIP dedup (every
+    member kept — conservative, never lossy), same hot-key discipline as
+    ``dedup.drop_hot_buckets``.
+    """
+    vec = vectors.select(F.col(id_col).alias("_id"), _dbl(F.col(vec_col)).alias("_emb"))
+    if centroids is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        train = vec.select(array_to_vector("_emb").alias("features"))
+        km = KMeans(k=n_lists, seed=seed, maxIter=10).fit(train)
+        centers = np.asarray(km.clusterCenters(), dtype=np.float64)
+    else:
+        centers = np.asarray(centroids, dtype=np.float64)
+    spark = vectors.sparkSession
+    assign1 = nearest_lists_udf(spark, centers, 1)
+    assigned = vec.select(
+        "_id", "_emb", assign1(F.col("_emb"))[0].alias("list_id")
+    )
+    pair_src = assigned
+    if max_cluster_size is not None:
+        from .dedup import drop_hot_buckets
+
+        pair_src = drop_hot_buckets(assigned, ("list_id",), max_cluster_size)
+    a = pair_src.select(
+        F.col("_id").alias("a_id"), F.col("_emb").alias("a_emb"), "list_id"
+    )
+    b = pair_src.select(
+        F.col("_id").alias("b_id"), F.col("_emb").alias("b_emb"), "list_id"
+    )
+    cos = _dot(F.col("a_emb"), F.col("b_emb")) / (
+        _norm(F.col("a_emb")) * _norm(F.col("b_emb"))
+    )
+    dropped = (
+        a.join(b, on="list_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("b_id", F.floor(cos * 10000).cast("int").alias("cos_bps"))
+        .filter(F.col("cos_bps") >= min_cos_bps)
+        .select(F.col("b_id").alias("_id"))
+        .distinct()
+    )
+    return assigned.join(dropped.withColumn("_drop", F.lit(True)), "_id", "left").select(
+        F.col("_id").alias(id_col),
+        F.col("list_id").cast("int").alias("list_id"),
+        F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"),
+    )

@@ -376,7 +376,7 @@ SPARK_QUERIES_2 = {
     "q71_date_parts": q71_date_parts,
     "q84_json_extract": q31_json_extract,
     "q72_scalar_subquery": q72_scalar_subquery,
-    "q33_sessionize_batch": q33_sessionize_batch,
+    "q90_sessionize_batch": q33_sessionize_batch,
     "q34_ivf_ann_recall": q34_ivf_ann_recall,
     "q35_curate_funnel": q35_curate_funnel,
 }
@@ -427,7 +427,7 @@ ORACLE_SQL_2 = {
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
     """,
-    "q33_sessionize_batch": """
+    "q90_sessionize_batch": """
         WITH lagged AS (
             SELECT user_id, ts, event_id,
                    CASE WHEN epoch(ts) - epoch(LAG(ts) OVER
@@ -2473,3 +2473,34 @@ ORACLE_SQL_2["q21d_bigram_lm"] = """
     FROM fst LEFT JOIN sp USING (doc_id)
     ORDER BY fst.doc_id
 """
+
+
+def q45c_semantic_dedup(spark, sf):
+    """SemDeDup over the q45 near-dup corpus (originals + small-shift
+    copies): broadcast-centroid GEMM cluster assignment (the q34
+    explicit-centroid fixture for determinism; production path trains
+    KMeans), within-cluster id-greedy drop at cos >= 0.99.  Oracled by
+    an independent NumPy-GEMM + IEEE-fold mirror (tools/gen_oracles.py);
+    row-preserving (vec_id, list_id, keep)."""
+    from ..operators.similarity import semantic_dedup
+
+    e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 150)
+    base = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    shifted = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.01)).alias("embedding"),
+    )
+    corpus = base.unionByName(shifted)
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in _t(spark, sf, "embeddings")
+        .filter(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    return semantic_dedup(corpus, centroids=cents, min_cos_bps=9900).orderBy("vec_id")
+
+
+SPARK_QUERIES_2["q45c_semantic_dedup"] = q45c_semantic_dedup

@@ -1080,3 +1080,57 @@ def test_strip_duplicated_spans_row_preserving(spark):
     assert out[2].text == "epsilon zeta eta theta"
     assert out[3].n_removed_tokens == 0
     assert out[3].text.startswith("no duplication")
+
+
+def test_semantic_dedup_drops_within_cluster_near_dups(spark):
+    from red_seal_ocr_spark.operators.similarity import semantic_dedup
+
+    # two well-separated clusters; ids 11/21 are near-copies of 10/20
+    c0, c1 = [1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]
+    rows = [
+        (10, [1.0, 0.02, 0.0, 0.0]),
+        (11, [1.0, 0.021, 0.0, 0.0]),   # near-dup of 10, same cluster
+        (12, [0.9, -0.4, 0.1, 0.0]),    # same cluster, not a dup
+        (20, [0.0, 1.0, 0.03, 0.0]),
+        (21, [0.0, 1.0, 0.031, 0.0]),   # near-dup of 20
+    ]
+    d = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r.vec_id: r for r in semantic_dedup(
+        d, centroids=[c0, c1], min_cos_bps=9990).collect()}
+    assert len(out) == 5  # row-preserving
+    assert out[10].keep and not out[11].keep
+    assert out[12].keep
+    assert out[20].keep and not out[21].keep
+    assert out[10].list_id == out[11].list_id == out[12].list_id
+    assert out[20].list_id == out[21].list_id != out[10].list_id
+
+
+def test_semantic_dedup_cross_cluster_dups_survive(spark):
+    from red_seal_ocr_spark.operators.similarity import semantic_dedup
+
+    # identical vectors assigned to DIFFERENT clusters are never compared
+    # (the SemDeDup design trade) — both kept
+    rows = [(1, [1.0, 1.0, 0.0, 0.0]), (2, [1.0, 1.0, 0.0, 0.0])]
+    d = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    # centroids chosen so the shared vector is equidistant -> both rows
+    # land in list 0 (lowest-id tie-break) and dedup applies
+    out = {r.vec_id: r for r in semantic_dedup(
+        d, centroids=[[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]],
+        min_cos_bps=9999).collect()}
+    assert out[1].keep and not out[2].keep  # same cluster -> deduped
+
+
+def test_semantic_dedup_max_cluster_size_guard(spark):
+    from red_seal_ocr_spark.operators.similarity import semantic_dedup
+
+    # 6 near-identical vectors in one cluster; cap 5 -> cluster skipped,
+    # everything kept (conservative fallback)
+    rows = [(i, [1.0, 0.001 * i, 0.0, 0.0]) for i in range(6)]
+    d = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    capped = semantic_dedup(d, centroids=[[1.0, 0.0, 0.0, 0.0]],
+                            min_cos_bps=9000, max_cluster_size=5)
+    assert all(r.keep for r in capped.collect())
+    uncapped = semantic_dedup(d, centroids=[[1.0, 0.0, 0.0, 0.0]],
+                              min_cos_bps=9000)
+    kept = [r.vec_id for r in uncapped.collect() if r.keep]
+    assert kept == [0]  # id-greedy: only the lowest id survives

@@ -466,6 +466,37 @@ def main() -> int:
     )
     print(f"q45: {len(cand_pairs)} candidates, {len(rows)} near-dup pairs")
 
+    # ---- q45c: SemDeDup keep/drop over the q45 corpus ----------------------
+    # Independent mirror of similarity.semantic_dedup with the q34
+    # explicit-centroid fixture: NumPy GEMM assignment (identical float64
+    # ops as nearest_lists_udf), JVM-left-fold cosine (dot_seq), id-greedy
+    # within-cluster drop rule.
+    C45 = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+    c45_sq = (C45 * C45).sum(axis=1)
+    ids45c = sorted(corpus)
+    X45c = np.stack([np.asarray(corpus[i], dtype=np.float64) for i in ids45c])
+    lists45c = np.argmin(c45_sq[None, :] - 2.0 * (X45c @ C45.T), axis=1)
+    clusters45c: dict[int, list[int]] = {}
+    for vid, lst in zip(ids45c, lists45c):
+        clusters45c.setdefault(int(lst), []).append(vid)
+    dropped45c = set()
+    for members in clusters45c.values():
+        members = sorted(members)
+        for j, bb in enumerate(members):
+            for aa in members[:j]:
+                cos = dot_seq(corpus[aa], corpus[bb]) / (
+                    norm_seq(corpus[aa]) * norm_seq(corpus[bb])
+                )
+                if math.floor(cos * 10000) >= 9900:
+                    dropped45c.add(bb)
+                    break
+    rows = [(vid, int(lst), vid not in dropped45c)
+            for vid, lst in zip(ids45c, lists45c)]
+    oracles["q45c_semantic_dedup"] = values_sql(
+        rows, [("vec_id", "BIGINT"), ("list_id", "INT"), ("keep", "BOOLEAN")]
+    )
+    print(f"q45c: {len(rows)} vectors, {len(dropped45c)} dropped")
+
     # ---- q55: same corpus, signatures via an independent NumPy GEMM mirror -
     # Mirrors the banding='gemm' path (lsh_signature_gemm_udf): sign bits
     # from one float64 matmul against the hyperplane matrix, band values
