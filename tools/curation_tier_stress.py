@@ -1,0 +1,166 @@
+"""Round-6 curation-tier operators at stress scale: 50k documents built
+by replicating the sf0.1 corpus with PLANTED duplicated passages, scored
+by every new operator family in one session.
+
+What each stage proves about the 10^12-doc shape:
+
+- duplicated_ngram_spans: the gram stream is |tokens| rows but the only
+  wide stages are a map-side-combinable count on the md5 gram key and a
+  per-doc window — a passage shared by ALL replicas of a doc (replica
+  count = the duplication hot spot) reaches the reducer once per input
+  partition, and the planted passage must come back as exactly one
+  maximal span per replica.
+- nb_log_odds_scores / dsir_importance_weights / bigram_surprisal: the
+  trained model is vocabulary-sized regardless of corpus size and ships
+  broadcast; the corpus-sized stages are explodes + equi-joins on
+  uniform keys.  Wall time should grow ~linearly with docs, not vocab.
+- bpe_encode_words (convergence mode): iterative work is bounded by the
+  DISTINCT-WORD table, so 50k docs cost the same as 500 once the
+  vocabulary saturates — the number the report records.
+
+Writes BENCH/curation_stress.json.
+
+Usage::
+
+    python tools/curation_tier_stress.py [--replicas 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+PLANT = "planted shared passage alpha beta gamma delta epsilon zeta eta theta"
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument("--out", default="BENCH/curation_stress.json")
+    ap.add_argument("--master",
+                    default=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from red_seal_ocr_spark.operators.classify import (
+        dsir_importance_weights,
+        nb_log_odds_scores,
+    )
+    from red_seal_ocr_spark.operators.dedup import duplicated_ngram_spans
+    from red_seal_ocr_spark.operators.textops import (
+        bigram_surprisal,
+        bpe_encode_words,
+        bpe_pair_counts,
+        word_frequencies,
+    )
+    from red_seal_ocr_spark.session import get_spark
+
+    report: dict = {"sf_dir": SF_DIR, "replicas": args.replicas}
+    spark = get_spark("curation-tier-stress", master=args.master)
+    try:
+        import tempfile
+
+        base = tempfile.mkdtemp(prefix="curation_stress_")
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", "source", "lang", "text"
+        )
+        reps = spark.range(args.replicas).select(
+            F.col("id").cast("int").alias("rep"))
+        # every replica of a doc shares the PLANT passage prefix; a
+        # PER-ROW unique marker token right after it severs every gram
+        # that would bridge plant and body, so the plant must come back
+        # as EXACTLY the maximal span [0, 8) in every doc (the body is
+        # its own, separate, replica-shared span region)
+        new_id = F.concat(F.col("doc_id").cast("string"), F.lit("-r"),
+                          F.col("rep").cast("string"))
+        corpus = docs.crossJoin(F.broadcast(reps)).select(
+            new_id.alias("doc_id"),
+            "source", "lang",
+            F.concat(F.lit(PLANT + " m"), new_id, F.lit(" "),
+                     F.col("text")).alias("text"),
+        )
+        path = f"{base}/corpus"
+        corpus.write.parquet(path)
+        d = spark.read.parquet(path)
+        report["n_docs"] = d.count()
+
+        # --- duplicated n-gram spans ------------------------------------
+        t0 = time.time()
+        spans = duplicated_ngram_spans(d, n=8, min_docs=2).cache()
+        n_spans = spans.count()
+        report["spans_sec"] = round(time.time() - t0, 2)
+        report["n_spans"] = n_spans
+        # each doc starts with the plant passage, fenced by the unique
+        # marker -> the maximal span [0, len(plant)) exactly, never wider
+        plant_len = len(PLANT.split())
+        plant_rows = spans.filter(
+            (F.col("span_start") == 0) & (F.col("span_end") == plant_len)
+        ).count()
+        report["docs_with_plant_span"] = plant_rows
+        report["plant_span_everywhere"] = plant_rows == report["n_docs"]
+        report["spans_docs_per_sec"] = round(
+            report["n_docs"] / max(1e-9, report["spans_sec"]), 1)
+        spans.unpersist()
+
+        # --- NB / DSIR / bigram-LM scoring -------------------------------
+        labeled = d.withColumn("is_target", F.col("lang") == "en")
+        for name, fn in [
+            ("nb", lambda x: nb_log_odds_scores(x)),
+            ("dsir", lambda x: dsir_importance_weights(x)),
+            ("bigram_lm", lambda x: bigram_surprisal(x)),
+        ]:
+            t0 = time.time()
+            n = fn(labeled).count()
+            report[f"{name}_sec"] = round(time.time() - t0, 2)
+            report[f"{name}_rows"] = n
+            report[f"{name}_docs_per_sec"] = round(
+                n / max(1e-9, report[f"{name}_sec"]), 1)
+
+        # --- BPE encode to convergence over the corpus vocabulary --------
+        wf = word_frequencies(d).cache()
+        report["vocab_size"] = wf.count()
+        merges = (
+            bpe_pair_counts(
+                wf.select(F.split("word", "").alias("symbols"), "freq"))
+            .orderBy(F.col("pair_freq").desc(), "a", "b").limit(50)
+            .select("a", "b")
+        )
+        merge_list = [(r.a, r.b) for r in merges.collect()]
+        t0 = time.time()
+        enc = bpe_encode_words(
+            wf.select("word", "freq", F.split("word", "").alias("symbols")),
+            merge_list,
+        )
+        agg = enc.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.size("symbols") * F.col("freq")).alias("corpus_tokens"),
+        ).first()
+        report["bpe_encode_sec"] = round(time.time() - t0, 2)
+        report["bpe_vocab_encoded"] = int(agg["n"])
+        report["bpe_corpus_tokens"] = int(agg["corpus_tokens"])
+        wf.unpersist()
+
+        out = Path(args.out)
+        out.parent.mkdir(parents=True, exist_ok=True)
+        out.write_text(json.dumps(report, indent=2) + "\n")
+        print(json.dumps(report))
+        ok = report["plant_span_everywhere"]
+        return 0 if ok else 1
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
