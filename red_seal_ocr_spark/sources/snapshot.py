@@ -225,6 +225,53 @@ def read_banded_corpus(spark, table_dir: str,
     return read_table(spark, table_dir)
 
 
+def write_tokenizer_merges(spark, merges: list, table_dir: str,
+                           run_id: str, train_params: dict) -> dict:
+    """Persist a trained BPE merge list as a snapshot-committed artifact
+    table ``(rank, a, b)`` — the tokenizer is corpus-derived state with
+    exactly the banded-corpus lifecycle: trained once per corpus
+    snapshot, reused by every later encode job, resumable.
+
+    Same idempotence contract as :func:`write_banded_corpus`: replaying
+    a committed ``run_id`` returns that snapshot untouched (encoders
+    keep a stable artifact), a pre-commit crash leaves orphans the
+    replay overwrites.  ``train_params`` (n_merges, corpus snapshot id,
+    tokenization...) is recorded so an encode job can refuse a merge
+    list trained under different rules — mixing tokenizers is the
+    silent-corruption analog of mixing LSH hash families.
+    """
+    already = find_committed_run(table_dir, run_id)
+    if already is not None:
+        return already
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, a string, b string",
+    )
+    out_dir = f"{table_dir}/data/run-{run_id}"
+    df.coalesce(1).write.mode("overwrite").parquet(out_dir)
+    files = list_run_files(out_dir)
+    return commit_snapshot(
+        table_dir, files, [], run_id,
+        extra={"train_params": dict(train_params)},
+    )
+
+
+def read_tokenizer_merges(spark, table_dir: str,
+                          expect_params: dict | None = None) -> list | None:
+    """The committed merge list, rank-ordered (None for an empty table).
+    ``expect_params`` must match the training manifest exactly."""
+    snap = current_snapshot(table_dir)
+    if snap is None:
+        return None
+    if expect_params is not None and snap.get("train_params") != dict(expect_params):
+        raise ValueError(
+            f"tokenizer train_params {snap.get('train_params')} != "
+            f"expected {dict(expect_params)}"
+        )
+    rows = read_table(spark, table_dir).orderBy("rank").collect()
+    return [(r.a, r.b) for r in rows]
+
+
 # ---------------------------------------------------------------------------
 # table maintenance (the Iceberg expire_snapshots / rewrite_data_files pair)
 # ---------------------------------------------------------------------------

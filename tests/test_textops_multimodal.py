@@ -964,3 +964,44 @@ def test_bigram_lm_rounding_margin_at_gate_fixture():
             s += -math.log(lam * bi[(a, b)] / uni[a] + (1 - lam) * uni[b] / tt)
         v = s / len(t) * 1000.0
         assert abs(abs(v) % 1.0 - 0.5) >= 1e-6
+
+
+def test_tokenizer_merges_persistence_roundtrip(spark, tmp_path):
+    from red_seal_ocr_spark.operators.textops import (
+        bpe_token_counts,
+        train_bpe_merges,
+    )
+    from red_seal_ocr_spark.sources.snapshot import (
+        read_tokenizer_merges,
+        write_tokenizer_merges,
+    )
+
+    d = spark.createDataFrame(
+        [(0, "low low lower lowest"), (1, "new newer newest new")],
+        "doc_id bigint, text string",
+    )
+    merges = train_bpe_merges(d, 6)
+    params = {"n_merges": 6, "tokenization": "ws-lower"}
+    t = str(tmp_path / "tok")
+
+    m1 = write_tokenizer_merges(spark, merges, t, "train-1", params)
+    # crash-replay idempotence: same run_id returns the SAME snapshot
+    m2 = write_tokenizer_merges(spark, merges, t, "train-1", params)
+    assert m2["snapshot_id"] == m1["snapshot_id"]
+
+    loaded = read_tokenizer_merges(spark, t, expect_params=params)
+    assert loaded == merges
+    # the reloaded artifact encodes identically to the in-memory list
+    direct = {r.doc_id: r.n_bpe_tokens
+              for r in bpe_token_counts(d, merges).collect()}
+    via_table = {r.doc_id: r.n_bpe_tokens
+                 for r in bpe_token_counts(d, loaded).collect()}
+    assert via_table == direct
+
+    # param mismatch is refused (tokenizer-mixing guard)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_tokenizer_merges(spark, t, expect_params={"n_merges": 99})
+    # empty table reads as None
+    assert read_tokenizer_merges(spark, str(tmp_path / "none")) is None
