@@ -37,6 +37,7 @@ def curate_documents(
     near_dup_jaccard_pct: int = 80,
     cache_intermediates: bool = True,
     site_template_col: str | None = None,
+    max_surprisal_milli: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns ``(kept_docs, funnel)``.
 
@@ -59,6 +60,14 @@ def curate_documents(
     whose every line was template or blank drop out here; they would
     die at the quality gate anyway.  Default off: the q35 oracle pins
     the strip-free funnel.
+
+    ``max_surprisal_milli`` (opt-in) engages the LM gibberish gate as
+    stage 2b: corpus-unigram surprisal (``textops.unigram_surprisal``,
+    self-trained on the post-quality survivors so junk removed upstream
+    does not pollute the vocabulary) drops docs scoring ABOVE the cap —
+    the rare-token-soup tail.  Docs the scorer emits no row for (NULL
+    text) pass through; the predicate only removes scored outliers.
+    Default off for the same oracle-pinning reason.
     """
     if site_template_col is not None:
         from .html_extract import site_template_strip
@@ -81,6 +90,26 @@ def curate_documents(
     qual_pred = F.col("quality_pct") >= min_quality_pct
     stage1 = scored.filter(lang_pred)
     stage2 = stage1.filter(qual_pred)
+
+    lm_stage = None
+    if max_surprisal_milli is not None:
+        from .textops import unigram_surprisal
+
+        scores = unigram_surprisal(stage2, id_col, text_col).select(
+            F.col(id_col), F.col("surprisal_milli")
+        )
+        stage2 = (
+            stage2.join(scores, on=id_col, how="left")
+            .filter(
+                F.coalesce(
+                    F.col("surprisal_milli") <= max_surprisal_milli, F.lit(True)
+                )
+            )
+            .drop("surprisal_milli")
+        )
+        if cache_intermediates:
+            stage2 = stage2.cache()
+        lm_stage = stage2
 
     # exact dedup: drop all but the min-id member of each fingerprint group
     exact_losers = (
@@ -130,6 +159,11 @@ def curate_documents(
             .select(F.lit("4_near_dedup").alias("stage"), "docs")
         )
     )
+    if lm_stage is not None:
+        funnel = funnel.unionByName(
+            lm_stage.agg(F.count(F.lit(1)).alias("docs"))
+            .select(F.lit("2b_lm_surprisal").alias("stage"), "docs")
+        )
     return kept, funnel
 
 

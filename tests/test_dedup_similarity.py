@@ -1134,3 +1134,31 @@ def test_semantic_dedup_max_cluster_size_guard(spark):
                               min_cos_bps=9000)
     kept = [r.vec_id for r in uncapped.collect() if r.keep]
     assert kept == [0]  # id-greedy: only the lowest id survives
+
+
+def test_curate_with_lm_surprisal_stage(spark):
+    from red_seal_ocr_spark.operators.curate import curate_documents
+
+    normal = "the quick brown fox jumps over the lazy dog again and again " * 3
+    rows = [(i, normal + f" extra{i} unique{i}") for i in range(12)]
+    # one rare-token-soup doc: every token unique corpus-wide -> max surprisal
+    rows.append((99, " ".join(f"zzqx{i}gib" for i in range(40))))
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    kept_off, funnel_off = curate_documents(
+        d, min_quality_pct=0, near_dup_jaccard_pct=101
+    )
+    stages_off = {r.stage for r in funnel_off.collect()}
+    assert "2b_lm_surprisal" not in stages_off  # default off: q35 contract
+    assert 99 in {r.doc_id for r in kept_off.collect()}
+
+    kept_on, funnel_on = curate_documents(
+        d, min_quality_pct=0, near_dup_jaccard_pct=101,
+        max_surprisal_milli=4000,
+    )
+    f = {r.stage: r.docs for r in funnel_on.collect()}
+    assert "2b_lm_surprisal" in f
+    kept_ids = {r.doc_id for r in kept_on.collect()}
+    assert 99 not in kept_ids  # the gibberish doc died at stage 2b
+    assert f["2b_lm_surprisal"] == f["2_quality"] - 1
+    assert len(kept_ids) >= 10  # normal docs survive the LM gate
