@@ -60,33 +60,73 @@ def nb_log_odds_scores(
         F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("c_pos"),
         F.sum(F.when(F.col("y"), 0).otherwise(1)).alias("c_neg"),
     )
+    doc_counts = docs.agg(
+        F.sum(F.when(lbl, 1).otherwise(0)).alias("d_pos"),
+        F.sum(F.when(lbl, 0).otherwise(1)).alias("d_neg"),
+    )
+    return nb_score_with_model(docs, term_counts, doc_counts, id_col, text_col)
+
+
+def nb_score_with_model(
+    docs: DataFrame,
+    term_counts: DataFrame,
+    doc_counts: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents against a PRE-BUILT NB count model — the shared
+    scoring expression behind :func:`nb_log_odds_scores` (which builds
+    the counts from the same corpus) and the streaming path (which
+    maintains the counts cumulatively across micro-batches on the
+    snapshot layer).  One definition, two producers — the cross-batch
+    equivalence argument depends on the expression being shared, not
+    copied.
+
+    ``term_counts``: ``(term, c_pos, c_neg)``; ``doc_counts``: one row
+    ``(d_pos, d_neg)``.  Scoring is defined only when both classes have
+    documents (the prior's log); a one-class model scores NaN-free by
+    producing no rows (the doc_counts filter below).  Terms absent from
+    the model contribute the smoothed unseen-term weight via the left
+    join's NULL -> (0+1)-count fallback, so scoring a NEWER batch
+    against an older model is well-defined.
+    """
     totals = term_counts.agg(
         F.sum("c_pos").alias("n_pos"),
         F.sum("c_neg").alias("n_neg"),
         F.count(F.lit(1)).alias("v"),
     )
-    doc_counts = docs.agg(
-        F.sum(F.when(lbl, 1).otherwise(0)).alias("d_pos"),
-        F.sum(F.when(lbl, 0).otherwise(1)).alias("d_neg"),
+    dc = doc_counts.filter((F.col("d_pos") > 0) & (F.col("d_neg") > 0))
+    weights = term_counts.select(
+        "term", F.col("c_pos").alias("cp"), F.col("c_neg").alias("cn")
     )
-    weights = term_counts.crossJoin(F.broadcast(totals)).select(
-        "term",
-        F.log(
-            ((F.col("c_pos") + 1) * (F.col("n_neg") + F.col("v"))).cast("double")
-            / ((F.col("c_neg") + 1) * (F.col("n_pos") + F.col("v"))).cast("double")
-        ).alias("w"),
-    )
-    doc_terms = exploded.groupBy(id_col, "term").agg(
-        F.count(F.lit(1)).alias("tf")
+    doc_terms = (
+        docs.select(F.col(id_col), F.explode(_toks(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
     return (
-        doc_terms.join(F.broadcast(weights), on="term")
+        doc_terms.join(F.broadcast(weights), on="term", how="left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            "tf",
+            F.log(
+                (
+                    (F.coalesce(F.col("cp"), F.lit(0)) + 1)
+                    * (F.col("n_neg") + F.col("v"))
+                ).cast("double")
+                / (
+                    (F.coalesce(F.col("cn"), F.lit(0)) + 1)
+                    * (F.col("n_pos") + F.col("v"))
+                ).cast("double")
+            ).alias("w"),
+        )
         .groupBy(id_col)
         .agg(
             F.sum("tf").cast("int").alias("n_tokens"),
             F.sum(F.col("tf") * F.col("w")).alias("s"),
         )
-        .crossJoin(F.broadcast(doc_counts))
+        .crossJoin(F.broadcast(dc))
         .select(
             F.col(id_col),
             "n_tokens",

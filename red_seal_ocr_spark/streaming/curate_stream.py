@@ -187,3 +187,94 @@ def run_site_strip_stream(
         q.awaitTermination(timeout_sec)
     finally:
         q.stop()
+
+
+# ---------------------------------------------------------------------------
+# streaming NB classifier: cumulative per-(term, class) counts
+# ---------------------------------------------------------------------------
+def batch_nb_stats(
+    batch_docs: DataFrame,
+    label_col: str = "is_target",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One batch's NB count contribution: ``(term, c_pos, c_neg)`` token
+    counts per class, plus the ``term IS NULL`` row carrying the batch's
+    (d_pos, d_neg) document counts in the same two columns — the
+    site-line-stats encoding applied to the classifier."""
+    from ..operators.classify import _toks
+
+    lbl = F.col(label_col).cast("boolean")
+    exploded = batch_docs.select(
+        lbl.alias("y"), F.explode(_toks(text_col)).alias("term")
+    )
+    term_rows = exploded.groupBy("term").agg(
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("long").alias("c_pos"),
+        F.sum(F.when(F.col("y"), 0).otherwise(1)).cast("long").alias("c_neg"),
+    )
+    doc_row = batch_docs.agg(
+        F.sum(F.when(lbl, 1).otherwise(0)).cast("long").alias("c_pos"),
+        F.sum(F.when(lbl, 0).otherwise(1)).cast("long").alias("c_neg"),
+    ).select(F.lit(None).cast("string").alias("term"), "c_pos", "c_neg")
+    return term_rows.unionByName(doc_row)
+
+
+def update_nb_stats(
+    spark: SparkSession,
+    batch_docs: DataFrame,
+    stats_dir: str,
+    batch_id: int,
+    label_col: str = "is_target",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Merge one batch's NB counts into the cumulative model table —
+    exactly-once via the same ``last_batch_id`` manifest guard as
+    :func:`update_site_line_stats` (token counts are additive across
+    micro-batches for the same reason the site-line counts are: a
+    file-source batch delivers each document exactly once)."""
+    cur = snap.current_snapshot(stats_dir)
+    if cur is not None and cur.get("last_batch_id", -1) >= batch_id:
+        return snap.read_table(spark, stats_dir)
+    batch_stats = batch_nb_stats(batch_docs, label_col, id_col, text_col)
+    old = snap.read_table(spark, stats_dir)
+    merged = (
+        batch_stats
+        if old is None
+        else old.unionByName(batch_stats)
+        .groupBy("term")
+        .agg(F.sum("c_pos").alias("c_pos"), F.sum("c_neg").alias("c_neg"))
+    )
+    out_dir = f"{stats_dir}/data/run-batch-{batch_id}"
+    # overwrite for the same pre-commit-replay reason update_site_line_stats
+    # documents: the dead attempt's orphans must not wedge the stream
+    merged.write.mode("overwrite").parquet(out_dir)
+    files = snap.list_run_files(out_dir)
+    snap.commit_snapshot(
+        stats_dir, files, [], f"batch-{batch_id}",
+        extra={"last_batch_id": batch_id}, replace=True,
+    )
+    return snap.read_table(spark, stats_dir)
+
+
+def score_batch_nb(
+    batch_docs: DataFrame,
+    stats: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score a micro-batch against the CUMULATIVE NB model — the shared
+    :func:`~red_seal_ocr_spark.operators.classify.nb_score_with_model`
+    expression over counts read from the stats table, so a batch scored
+    after N ingests gets exactly the model a batch job over those N
+    batches' union would train.  Until both classes have appeared in the
+    stream the scorer emits no rows (the one-class guard in the shared
+    expression)."""
+    from ..operators.classify import nb_score_with_model
+
+    term_counts = stats.filter(F.col("term").isNotNull())
+    doc_counts = stats.filter(F.col("term").isNull()).select(
+        F.col("c_pos").alias("d_pos"), F.col("c_neg").alias("d_neg")
+    )
+    return nb_score_with_model(batch_docs, term_counts, doc_counts,
+                               id_col, text_col)

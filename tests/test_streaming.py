@@ -270,3 +270,81 @@ def test_update_site_line_stats_precommit_crash_replay_recovers(spark, tmp_path)
     update_site_line_stats(spark, b, stats, batch_id=0)  # replay of batch 0
     st = {(r.site, r.line): r.cnt for r in read_table(spark, stats).collect()}
     assert st[("s", "shared")] == 2
+
+
+def test_streaming_nb_cumulative_model_equals_batch_union(spark, tmp_path):
+    """Scoring batch 2 against the cumulative stats must equal scoring it
+    against a batch-trained model over batch1 UNION batch2 — the additive
+    cross-batch contract; replays must merge nothing."""
+    from red_seal_ocr_spark.operators.classify import (
+        nb_log_odds_scores,
+        nb_score_with_model,
+    )
+    from red_seal_ocr_spark.streaming.curate_stream import (
+        score_batch_nb,
+        update_nb_stats,
+    )
+
+    cols = "doc_id bigint, is_target boolean, text string"
+    b1 = spark.createDataFrame(
+        [(1, True, "good clean prose here"), (2, False, "spam junk noise now")],
+        cols,
+    )
+    b2 = spark.createDataFrame(
+        [(3, True, "good prose text"), (4, False, "junk noise spam"),
+         (5, True, "fresh unseen words")],
+        cols,
+    )
+    stats_dir = str(tmp_path / "nb_stats")
+
+    s1 = update_nb_stats(spark, b1, stats_dir, batch_id=0)
+    out1 = {r.doc_id: r.nb_milli for r in score_batch_nb(b1, s1).collect()}
+    # batch 1 scored against its own cumulative stats == plain batch NB
+    ref1 = {r.doc_id: r.nb_milli for r in nb_log_odds_scores(b1).collect()}
+    assert out1 == ref1
+
+    s2 = update_nb_stats(spark, b2, stats_dir, batch_id=1)
+    out2 = {r.doc_id: r.nb_milli for r in score_batch_nb(b2, s2).collect()}
+    # cumulative model == model trained on the union of both batches
+    union = b1.unionByName(b2)
+    from pyspark.sql import functions as F
+
+    lbl = F.col("is_target").cast("boolean")
+    from red_seal_ocr_spark.operators.classify import _toks
+
+    tc = (
+        union.select(lbl.alias("y"), F.explode(_toks("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("c_pos"),
+             F.sum(F.when(F.col("y"), 0).otherwise(1)).alias("c_neg"))
+    )
+    dc = union.agg(
+        F.sum(F.when(lbl, 1).otherwise(0)).alias("d_pos"),
+        F.sum(F.when(lbl, 0).otherwise(1)).alias("d_neg"),
+    )
+    ref2 = {r.doc_id: r.nb_milli
+            for r in nb_score_with_model(b2, tc, dc).collect()}
+    assert out2 == ref2
+    assert set(out2) == {3, 4, 5}  # doc 5's unseen terms score smoothed
+
+    # replay of batch 1 merges nothing (exactly-once)
+    s_replay = update_nb_stats(spark, b1, stats_dir, batch_id=0)
+    out_replay = {r.doc_id: r.nb_milli
+                  for r in score_batch_nb(b2, s_replay).collect()}
+    assert out_replay == out2
+
+
+def test_streaming_nb_one_class_model_scores_nothing(spark, tmp_path):
+    from red_seal_ocr_spark.streaming.curate_stream import (
+        score_batch_nb,
+        update_nb_stats,
+    )
+
+    cols = "doc_id bigint, is_target boolean, text string"
+    b1 = spark.createDataFrame(
+        [(1, True, "only target docs so far"), (2, True, "still target")],
+        cols,
+    )
+    stats_dir = str(tmp_path / "nb_one")
+    s1 = update_nb_stats(spark, b1, stats_dir, batch_id=0)
+    assert score_batch_nb(b1, s1).count() == 0  # prior undefined -> no rows
