@@ -87,3 +87,36 @@ def decontaminate(
         max_shingle_df,
     ).select(F.col("train_id").alias(train_id)).distinct()
     return train.join(bad, on=train_id, how="left_anti")
+
+
+def contamination_spans(
+    train: DataFrame,
+    bench: DataFrame,
+    train_id: str = "doc_id",
+    bench_id: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """WHERE the benchmark leaks into each training document: maximal
+    token spans of ``train`` covered by an n-gram that appears anywhere
+    in ``bench`` — the span-grain refinement of
+    :func:`contamination_pairs` (pairs say WHICH docs overlap; spans say
+    what to surgically remove, the way PaLM-style decontamination drops
+    the leaked substring rather than the whole document).  Feed the
+    output to :func:`~red_seal_ocr_spark.operators.dedup.
+    strip_duplicated_spans` to excise the leaks in place.
+
+    Shares the positioned-gram front end and gaps-and-islands back end
+    with ``duplicated_ngram_spans`` (one definition of gram and span —
+    the two operators' offsets must agree).  The join is an equi-join on
+    the md5 gram key against the DISTINCT bench gram set; the bench side
+    is tiny in practice and broadcasts under AQE.  Output:
+    ``(train_id, span_start, span_end, n_dup_tokens)``, span_end
+    exclusive, token offsets.
+    """
+    from .dedup import merge_positions_to_spans, positioned_grams
+
+    t = positioned_grams(train, train_id, text_col, n)
+    b = positioned_grams(bench, bench_id, text_col, n).select("g").distinct()
+    hits = t.join(b, on="g").select(train_id, "s")
+    return merge_positions_to_spans(hits, train_id, n)

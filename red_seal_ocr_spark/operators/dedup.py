@@ -735,6 +735,74 @@ def ingest_batch_lsh(
     return cands
 
 
+def positioned_grams(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Positioned token n-grams ``(id, s, g)`` with ``g = md5(gram)`` and
+    ``s`` the 0-based token offset — the shared front end of span-grain
+    dedup AND span-grain decontamination (one definition; the two
+    operators' span arithmetic must agree on what a gram is).
+
+    Fixed-offset ``arrays_zip`` construction (the lambda-parameterized
+    ``slice`` drops out of codegen, see :func:`_shingles`); positions
+    come free from ``posexplode``; md5 keys are fixed-width shuffle keys
+    the DuckDB oracle reproduces bit-identically."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    base = docs.select(F.col(id_col), toks.alias("t")).filter(F.size("t") >= n)
+    shifted = [F.slice(F.col("t"), j + 1, F.size("t")).alias(f"t{j}") for j in range(n)]
+    z = F.slice(F.arrays_zip(*shifted), 1, F.size(F.col("t")) - F.lit(n - 1))
+    return base.select(
+        F.col(id_col), F.posexplode(z).alias("s", "g")
+    ).select(
+        F.col(id_col),
+        F.col("s").cast("int").alias("s"),
+        F.md5(F.concat_ws(" ", *[F.col("g")[f"t{j}"] for j in range(n)])).alias("g"),
+    )
+
+
+def merge_positions_to_spans(hits: DataFrame, id_col: str, n: int) -> DataFrame:
+    """Gaps-and-islands merge of flagged n-gram start positions into
+    maximal spans ``(id, span_start, span_end, n_dup_tokens)`` — the
+    shared back end of the span-grain operators.  One per-document
+    window (shuffle keyed by ``id_col``), never a global sort."""
+    from pyspark.sql import Window
+
+    win = Window.partitionBy(id_col).orderBy("s")
+    flagged = hits.select(
+        F.col(id_col),
+        F.col("s"),
+        F.when(F.col("s") - F.lag("s").over(win) <= n, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("flag"),
+    )
+    isl = flagged.select(
+        F.col(id_col),
+        F.col("s"),
+        F.sum("flag")
+        .over(win.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("island"),
+    )
+    return (
+        isl.groupBy(id_col, "island")
+        .agg(
+            F.min("s").cast("int").alias("span_start"),
+            (F.max("s") + n).cast("int").alias("span_end"),
+        )
+        .select(
+            F.col(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("n_dup_tokens"),
+        )
+    )
+
+
 def duplicated_ngram_spans(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -773,22 +841,7 @@ def duplicated_ngram_spans(
     - the islands merge is a per-document window (shuffle keyed by
       ``id_col`` — uniform), never a global sort.
     """
-    from pyspark.sql import Window
-
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-        lambda x: x != F.lit(""),
-    )
-    base = docs.select(F.col(id_col), toks.alias("t")).filter(F.size("t") >= n)
-    shifted = [F.slice(F.col("t"), j + 1, F.size("t")).alias(f"t{j}") for j in range(n)]
-    z = F.slice(F.arrays_zip(*shifted), 1, F.size(F.col("t")) - F.lit(n - 1))
-    grams = base.select(
-        F.col(id_col), F.posexplode(z).alias("s", "g")
-    ).select(
-        F.col(id_col),
-        F.col("s").cast("int").alias("s"),
-        F.md5(F.concat_ws(" ", *[F.col("g")[f"t{j}"] for j in range(n)])).alias("g"),
-    )
+    grams = positioned_grams(docs, id_col, text_col, n)
     df_filter = F.col("df") >= min_docs
     if max_docs is not None:
         df_filter = df_filter & (F.col("df") <= max_docs)
@@ -799,34 +852,7 @@ def duplicated_ngram_spans(
         .select("g")
     )
     hits = grams.join(dup, "g").select(id_col, "s")
-    win = Window.partitionBy(id_col).orderBy("s")
-    flagged = hits.select(
-        F.col(id_col),
-        F.col("s"),
-        F.when(F.col("s") - F.lag("s").over(win) <= n, F.lit(0))
-        .otherwise(F.lit(1))
-        .alias("flag"),
-    )
-    isl = flagged.select(
-        F.col(id_col),
-        F.col("s"),
-        F.sum("flag")
-        .over(win.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("island"),
-    )
-    return (
-        isl.groupBy(id_col, "island")
-        .agg(
-            F.min("s").cast("int").alias("span_start"),
-            (F.max("s") + n).cast("int").alias("span_end"),
-        )
-        .select(
-            F.col(id_col),
-            "span_start",
-            "span_end",
-            (F.col("span_end") - F.col("span_start")).alias("n_dup_tokens"),
-        )
-    )
+    return merge_positions_to_spans(hits, id_col, n)
 
 
 def strip_duplicated_spans(

@@ -970,7 +970,7 @@ SPARK_QUERIES_2.update(
     {
         "q76_stratified_sample": q76_stratified_sample,
         "q47_decontamination": q47_decontamination,
-        "q48_sketch_distinct": q48_sketch_distinct,
+        "q91_sketch_distinct": q48_sketch_distinct,
         "q49_percentiles_approx": q49_percentiles_approx,
     }
 )
@@ -978,7 +978,7 @@ ORACLE_SQL_2.update(
     {
         "q76_stratified_sample": _q46_oracle(),
         "q47_decontamination": _Q47_ORACLE,
-        "q48_sketch_distinct": """
+        "q91_sketch_distinct": """
             SELECT event_type,
                    COUNT(DISTINCT user_id) AS exact_users,
                    CAST(CASE WHEN abs(approx_count_distinct(user_id)
@@ -2504,3 +2504,61 @@ def q45c_semantic_dedup(spark, sf):
 
 
 SPARK_QUERIES_2["q45c_semantic_dedup"] = q45c_semantic_dedup
+
+
+def q47b_contamination_spans(spark, sf):
+    """Span-grain benchmark decontamination: WHERE bench text (docs
+    < 100 standing in as the eval set) leaks into each training doc
+    (docs >= 100), as maximal 8-gram-covered token spans.  LIVE oracle:
+    identical md5 gram keys and gaps-and-islands window in both
+    engines."""
+    from ..operators.decontam import contamination_spans
+
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") < 100)
+    train = d.filter(F.col("doc_id") >= 100)
+    return (
+        contamination_spans(train, bench, n=8)
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            F.col("n_dup_tokens").cast("int").alias("n_dup_tokens"),
+        )
+        .orderBy("doc_id", "span_start")
+    )
+
+
+SPARK_QUERIES_2["q47b_contamination_spans"] = q47b_contamination_spans
+ORACLE_SQL_2["q47b_contamination_spans"] = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, CAST(i AS INT) - 1 AS s,
+             md5(array_to_string(t[i:i+7], ' ')) AS g
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+            FROM toks WHERE len(t) >= 8)
+    ),
+    bg AS (SELECT DISTINCT g FROM grams WHERE doc_id < 100),
+    hits AS (SELECT doc_id, s FROM grams JOIN bg USING (g)
+             WHERE doc_id >= 100),
+    flagged AS (
+      SELECT doc_id, s,
+             CASE WHEN s - lag(s) OVER (PARTITION BY doc_id ORDER BY s) <= 8
+                  THEN 0 ELSE 1 END AS flag
+      FROM hits
+    ),
+    isl AS (SELECT doc_id, s,
+                   SUM(flag) OVER (PARTITION BY doc_id ORDER BY s) AS island
+            FROM flagged)
+    SELECT doc_id,
+           CAST(MIN(s) AS INT) AS span_start,
+           CAST(MAX(s) + 8 AS INT) AS span_end,
+           CAST(MAX(s) + 8 - MIN(s) AS INT) AS n_dup_tokens
+    FROM isl GROUP BY doc_id, island
+    ORDER BY doc_id, span_start
+"""

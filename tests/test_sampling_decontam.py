@@ -420,3 +420,43 @@ def test_mix_to_target_absent_stratum_yields_empty(spark):
         docs, "source", {"a": 4000, "b": 4000, "ghost": 2000}
     )
     assert out.count() == 0
+
+
+def test_contamination_spans_locates_leak(spark):
+    from red_seal_ocr_spark.operators.decontam import contamination_spans
+    from red_seal_ocr_spark.operators.dedup import strip_duplicated_spans
+
+    leak = " ".join(f"q{i}" for i in range(9))  # 9-token benchmark passage
+    bench = spark.createDataFrame(
+        [(100, "benchmark question " + leak + " answer choices")],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "intro words here " + leak + " trailing content after"),
+            (2, "completely clean training document with nothing leaked"),
+        ],
+        ["doc_id", "text"],
+    )
+    spans = contamination_spans(train, bench, n=4).collect()
+    assert len(spans) == 1
+    r = spans[0]
+    # leak occupies train doc 1 token offsets [3, 12)
+    assert (r.doc_id, r.span_start, r.span_end, r.n_dup_tokens) == (1, 3, 12, 9)
+
+    # surgical excision via the shared strip operator
+    out = {x.doc_id: x for x in strip_duplicated_spans(
+        train, contamination_spans(train, bench, n=4)).collect()}
+    assert out[1].text == "intro words here trailing content after"
+    assert out[1].n_removed_tokens == 9
+    assert out[2].n_removed_tokens == 0
+
+
+def test_contamination_spans_no_bench_overlap_is_empty(spark):
+    from red_seal_ocr_spark.operators.decontam import contamination_spans
+
+    bench = spark.createDataFrame([(1, "alpha beta gamma delta epsilon")],
+                                  ["doc_id", "text"])
+    train = spark.createDataFrame([(2, "one two three four five six seven")],
+                                  ["doc_id", "text"])
+    assert contamination_spans(train, bench, n=4).count() == 0
