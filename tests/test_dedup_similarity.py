@@ -1162,3 +1162,64 @@ def test_curate_with_lm_surprisal_stage(spark):
     assert 99 not in kept_ids  # the gibberish doc died at stage 2b
     assert f["2b_lm_surprisal"] == f["2_quality"] - 1
     assert len(kept_ids) >= 10  # normal docs survive the LM gate
+
+
+def test_duplicated_ngram_spans_random_corpora_match_brute_force(spark):
+    """Randomized equivalence: on seeded random small-vocab corpora
+    (where gram collisions are common), the Spark span set must equal a
+    brute-force python mirror computing duplicated-gram coverage + island
+    merge directly."""
+    import random
+
+    def mirror(docs, n, min_docs):
+        grams = {}
+        toks = {i: t.split() for i, t in docs}
+        for i, tt in toks.items():
+            for s in range(len(tt) - n + 1):
+                grams.setdefault(" ".join(tt[s:s + n]), set()).add(i)
+        dup = {g for g, ids in grams.items() if len(ids) >= min_docs}
+        out = []
+        for i, tt in toks.items():
+            starts = sorted(
+                s for s in range(len(tt) - n + 1)
+                if " ".join(tt[s:s + n]) in dup
+            )
+            run = []
+            for s in starts:
+                if run and s - run[-1] <= n:
+                    run.append(s)
+                else:
+                    if run:
+                        out.append((i, run[0], run[-1] + n))
+                    run = [s]
+            if run:
+                out.append((i, run[0], run[-1] + n))
+        return sorted(out)
+
+    from red_seal_ocr_spark.operators.dedup import duplicated_ngram_spans
+
+    rng = random.Random(4242)
+    vocab = [f"w{k}" for k in range(12)]  # tiny vocab -> frequent collisions
+    for case in range(6):
+        n = rng.choice([2, 3, 4])
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))))
+            for i in range(rng.randint(2, 12))
+        ]
+        d = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = sorted(
+            (r.doc_id, r.span_start, r.span_end)
+            for r in duplicated_ngram_spans(d, n=n, min_docs=2).collect()
+        )
+        want = mirror(docs, n, 2)
+        assert got == want, (case, n, got[:5], want[:5])
+        # structural invariants: disjoint, ordered, >= n tokens each
+        by_doc = {}
+        for i, s, e in got:
+            assert e - s >= n
+            assert s >= 0
+            by_doc.setdefault(i, []).append((s, e))
+        for sp in by_doc.values():
+            for (s1, e1), (s2, e2) in zip(sp, sp[1:]):
+                assert s2 > e1 - n  # maximal: no two spans mergeable
+                assert s2 - (e1 - n) > n  # gap strictly exceeds n
