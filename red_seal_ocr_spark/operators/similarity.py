@@ -622,3 +622,87 @@ def semantic_dedup(
         F.col("list_id").cast("int").alias("list_id"),
         F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"),
     )
+
+
+def tfidf_similarity_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_cos_bps: int = 8500,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Sparse lexical document similarity: TF-IDF cosine over an
+    inverted-index self-join (the all-pairs similarity-search shape of
+    Bayardo et al. 2007, WWW — "Scaling Up All Pairs Similarity
+    Search") — the sparse counterpart to the dense-embedding families:
+    pairs meet ONLY through terms they share, so the join is an
+    equi-join on the term key and the all-pairs crossJoin never exists.
+
+    Engine-exactness by construction (the q18b int8-ANN discipline):
+    IDF is quantized to integer milli-nats once per term (the only
+    transcendental), weights ``tf * idf_milli`` are exact integers, so
+    dots and squared norms are order-free integer sums; the final
+    ``dot / (sqrt(na2) * sqrt(nb2))`` divides exactly-representable
+    doubles — bit-identical across engines AND across Spark retries
+    (a float SUM over shuffled rows would be neither).
+
+    ``max_df`` is the inverted-index skew dial: a stop-term present in
+    df docs fans out df^2 pair rows; dropping high-df terms before the
+    join is the standard prefix-filter simplification (what it costs is
+    similarity mass from terms IDF already weights toward zero).
+
+    Output: ``(a_id, b_id, cos_bps:int)`` with a_id < b_id,
+    ``cos_bps = floor(cos * 10000) >= min_cos_bps``.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    tok = docs.select(F.col(id_col).alias("_id"), F.explode(toks).alias("term"))
+    tf = tok.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tok.groupBy("term").agg(F.countDistinct("_id").alias("df"))
+    if max_df is not None:
+        df_tbl = df_tbl.filter(F.col("df") <= max_df)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("nn"))
+    w = (
+        tf.join(F.broadcast(df_tbl), on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "_id",
+            "term",
+            (
+                F.col("tf")
+                * F.round(
+                    F.log((F.col("nn") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                    * 1000
+                ).cast("bigint")
+            ).alias("w"),
+        )
+    )
+    norm2 = w.groupBy("_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    a = w.select(F.col("_id").alias("a_id"), "term", F.col("w").alias("wa"))
+    b = w.select(F.col("_id").alias("b_id"), "term", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, on="term")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norm2.select(F.col("_id").alias("a_id"), F.col("n2").alias("na2"))
+    nb = norm2.select(F.col("_id").alias("b_id"), F.col("n2").alias("nb2"))
+    return (
+        dots.join(F.broadcast(na), "a_id")
+        .join(F.broadcast(nb), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.floor(
+                F.col("dot")
+                / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double")))
+                * 10000
+            )
+            .cast("int")
+            .alias("cos_bps"),
+        )
+        .filter(F.col("cos_bps") >= min_cos_bps)
+    )

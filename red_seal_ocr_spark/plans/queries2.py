@@ -971,7 +971,7 @@ SPARK_QUERIES_2.update(
         "q76_stratified_sample": q76_stratified_sample,
         "q47_decontamination": q47_decontamination,
         "q91_sketch_distinct": q48_sketch_distinct,
-        "q49_percentiles_approx": q49_percentiles_approx,
+        "q92_percentiles_approx": q49_percentiles_approx,
     }
 )
 ORACLE_SQL_2.update(
@@ -989,7 +989,7 @@ ORACLE_SQL_2.update(
             GROUP BY event_type
             ORDER BY event_type
         """,
-        "q49_percentiles_approx": """
+        "q92_percentiles_approx": """
             SELECT o_orderpriority,
                    CAST(ROUND(quantile_cont(o_totalprice, 0.5) * 100) AS BIGINT)
                        AS p50_cents,
@@ -2561,4 +2561,54 @@ ORACLE_SQL_2["q47b_contamination_spans"] = """
            CAST(MAX(s) + 8 - MIN(s) AS INT) AS n_dup_tokens
     FROM isl GROUP BY doc_id, island
     ORDER BY doc_id, span_start
+"""
+
+
+def q18c_tfidf_pairs(spark, sf):
+    """Sparse TF-IDF cosine pairs over an inverted-index self-join
+    (docs < 120).  LIVE oracle: IDF quantizes to integer milli-nats
+    once per term, so dots and norms are order-free integer sums and
+    the one division is over exactly-representable doubles — the q18b
+    engine-exactness discipline."""
+    from ..operators.similarity import tfidf_similarity_pairs
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 120)
+    return (
+        tfidf_similarity_pairs(d, min_cos_bps=8500)
+        .orderBy("a_id", "b_id")
+    )
+
+
+SPARK_QUERIES_2["q18c_tfidf_pairs"] = q18c_tfidf_pairs
+ORACLE_SQL_2["q18c_tfidf_pairs"] = """
+    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 120),
+    n AS (SELECT COUNT(*) AS nn FROM d),
+    tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                x -> x <> '')) AS term
+      FROM d
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    w AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * CAST(ROUND(ln((nn + 1.0) / (df + 1.0)) * 1000) AS BIGINT)
+                 AS w
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    norm2 AS (SELECT doc_id, SUM(w * w) AS n2 FROM w GROUP BY doc_id),
+    dots AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, SUM(a.w * b.w) AS dot
+      FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT a_id, b_id,
+           CAST(FLOOR(dot / (sqrt(na.n2) * sqrt(nb.n2)) * 10000) AS INT)
+               AS cos_bps
+    FROM dots
+    JOIN norm2 na ON na.doc_id = a_id
+    JOIN norm2 nb ON nb.doc_id = b_id
+    WHERE CAST(FLOOR(dot / (sqrt(na.n2) * sqrt(nb.n2)) * 10000) AS INT) >= 8500
+    ORDER BY a_id, b_id
 """

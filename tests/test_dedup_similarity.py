@@ -1223,3 +1223,54 @@ def test_duplicated_ngram_spans_random_corpora_match_brute_force(spark):
             for (s1, e1), (s2, e2) in zip(sp, sp[1:]):
                 assert s2 > e1 - n  # maximal: no two spans mergeable
                 assert s2 - (e1 - n) > n  # gap strictly exceeds n
+
+
+def test_tfidf_similarity_pairs_mirror_and_dials(spark):
+    import math
+    from collections import Counter
+
+    from red_seal_ocr_spark.operators.similarity import tfidf_similarity_pairs
+
+    rows = [
+        (1, "apple banana cherry apple durian"),
+        (2, "apple banana cherry apple fig"),     # near-copy of 1
+        (3, "xylophone zebra yak quill jigsaw"),  # disjoint vocabulary
+        (4, "apple apple apple banana banana"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {(r.a_id, r.b_id): r.cos_bps
+           for r in tfidf_similarity_pairs(d, min_cos_bps=0).collect()}
+
+    # python mirror with the identical integer quantization
+    toks = {i: t.split() for i, t in rows}
+    n = len(rows)
+    df = Counter()
+    for t in toks.values():
+        df.update(set(t))
+    idf = {w: round(math.log((n + 1) / (c + 1)) * 1000) for w, c in df.items()}
+    import itertools
+
+    expect = {}
+    for a, b in itertools.combinations(sorted(toks), 2):
+        ca, cb = Counter(toks[a]), Counter(toks[b])
+        wa = {w: ca[w] * idf[w] for w in ca}
+        wb = {w: cb[w] * idf[w] for w in cb}
+        dot = sum(wa[w] * wb[w] for w in set(wa) & set(wb))
+        if dot == 0:
+            continue  # no shared term -> pair never materializes
+        na = math.sqrt(sum(v * v for v in wa.values()))
+        nb = math.sqrt(sum(v * v for v in wb.values()))
+        expect[(a, b)] = math.floor(dot / (na * nb) * 10000)
+    assert out == expect
+    # (1,4) outranks (1,2): doc 4 is PURE shared terms while 1/2 carry
+    # unique rare (high-IDF) terms that dominate their norms — the
+    # correct TF-IDF geometry, pinned here so nobody "fixes" it
+    assert out[(1, 4)] > out[(1, 2)]
+    assert (1, 3) not in out  # disjoint docs never pair
+
+    # max_df drops the stop term: 'apple'/'banana' are in 3 docs
+    capped = {(r.a_id, r.b_id)
+              for r in tfidf_similarity_pairs(d, min_cos_bps=0,
+                                              max_df=2).collect()}
+    assert (1, 4) not in capped  # only shared stop terms -> pair gone
+    assert (1, 2) in capped      # cherry (df=2) still connects 1-2
