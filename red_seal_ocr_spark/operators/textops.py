@@ -8,6 +8,7 @@ token counting, document fingerprinting (normalized-hash and winnowing).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -867,4 +868,55 @@ def bigram_surprisal(
             .cast("bigint")
             .alias("bi_surprisal_milli"),
         )
+    )
+
+
+def normalize_text(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "norm_text",
+) -> DataFrame:
+    """Canonical text normalization — the stage every curation pipeline
+    runs BEFORE any hashing/dedup/scoring, because un-normalized
+    near-identical bytes (decomposed accents, zero-width junk, control
+    characters, ragged whitespace) defeat exact-dedup fingerprints and
+    shingle hashes:
+
+    1. Unicode NFC composition (UAX#15 canonical) — the one step with
+       no JVM builtin, done in an Arrow-batched pandas UDF over
+       ``unicodedata`` (vectorized batches; the sanctioned Python tier,
+       like the multimodal codecs).  DuckDB's ``nfc_normalize``
+       (utf8proc) implements the same UAX#15 mapping, which is what
+       makes the oracle live.
+    2. Strip C0/C1 control characters and zero-width code points
+       (JVM ``regexp_replace``).
+    3. Squash whitespace runs to single spaces and trim (JVM).
+
+    Output adds ``out_col`` (+ ``n_changed``: 0/1 whether normalization
+    altered the text).  Row-preserving; NULL text stays NULL.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    composed = nfc(F.col(text_col))
+    stripped = F.regexp_replace(
+        composed,
+        "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f\\u200b\\u200c\\u200d\\ufeff]",
+        "",
+    )
+    squashed = F.trim(F.regexp_replace(stripped, r"\s+", " "))
+    return docs.select(
+        "*",
+        squashed.alias(out_col),
+        F.when(F.col(text_col).isNull(), F.lit(0))
+        .otherwise((F.col(text_col) != squashed).cast("int"))
+        .alias("n_changed"),
     )

@@ -2612,3 +2612,54 @@ ORACLE_SQL_2["q18c_tfidf_pairs"] = """
     WHERE CAST(FLOOR(dot / (sqrt(na.n2) * sqrt(nb.n2)) * 10000) AS INT) >= 8500
     ORDER BY a_id, b_id
 """
+
+
+def q93_normalize_text(spark, sf):
+    """Canonical text normalization over the corpus, with a decomposed
+    (e + combining acute) + zero-width + control suffix injected
+    in-plan so NFC composition and stripping are exercised on every row
+    (the parquet corpus itself is ASCII).  LIVE oracle: DuckDB's
+    utf8proc nfc_normalize implements the same UAX#15 mapping as
+    python's unicodedata, and the strip / squash regexes are stated
+    verbatim."""
+    from ..operators.textops import normalize_text
+
+    suffix = "  e\u0301tude\u200bx \x01\x00\x01"
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(suffix)).alias("text"),
+    )
+    return (
+        normalize_text(d)
+        .select("doc_id", "norm_text",
+                F.col("n_changed").cast("int").alias("n_changed"))
+        .orderBy("doc_id")
+    )
+
+
+SPARK_QUERIES_2["q93_normalize_text"] = q93_normalize_text
+ORACLE_SQL_2["q93_normalize_text"] = """
+    WITH injected AS (
+      SELECT doc_id,
+             text || '  e' || chr(769) || 'tude' || chr(8203) || 'x '
+                  || chr(1) || chr(0) || chr(1) AS t0
+      FROM documents
+    ),
+    normed AS (
+      SELECT doc_id, t0,
+             trim(regexp_replace(
+               regexp_replace(
+                 nfc_normalize(t0),
+                 '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f' ||
+                 chr(8203) || chr(8204) || chr(8205) || chr(65279) || ']',
+                 '', 'g'),
+               '\\s+', ' ', 'g')) AS norm_text
+      FROM injected
+    )
+    SELECT doc_id, norm_text,
+           CAST(CASE WHEN t0 IS NULL THEN 0
+                     WHEN t0 <> norm_text THEN 1 ELSE 0 END AS INT)
+               AS n_changed
+    FROM normed
+    ORDER BY doc_id
+"""

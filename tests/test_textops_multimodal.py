@@ -1005,3 +1005,39 @@ def test_tokenizer_merges_persistence_roundtrip(spark, tmp_path):
         read_tokenizer_merges(spark, t, expect_params={"n_merges": 99})
     # empty table reads as None
     assert read_tokenizer_merges(spark, str(tmp_path / "none")) is None
+
+
+def test_normalize_text_semantics(spark):
+    from red_seal_ocr_spark.operators.textops import normalize_text
+
+    rows = [
+        (1, "étude déjà"),          # decomposed accents
+        (2, "tabs\tand\nnewlines   squashed"),
+        (3, "zero​width‌junk﻿"),
+        (4, "\x00control\x01chars\x1f here"),
+        (5, "already clean"),
+        (6, None),
+        (7, "가 vs 가"),               # Hangul composed vs jamo
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in normalize_text(d).collect()}
+    assert out[1].norm_text == "étude déjà" and out[1].n_changed == 1
+    assert out[2].norm_text == "tabs and newlines squashed"
+    assert out[3].norm_text == "zerowidthjunk"
+    assert out[4].norm_text == "controlchars here"
+    assert out[5].norm_text == "already clean" and out[5].n_changed == 0
+    assert out[6].norm_text is None and out[6].n_changed == 0
+    # NFC composes the jamo pair into the precomposed syllable
+    assert out[7].norm_text == "가 vs 가" and out[7].n_changed == 1
+
+    # idempotence: normalizing normalized text is the identity
+    again = normalize_text(
+        d.select("doc_id", F.col("text").alias("orig")).join(
+            spark.createDataFrame(
+                [(k, v.norm_text) for k, v in out.items()],
+                "doc_id bigint, text string",
+            ),
+            "doc_id",
+        )
+    )
+    assert all(r.n_changed == 0 for r in again.collect())
