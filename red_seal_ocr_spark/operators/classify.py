@@ -151,7 +151,9 @@ def _hashed_features(text_col: str, prefix_len: int):
     fixed-offset arrays_zip form (the lambda-parameterized ``slice``
     codegen gotcha, see ``dedup._shingles``).
     """
-    toks = F.filter(_toks(text_col), lambda x: x != F.lit(""))
+    from .textops import nonblank_tokens
+
+    toks = nonblank_tokens(text_col)
     uni = toks
     a = F.slice(toks, 1, F.size(toks))
     b = F.slice(toks, 2, F.size(toks))

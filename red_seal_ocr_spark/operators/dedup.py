@@ -750,10 +750,9 @@ def positioned_grams(
     ``slice`` drops out of codegen, see :func:`_shingles`); positions
     come free from ``posexplode``; md5 keys are fixed-width shuffle keys
     the DuckDB oracle reproduces bit-identically."""
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-        lambda x: x != F.lit(""),
-    )
+    from .textops import nonblank_tokens
+
+    toks = nonblank_tokens(text_col)
     base = docs.select(F.col(id_col), toks.alias("t")).filter(F.size("t") >= n)
     shifted = [F.slice(F.col("t"), j + 1, F.size("t")).alias(f"t{j}") for j in range(n)]
     z = F.slice(F.arrays_zip(*shifted), 1, F.size(F.col("t")) - F.lit(n - 1))
@@ -872,13 +871,12 @@ def strip_duplicated_spans(
     removal is a token-position filter via ``exists`` over the (short)
     span list — all JVM expressions, no Python.
     """
+    from .textops import nonblank_tokens
+
     agg = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("sp")
     )
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-        lambda x: x != F.lit(""),
-    )
+    toks = nonblank_tokens(text_col)
     joined = docs.join(agg, on=id_col, how="left")
     indexed = F.transform(toks, lambda x, i: F.struct(x.alias("x"), i.alias("i")))
     kept = F.filter(
@@ -888,8 +886,17 @@ def strip_duplicated_spans(
             lambda sp: (t["i"] >= sp["span_start"]) & (t["i"] < sp["span_end"]),
         ),
     )
+    is_null = F.col(text_col).isNull()
     return joined.select(
         F.col(id_col),
-        F.concat_ws(" ", F.transform(kept, lambda t: t["x"])).alias("text"),
-        (F.size(toks) - F.size(kept)).cast("int").alias("n_removed_tokens"),
+        # NULL text passes through as NULL (concat_ws would silently
+        # turn it into '' — the NULL-text-loss bug class), and its
+        # n_removed_tokens is the documented 0, not NULL
+        F.when(is_null, F.lit(None).cast("string"))
+        .otherwise(F.concat_ws(" ", F.transform(kept, lambda t: t["x"])))
+        .alias("text"),
+        F.when(is_null, F.lit(0))
+        .otherwise(F.size(toks) - F.size(kept))
+        .cast("int")
+        .alias("n_removed_tokens"),
     )

@@ -556,6 +556,7 @@ def semantic_dedup(
     seed: int = 42,
     centroids=None,
     max_cluster_size: int | None = None,
+    cache_assignments: bool = True,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication", arXiv:2303.09540):
@@ -595,6 +596,10 @@ def semantic_dedup(
     assigned = vec.select(
         "_id", "_emb", assign1(F.col("_emb"))[0].alias("list_id")
     )
+    if cache_assignments:
+        # referenced by the a-side, b-side AND the final keep-join:
+        # without persistence the pandas-UDF GEMM assignment runs 3x
+        assigned = assigned.cache()
     pair_src = assigned
     if max_cluster_size is not None:
         from .dedup import drop_hot_buckets
@@ -654,11 +659,12 @@ def tfidf_similarity_pairs(
     Output: ``(a_id, b_id, cos_bps:int)`` with a_id < b_id,
     ``cos_bps = floor(cos * 10000) >= min_cos_bps``.
     """
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-        lambda x: x != F.lit(""),
+    from .textops import nonblank_tokens
+
+    tok = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(nonblank_tokens(text_col)).alias("term"),
     )
-    tok = docs.select(F.col(id_col).alias("_id"), F.explode(toks).alias("term"))
     tf = tok.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_tbl = tok.groupBy("term").agg(F.countDistinct("_id").alias("df"))
     if max_df is not None:
@@ -690,9 +696,12 @@ def tfidf_similarity_pairs(
     )
     na = norm2.select(F.col("_id").alias("a_id"), F.col("n2").alias("na2"))
     nb = norm2.select(F.col("_id").alias("b_id"), F.col("n2").alias("nb2"))
+    # norm2 is corpus-sized (one row per doc) — unlike the genuinely
+    # vocabulary-sized df_tbl/n_docs broadcasts above, it must NOT be
+    # broadcast-hinted; plain equi-joins let AQE choose at runtime
     return (
-        dots.join(F.broadcast(na), "a_id")
-        .join(F.broadcast(nb), "b_id")
+        dots.join(na, "a_id")
+        .join(nb, "b_id")
         .select(
             "a_id",
             "b_id",

@@ -88,6 +88,19 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return scored.withColumn("pred_lang", _argmax_lang(F.col(tmp))).drop(tmp)
 
 
+def nonblank_tokens(text_col):
+    """Whitespace tokens of trimmed lowercase text with empty strings
+    dropped — THE shared tokenization for every offset/weight-bearing
+    operator (span dedup + strip, span decontam, TF-IDF, hashed
+    features).  One definition: these operators' token offsets and
+    weights must agree, and copy-pasted expressions desynchronize
+    silently (the round-6 shared-definitions discipline)."""
+    col = text_col if not isinstance(text_col, str) else F.col(text_col)
+    return F.filter(
+        F.split(F.lower(F.trim(col)), r"\s+"), lambda x: x != F.lit("")
+    )
+
+
 def token_count(text_col):
     """Whitespace tokenizer count (empty text -> 0)."""
     t = F.trim(text_col)
@@ -692,14 +705,34 @@ def bpe_encode_words(
     ``max_rounds=None`` iterates to convergence with one tiny count per
     round, caching round frames like the trainer.
     """
+    from pyspark.sql import Window
+
     spark = words.sparkSession
     if not isinstance(merges, DataFrame):
         merges = spark.createDataFrame(
             [(a, b, i) for i, (a, b) in enumerate(merges)], "a string, b string, rank int"
         )
+    # normalize the merge table: a duplicate (a, b) keeps its best rank,
+    # and a duplicate RANK keeps one deterministic rule — otherwise the
+    # best-rank join-back below would fan a word's row out once per
+    # same-rank rule and bpe_token_counts would double-count it
+    merges = merges.groupBy("a", "b").agg(F.min("rank").alias("rank"))
+    rank_w = Window.partitionBy("rank").orderBy("a", "b")
+    merges = (
+        merges.withColumn("_rn", F.row_number().over(rank_w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     other_cols = [c for c in words.columns if c != symbols_col]
     converge = max_rounds is None
-    rounds = 256 if converge else max_rounds
+    if converge:
+        # exact convergence bound: every round fuses >= 1 occurrence in
+        # every word that still has an applicable merge, so no word can
+        # need more rounds than its initial symbol count - 1
+        max_syms = words.agg(F.max(F.size(symbols_col)).alias("m")).first()["m"]
+        rounds = max(int(max_syms or 1) - 1, 0)
+    else:
+        rounds = max_rounds
 
     state = words
     for _ in range(rounds):
@@ -909,7 +942,8 @@ def normalize_text(
     composed = nfc(F.col(text_col))
     stripped = F.regexp_replace(
         composed,
-        "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f\\u200b\\u200c\\u200d\\ufeff]",
+        "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f\\x80-\\x9f"
+        "\\u200b\\u200c\\u200d\\ufeff]",
         "",
     )
     squashed = F.trim(F.regexp_replace(stripped, r"\s+", " "))

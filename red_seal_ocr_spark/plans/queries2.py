@@ -2624,7 +2624,7 @@ def q93_normalize_text(spark, sf):
     verbatim."""
     from ..operators.textops import normalize_text
 
-    suffix = "  e\u0301tude\u200bx \x01\x00\x01"
+    suffix = "  e\u0301tude\u200bx \x01\x00\x85\x01"
     d = _t(spark, sf, "documents").select(
         "doc_id",
         F.concat(F.col("text"), F.lit(suffix)).alias("text"),
@@ -2642,7 +2642,7 @@ ORACLE_SQL_2["q93_normalize_text"] = """
     WITH injected AS (
       SELECT doc_id,
              text || '  e' || chr(769) || 'tude' || chr(8203) || 'x '
-                  || chr(1) || chr(0) || chr(1) AS t0
+                  || chr(1) || chr(0) || chr(133) || chr(1) AS t0
       FROM documents
     ),
     normed AS (
@@ -2651,6 +2651,7 @@ ORACLE_SQL_2["q93_normalize_text"] = """
                regexp_replace(
                  nfc_normalize(t0),
                  '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f' ||
+                 '\\x80-\\x9f' ||
                  chr(8203) || chr(8204) || chr(8205) || chr(65279) || ']',
                  '', 'g'),
                '\\s+', ' ', 'g')) AS norm_text

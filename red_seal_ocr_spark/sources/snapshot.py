@@ -250,9 +250,13 @@ def write_tokenizer_merges(spark, merges: list, table_dir: str,
     out_dir = f"{table_dir}/data/run-{run_id}"
     df.coalesce(1).write.mode("overwrite").parquet(out_dir)
     files = list_run_files(out_dir)
+    # replace=True: the tokenizer is a WHOLE-artifact table — a retrain
+    # supersedes the previous merge list entirely (an appending commit
+    # would interleave two trainings' rows with duplicate ranks, the
+    # silent-corruption case the docstring warns about)
     return commit_snapshot(
         table_dir, files, [], run_id,
-        extra={"train_params": dict(train_params)},
+        extra={"train_params": dict(train_params)}, replace=True,
     )
 
 

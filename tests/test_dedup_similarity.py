@@ -1108,16 +1108,21 @@ def test_semantic_dedup_drops_within_cluster_near_dups(spark):
 def test_semantic_dedup_cross_cluster_dups_survive(spark):
     from red_seal_ocr_spark.operators.similarity import semantic_dedup
 
-    # identical vectors assigned to DIFFERENT clusters are never compared
-    # (the SemDeDup design trade) — both kept
-    rows = [(1, [1.0, 1.0, 0.0, 0.0]), (2, [1.0, 1.0, 0.0, 0.0])]
+    # near-duplicate vectors (cos ~0.9997) that straddle a centroid
+    # boundary are NEVER compared — the documented SemDeDup recall
+    # trade — so both survive even though their cosine clears the bar
+    rows = [(1, [1.0, 0.01, 0.0, 0.0]), (2, [1.0, 0.035, 0.0, 0.0])]
     d = spark.createDataFrame(rows, ["vec_id", "embedding"])
-    # centroids chosen so the shared vector is equidistant -> both rows
-    # land in list 0 (lowest-id tie-break) and dedup applies
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.999, 0.045, 0.0, 0.0]]
     out = {r.vec_id: r for r in semantic_dedup(
-        d, centroids=[[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]],
-        min_cos_bps=9999).collect()}
-    assert out[1].keep and not out[2].keep  # same cluster -> deduped
+        d, centroids=cents, min_cos_bps=9900).collect()}
+    assert out[1].list_id != out[2].list_id  # genuinely split
+    assert out[1].keep and out[2].keep       # never compared -> both kept
+
+    # sanity: the SAME pair in one cluster IS deduped
+    one = {r.vec_id: r for r in semantic_dedup(
+        d, centroids=[[1.0, 0.0, 0.0, 0.0]], min_cos_bps=9900).collect()}
+    assert one[1].keep and not one[2].keep
 
 
 def test_semantic_dedup_max_cluster_size_guard(spark):
@@ -1274,3 +1279,21 @@ def test_tfidf_similarity_pairs_mirror_and_dials(spark):
                                               max_df=2).collect()}
     assert (1, 4) not in capped  # only shared stop terms -> pair gone
     assert (1, 2) in capped      # cherry (df=2) still connects 1-2
+
+
+def test_strip_duplicated_spans_preserves_null_text(spark):
+    """NULL text must come back as NULL with n_removed_tokens=0 — not
+    '' with NULL count (the NULL-text-loss bug class)."""
+    from red_seal_ocr_spark.operators.dedup import strip_duplicated_spans
+
+    d = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, None)], "doc_id bigint, text string"
+    )
+    spans = spark.createDataFrame(
+        [], "doc_id bigint, span_start int, span_end int"
+    )
+    out = {r.doc_id: r for r in strip_duplicated_spans(d, spans).collect()}
+    assert out[2].text is None
+    assert out[2].n_removed_tokens == 0
+    assert out[1].text == "alpha beta gamma"
+    assert out[1].n_removed_tokens == 0

@@ -1014,7 +1014,7 @@ def test_normalize_text_semantics(spark):
         (1, "étude déjà"),          # decomposed accents
         (2, "tabs\tand\nnewlines   squashed"),
         (3, "zero​width‌junk﻿"),
-        (4, "\x00control\x01chars\x1f here"),
+        (4, "\x00control\x01chars\x1f\x85 here"),  # incl. C1 NEL
         (5, "already clean"),
         (6, None),
         (7, "가 vs 가"),               # Hangul composed vs jamo
@@ -1041,3 +1041,21 @@ def test_normalize_text_semantics(spark):
         )
     )
     assert all(r.n_changed == 0 for r in again.collect())
+
+
+def test_tokenizer_merges_retrain_replaces_artifact(spark, tmp_path):
+    """A retrain under a NEW run_id must supersede the old merge list
+    entirely — an appending commit would interleave two trainings' rows
+    with duplicate ranks (the silent tokenizer-mixing corruption)."""
+    from red_seal_ocr_spark.sources.snapshot import (
+        read_tokenizer_merges,
+        write_tokenizer_merges,
+    )
+
+    t = str(tmp_path / "tok")
+    write_tokenizer_merges(spark, [("a", "b"), ("c", "d")], t, "train-1",
+                           {"n_merges": 2})
+    write_tokenizer_merges(spark, [("x", "y")], t, "train-2",
+                           {"n_merges": 1})
+    assert read_tokenizer_merges(spark, t,
+                                 expect_params={"n_merges": 1}) == [("x", "y")]
