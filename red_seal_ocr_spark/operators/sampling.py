@@ -265,3 +265,167 @@ def leakage_safe_split(
         F.coalesce(expr, F.lit(sorted(splits)[-1])).alias("split"),
     )
     return with_fp.join(canon, on="fingerprint")
+
+
+def mix_to_token_budget(
+    df: DataFrame,
+    strata_col: str,
+    budgets: dict[str, int],
+    token_col: str,
+    id_col: str = "doc_id",
+    salt: str = "mixtok",
+    salt_partitions: int | None = None,
+) -> DataFrame:
+    """Token-budgeted mixture sampling — the production grade of
+    :func:`mix_to_target`: real training mixtures are specified in
+    TOKENS per domain (so a domain of long documents contributes the
+    intended mass), not document counts.  For each stratum with budget
+    ``B_s`` tokens, keep the greedy prefix of documents in content-keyed
+    md5 rank order whose cumulative token count stays ``<= B_s``.
+
+    Token counts must be non-negative (enforced in-plan: a negative
+    count raises at execution).  Because counts are non-negative the
+    running sum is monotone, so ``cum <= B_s`` selects exactly a prefix
+    of the hash order — the decision for a document never depends on
+    documents ranked after it, which keeps selection stable under
+    incremental reprocessing of later-ranked additions the same way all
+    the sampling-tier ranks are.
+
+    All arithmetic is bigint (budgets, counts, running sums), so every
+    engine computes identical prefixes — the LIVE oracle states the same
+    window verbatim.  Output adds ``mix_tokens_cum`` (the running sum at
+    the kept document, bigint).
+
+    Scale shape: the budget table broadcasts (|strata| rows); one window
+    shuffle keyed by the stratum.  A single giant stratum funnels into
+    one task exactly like ``mix_to_target``; ``salt_partitions=n``
+    applies the same provably-identical two-phase construction — phase 1
+    keeps, within each ``(stratum, crc32(id) % n)`` sub-bucket, the rows
+    whose WITHIN-BUCKET running sum is ``<= B_s``.  Every member of the
+    true prefix has within-bucket cum <= global cum <= B_s (sums of
+    non-negative counts over a subset), so phase 1 keeps a superset and
+    the phase-2 global window over survivors (at most ~B_s tokens per
+    sub-bucket) returns the identical prefix.
+    """
+    from pyspark.sql import Window
+
+    if not budgets:
+        raise ValueError("budgets must name at least one stratum")
+    if any(b < 0 for b in budgets.values()):
+        raise ValueError("token budgets must be non-negative")
+    spark = df.sparkSession
+    b_df = spark.createDataFrame(
+        sorted(budgets.items()), f"{strata_col} string, _mix_budget bigint"
+    )
+    # negative-count guard participates in the sum, so it cannot be
+    # pruned out of the plan; non-negativity is what makes cum <= B a
+    # prefix (and the two-phase superset argument sound)
+    tok = F.col(token_col).cast("bigint")
+    checked_tok = F.when(
+        tok < 0,
+        F.raise_error(F.concat(
+            F.lit(f"mix_to_token_budget: negative {token_col} for "),
+            F.col(id_col).cast("string"),
+        )).cast("bigint"),
+    ).otherwise(tok)
+    filtered = df.join(F.broadcast(b_df), strata_col)
+    order = [sample_key(F.col(id_col), salt), F.col(id_col)]
+    frame = Window.unboundedPreceding, Window.currentRow
+    if salt_partitions is not None and salt_partitions > 1:
+        bucket = F.pmod(
+            F.crc32(F.col(id_col).cast("string")), F.lit(salt_partitions)
+        )
+        w1 = (
+            Window.partitionBy(F.col(strata_col), bucket)
+            .orderBy(*order).rowsBetween(*frame)
+        )
+        filtered = (
+            filtered.withColumn("_mix_sub_cum", F.sum(checked_tok).over(w1))
+            .filter(F.col("_mix_sub_cum") <= F.col("_mix_budget"))
+            .drop("_mix_sub_cum")
+        )
+    w = Window.partitionBy(strata_col).orderBy(*order).rowsBetween(*frame)
+    return (
+        filtered.withColumn("mix_tokens_cum", F.sum(checked_tok).over(w))
+        .filter(F.col("mix_tokens_cum") <= F.col("_mix_budget"))
+        .drop("_mix_budget")
+    )
+
+
+def shuffle_and_shard(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global training order + shard assignment — the
+    export step between curation and a training run.  Training wants the
+    corpus in a reproducible pseudorandom order, split into ``n_shards``
+    independently-readable shards; RNG shuffles give a different order
+    every run and need a global sort.  Here both come from the one
+    content-keyed hash: ``shard = value(md5 key) mod n_shards`` (a pure
+    projection) and ``shard_pos`` = rank of the key within the shard.
+
+    The hash key is uniform, so shard sizes balance to ``|corpus| /
+    n_shards`` without any planning pass, and the within-shard hash
+    order IS the pseudorandom training order (documents that sort near
+    each other share nothing but their hash).  Reproducible across
+    reruns and engines — the LIVE oracle states the identical
+    arithmetic; ``salt`` selects a different epoch's order.
+
+    Scale shape: assignment adds no shuffle; the rank is one window
+    shuffle keyed by shard, where a shard is ``|corpus| / n_shards``
+    rows — ``n_shards`` is the task-size dial (pick it for ~execution
+    units of a few hundred MB, exactly how training shards are sized).
+    No stage ever sees a global sort.  Output adds ``(shard int,
+    shard_pos bigint)``; :func:`write_training_shards` materializes the
+    physical layout.
+    """
+    from pyspark.sql import Window
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    key = sample_key(F.col(id_col), salt)
+    shard = F.pmod(
+        F.conv(key, 16, 10).cast("bigint"), F.lit(n_shards)
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy(key, F.col(id_col))
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("shard_pos", F.row_number().over(w).cast("bigint"))
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Materialize :func:`shuffle_and_shard` as hive-partitioned parquet
+    (``shard=K/`` directories, rows inside each shard stored in training
+    order) plus a ``_manifest`` parquet of per-shard row counts — what a
+    data loader needs to plan epoch streaming without listing files.
+
+    One shuffle keyed by the shard column, sorted within partitions by
+    ``(shard, key, id)`` so each output file is internally ordered; the
+    manifest is computed from the SAME assignment expression (one extra
+    combinable aggregate over a projection, not a re-read).  Returns the
+    manifest DataFrame ``(shard, n_rows)``.
+    """
+    sharded = shuffle_and_shard(df, n_shards, id_col=id_col, salt=salt)
+    key = sample_key(F.col(id_col), salt)
+    (
+        sharded.drop("shard_pos")
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions(F.col("shard"), key, F.col(id_col))
+        .write.mode("overwrite").partitionBy("shard").parquet(path)
+    )
+    manifest = (
+        sharded.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("shard")
+    )
+    manifest.write.mode("overwrite").parquet(f"{path}/_manifest")
+    return manifest

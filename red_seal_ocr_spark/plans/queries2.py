@@ -2664,3 +2664,95 @@ ORACLE_SQL_2["q93_normalize_text"] = """
     FROM normed
     ORDER BY doc_id
 """
+
+
+def q94_token_mix(spark, sf):
+    """Token-budgeted mixture sampling (the production grade of q33c's
+    doc-count mixing): per-source token budgets, greedy prefix of the
+    content-keyed md5 rank whose running token sum stays within budget.
+    All bigint arithmetic — the LIVE oracle states the identical window
+    verbatim."""
+    from ..operators.sampling import mix_to_token_budget
+
+    d = _t(spark, sf, "documents").withColumn(
+        "toks",
+        F.when(F.col("text").isNull(), F.lit(0)).otherwise(
+            F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        ).cast("bigint"),
+    )
+    return (
+        mix_to_token_budget(
+            d,
+            strata_col="source",
+            budgets={"src0": 8000, "src1": 3000, "src2": 1000},
+            token_col="toks",
+        )
+        .select("doc_id", "source", "toks", "mix_tokens_cum")
+        .orderBy("source", "mix_tokens_cum", "doc_id")
+    )
+
+
+SPARK_QUERIES_2["q94_token_mix"] = q94_token_mix
+ORACLE_SQL_2["q94_token_mix"] = """
+    WITH b(source, budget) AS (
+        VALUES ('src0', CAST(8000 AS BIGINT)),
+               ('src1', CAST(3000 AS BIGINT)),
+               ('src2', CAST(1000 AS BIGINT))
+    ),
+    toks AS (
+        SELECT doc_id, source,
+               CAST(CASE WHEN text IS NULL THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+'))
+                    END AS BIGINT) AS toks
+        FROM documents
+    ),
+    cum AS (
+        SELECT t.doc_id, t.source, t.toks, b.budget,
+               -- DuckDB widens SUM() OVER to HUGEINT; cast back so the
+               -- column round-trips as int64 like the Spark bigint
+               CAST(SUM(t.toks) OVER (
+                   PARTITION BY t.source
+                   ORDER BY substr(md5(CAST(t.doc_id AS VARCHAR) || 'mixtok'), 1, 8),
+                            t.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS mix_tokens_cum
+        FROM toks t JOIN b ON t.source = b.source
+    )
+    SELECT doc_id, source, toks, mix_tokens_cum
+    FROM cum
+    WHERE mix_tokens_cum <= budget
+    ORDER BY source, mix_tokens_cum, doc_id
+"""
+
+
+def q95_train_shards(spark, sf):
+    """Deterministic training-order shuffle + shard assignment (the
+    export step before a training run): shard = md5-key value mod 8,
+    shard_pos = rank of the key within the shard.  Pure hash arithmetic
+    — the LIVE oracle states the identical expressions."""
+    from ..operators.sampling import shuffle_and_shard
+
+    d = _t(spark, sf, "documents")
+    return (
+        shuffle_and_shard(d, n_shards=8)
+        .select("doc_id", "shard", "shard_pos")
+        .orderBy("shard", "shard_pos")
+    )
+
+
+SPARK_QUERIES_2["q95_train_shards"] = q95_train_shards
+ORACLE_SQL_2["q95_train_shards"] = """
+    SELECT doc_id, shard, shard_pos
+    FROM (
+        SELECT doc_id,
+               CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'shuffle'), 1, 8))::BIGINT
+                     % 8) AS INT) AS shard,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'shuffle'), 1, 8))::BIGINT % 8)
+                   ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || 'shuffle'), 1, 8),
+                            doc_id
+               ) AS BIGINT) AS shard_pos
+        FROM documents
+    )
+    ORDER BY shard, shard_pos
+"""

@@ -460,3 +460,156 @@ def test_contamination_spans_no_bench_overlap_is_empty(spark):
     train = spark.createDataFrame([(2, "one two three four five six seven")],
                                   ["doc_id", "text"])
     assert contamination_spans(train, bench, n=4).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# token-budgeted mixing + training-shard export
+# ---------------------------------------------------------------------------
+
+
+def _tok_docs(spark, n=300):
+    """Docs with a deterministic, varied token-count column."""
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 3).cast("string")).alias("source"),
+        ((F.col("id") * 37) % 50 + 1).cast("bigint").alias("toks"),
+    )
+
+
+def _md5_key(doc_id, salt):
+    import hashlib
+
+    return hashlib.md5(f"{doc_id}{salt}".encode()).hexdigest()[:8]
+
+
+def test_mix_to_token_budget_matches_python_prefix(spark):
+    """Kept set == the brute-force greedy prefix of the md5 order whose
+    running token sum stays within budget, per stratum."""
+    from red_seal_ocr_spark.operators.sampling import mix_to_token_budget
+
+    budgets = {"src0": 700, "src1": 240, "src2": 1}
+    d = _tok_docs(spark)
+    rows = d.collect()
+    expected = {}
+    for src, budget in budgets.items():
+        ordered = sorted(
+            (r for r in rows if r.source == src),
+            key=lambda r: (_md5_key(r.doc_id, "mixtok"), r.doc_id),
+        )
+        cum = 0
+        for r in ordered:
+            cum += r.toks
+            if cum > budget:
+                break
+            expected[r.doc_id] = cum
+    got = {
+        r.doc_id: r.mix_tokens_cum
+        for r in mix_to_token_budget(d, "source", budgets, "toks").collect()
+    }
+    assert got == expected
+    assert expected  # the fixture budgets actually bite
+
+
+def test_mix_to_token_budget_salted_two_phase_identical(spark):
+    from red_seal_ocr_spark.operators.sampling import mix_to_token_budget
+
+    budgets = {"src0": 500, "src1": 900}
+    d = _tok_docs(spark)
+    base = {
+        (r.doc_id, r.mix_tokens_cum)
+        for r in mix_to_token_budget(d, "source", budgets, "toks").collect()
+    }
+    for n in (1, 4, 64):
+        salted = {
+            (r.doc_id, r.mix_tokens_cum)
+            for r in mix_to_token_budget(
+                d, "source", budgets, "toks", salt_partitions=n
+            ).collect()
+        }
+        assert salted == base, f"salt_partitions={n} diverged"
+
+
+def test_mix_to_token_budget_guards(spark):
+    import pytest
+    from red_seal_ocr_spark.operators.sampling import mix_to_token_budget
+
+    d = _tok_docs(spark, 30)
+    with pytest.raises(ValueError):
+        mix_to_token_budget(d, "source", {}, "toks")
+    with pytest.raises(ValueError):
+        mix_to_token_budget(d, "source", {"src0": -1}, "toks")
+    # negative token counts raise AT EXECUTION (in-plan guard — cannot be
+    # pruned because the guard expression feeds the running sum)
+    bad = d.withColumn(
+        "toks", F.when(F.col("doc_id") == 7, F.lit(-5)).otherwise(F.col("toks"))
+    )
+    with pytest.raises(Exception, match="negative toks"):
+        mix_to_token_budget(bad, "source", {"src0": 10**9, "src1": 10**9,
+                                            "src2": 10**9}, "toks").collect()
+    # strata without a budget are dropped; zero budget keeps only
+    # zero-token prefixes (none here: every count >= 1)
+    kept = mix_to_token_budget(d, "source", {"src0": 0}, "toks").collect()
+    assert kept == []
+
+
+def test_shuffle_and_shard_matches_python_mirror(spark):
+    from red_seal_ocr_spark.operators.sampling import shuffle_and_shard
+
+    d = _docs(spark, 500)
+    got = {
+        r.doc_id: (r.shard, r.shard_pos)
+        for r in shuffle_and_shard(d, n_shards=8).collect()
+    }
+    by_shard = {}
+    for doc_id in range(500):
+        key = _md5_key(doc_id, "shuffle")
+        by_shard.setdefault(int(key, 16) % 8, []).append((key, doc_id))
+    expected = {}
+    for shard, members in by_shard.items():
+        for pos, (_, doc_id) in enumerate(sorted(members), start=1):
+            expected[doc_id] = (shard, pos)
+    assert got == expected
+    # partitioning-independence: same answer from a differently-sliced input
+    got2 = {
+        r.doc_id: (r.shard, r.shard_pos)
+        for r in shuffle_and_shard(d.repartition(7), n_shards=8).collect()
+    }
+    assert got2 == expected
+
+
+def test_write_training_shards_layout(spark, tmp_path):
+    """Physical export: hive-partitioned shard dirs, every FILE internally
+    in training order, manifest counts exact."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from red_seal_ocr_spark.operators.sampling import (
+        shuffle_and_shard,
+        write_training_shards,
+    )
+
+    d = _docs(spark, 400)
+    path = str(tmp_path / "shards")
+    manifest = write_training_shards(d, path, n_shards=4)
+    sizes = {r.shard: r.n_rows for r in manifest.collect()}
+    truth = (
+        shuffle_and_shard(d, 4).groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    assert sizes == {r.shard: r.n for r in truth}
+    assert sum(sizes.values()) == 400
+    # rows inside each parquet FILE are in training order (the per-file
+    # guarantee a shard-streaming loader relies on)
+    n_files = 0
+    for shard in sizes:
+        for f in glob.glob(f"{path}/shard={shard}/*.parquet"):
+            ids = pq.read_table(f, columns=["doc_id"]).column("doc_id").to_pylist()
+            keys = [_md5_key(i, "shuffle") for i in ids]
+            assert keys == sorted(keys)
+            n_files += 1
+    assert n_files >= len(sizes)
+    # manifest readable back; `_manifest` dir invisible to a plain read
+    readback = spark.read.parquet(path)
+    assert readback.count() == 400
+    assert set(readback.columns) >= {"doc_id", "source", "shard"}

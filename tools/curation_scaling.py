@@ -1,0 +1,335 @@
+"""N -> 4N scaling evidence for the round-6 curation-tier operators,
+measured with the SAME methodology as the flagship extraction pair in
+``bench.py::scaling_pair`` (north rule's two-cluster-size criterion,
+evidenced in-sandbox by two parallelism levels on identical input):
+
+- identical materialized parquet bytes for both levels, written in 64
+  files so neither level is partition-starved (the first attempt at
+  this measurement inherited ONE partition from the 0.6 MB sf0.1
+  documents file through the broadcast crossJoin — every narrow stage
+  ran on one task at BOTH levels and "efficiency" read 0.27; that was
+  the harness, not the operators);
+- BOTH levels' sessions persistent and warm side by side (two worker
+  subprocesses), timed jobs alternating back-to-back;
+- clock-equalized: unused cores held at all-core clock by nice-19
+  pure-ALU spinners (idle-box turbo otherwise inflates the N side);
+- each round is a hi-lo-hi SANDWICH chained with its neighbors,
+  eff_i = (t_lo_i / min(bracketing hi runs)) / (n_hi / n_lo); in-guest
+  noise is one-sided so the faster bracketing hi sample is the cleaner
+  estimate; the headline is the MEDIAN round, never the best;
+- every timed unit ends in a parquet write (mode=overwrite) so column
+  pruning cannot skip the scoring arithmetic the way a bare count()
+  can.
+
+Ops measured (each a corpus-scale job over the replicated corpus):
+
+- ``spans``     duplicated_ngram_spans (Lee et al. substring dedup)
+- ``nb``        nb_log_odds_scores     (Naive-Bayes quality scores)
+- ``dsir``      dsir_importance_weights
+- ``bigram_lm`` bigram_surprisal       (CCNet-grade LM filter)
+- ``bpe_join``  the corpus-scale half of bpe_token_counts (explode +
+  equi-join on the word key + per-doc sum) against a pre-encoded
+  vocabulary.  The OTHER half — the iterative vocabulary encode — is
+  corpus-INDEPENDENT (vocab-bound: tools/curation_tier_stress.py shows
+  50k docs cost the same rounds as 500), so its wall time is reported
+  once per level as ``bpe_encode_constant_sec`` and excluded from the
+  scaling ratio: at 10^12 docs it is a constant prefix, not a scaling
+  term.
+
+Writes BENCH/curation_scaling.json.
+
+Usage::
+
+    python tools/curation_scaling.py [--replicas 10] [--rounds 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+PLANT = "planted shared passage alpha beta gamma delta epsilon zeta eta theta"
+CORPUS_FILES = 64
+OPS = ("spans", "nb", "dsir", "bigram_lm", "bpe_join")
+
+
+# --------------------------------------------------------------------------
+# worker subprocess: one warm session, runs "run <op>" lines from stdin
+# --------------------------------------------------------------------------
+
+def worker_main(master: str, corpus_path: str, out_base: str,
+                with_bpe: bool = True) -> int:
+    from pyspark.sql import functions as F
+
+    from red_seal_ocr_spark.operators.classify import (
+        dsir_importance_weights,
+        nb_log_odds_scores,
+    )
+    from red_seal_ocr_spark.operators.dedup import duplicated_ngram_spans
+    from red_seal_ocr_spark.operators.textops import (
+        bigram_surprisal,
+        bpe_encode_words,
+        bpe_pair_counts,
+        word_frequencies,
+    )
+    from red_seal_ocr_spark.session import get_spark
+
+    spark = get_spark("curation-scaling-worker", master=master,
+                      shuffle_partitions=CORPUS_FILES)
+    try:
+        d = spark.read.parquet(corpus_path)
+        labeled = d.withColumn("is_target", F.col("lang") == "en")
+
+        # Untimed, once per level: train a 50-merge table and encode the
+        # corpus vocabulary with it.  This is the vocab-bound constant —
+        # report its wall time so the parent can record it, then persist
+        # the encoded vocab for the corpus-scale join-back runs.
+        encode_sec = 0.0
+        enc_tbl = None
+        if with_bpe:
+            wf = word_frequencies(d)
+            merges = (
+                bpe_pair_counts(
+                    wf.select(F.split("word", "").alias("symbols"), "freq"))
+                .orderBy(F.col("pair_freq").desc(), "a", "b").limit(50)
+                .select("a", "b")
+            )
+            merge_list = [(r.a, r.b) for r in merges.collect()]
+            t0 = time.time()
+            enc = bpe_encode_words(
+                wf.select("word", "freq", F.split("word", "").alias("symbols")),
+                merge_list,
+            ).select("word", F.size("symbols").alias("word_tokens"))
+            enc_path = f"{out_base}/encoded_vocab"
+            enc.write.mode("overwrite").parquet(enc_path)
+            encode_sec = round(time.time() - t0, 2)
+            enc_tbl = spark.read.parquet(enc_path)
+
+        def run_bpe_join(out: str) -> None:
+            toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            stream = (
+                d.select("doc_id", F.explode(toks).alias("word"))
+                .filter(F.col("word") != "")
+            )
+            (
+                stream.join(enc_tbl, "word")
+                .groupBy("doc_id")
+                .agg(
+                    F.count(F.lit(1)).cast("int").alias("n_words"),
+                    F.sum("word_tokens").cast("int").alias("n_bpe_tokens"),
+                )
+                .write.mode("overwrite").parquet(out)
+            )
+
+        jobs = {
+            "spans": lambda out: duplicated_ngram_spans(d, n=8, min_docs=2)
+            .write.mode("overwrite").parquet(out),
+            "nb": lambda out: nb_log_odds_scores(labeled)
+            .write.mode("overwrite").parquet(out),
+            "dsir": lambda out: dsir_importance_weights(labeled)
+            .write.mode("overwrite").parquet(out),
+            "bigram_lm": lambda out: bigram_surprisal(labeled)
+            .write.mode("overwrite").parquet(out),
+            "bpe_join": run_bpe_join,
+        }
+        print(f"ready encode_sec={encode_sec}", flush=True)
+        for line in sys.stdin:
+            parts = line.split()
+            if len(parts) != 2 or parts[0] != "run" or parts[1] not in jobs:
+                break
+            t0 = time.time()
+            jobs[parts[1]](f"{out_base}/out_{parts[1]}")
+            print(f"t {time.time() - t0:.3f}", flush=True)
+    finally:
+        spark.stop()
+    return 0
+
+
+class _OpWorker:
+    def __init__(self, n_cores: int, corpus_path: str, out_base: str,
+                 with_bpe: bool = True) -> None:
+        import subprocess
+
+        self.n = n_cores
+        self.encode_sec: float | None = None
+        self.proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--worker",
+             f"local[{n_cores}]", corpus_path, out_base,
+             "bpe" if with_bpe else "nobpe"],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
+            cwd=str(REPO),
+        )
+
+    def _read(self, prefix: str) -> str:
+        while True:
+            line = self.proc.stdout.readline()
+            if not line:
+                raise RuntimeError(f"scaling worker local[{self.n}] died")
+            if line.startswith(prefix):
+                return line.strip()
+
+    def wait_ready(self) -> None:
+        line = self._read("ready")
+        self.encode_sec = float(line.split("encode_sec=")[1])
+
+    def run(self, op: str, spinners, total_cores: int) -> float:
+        spinners.resume(max(0, total_cores - self.n))
+        try:
+            self.proc.stdin.write(f"run {op}\n")
+            self.proc.stdin.flush()
+            return float(self._read("t ").split()[1])
+        finally:
+            spinners.resume(0)
+
+    def close(self) -> None:
+        try:
+            self.proc.stdin.write("quit\n")
+            self.proc.stdin.flush()
+            self.proc.wait(timeout=60)
+        except Exception:
+            self.proc.kill()
+
+
+# --------------------------------------------------------------------------
+# parent: materialize corpus, sandwich each op
+# --------------------------------------------------------------------------
+
+def materialize_corpus(replicas: int, base: str) -> tuple[str, int]:
+    from pyspark.sql import functions as F
+
+    from red_seal_ocr_spark.session import get_spark
+
+    spark = get_spark("curation-scaling-corpus")
+    try:
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", "source", "lang", "text"
+        )
+        reps = spark.range(replicas).select(
+            F.col("id").cast("int").alias("rep"))
+        new_id = F.concat(F.col("doc_id").cast("string"), F.lit("-r"),
+                          F.col("rep").cast("string"))
+        corpus = docs.crossJoin(F.broadcast(reps)).select(
+            new_id.alias("doc_id"),
+            "source", "lang",
+            F.concat(F.lit(PLANT + " m"), new_id, F.lit(" "),
+                     F.col("text")).alias("text"),
+        )
+        path = f"{base}/corpus"
+        # 64 files: neither local[4] nor local[16] is partition-starved
+        # (the whole point — see module docstring)
+        corpus.repartition(CORPUS_FILES).write.parquet(path)
+        n = spark.read.parquet(path).count()
+        return path, n
+    finally:
+        spark.stop()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--n-lo", type=int, default=4)
+    ap.add_argument("--n-hi", type=int, default=16)
+    ap.add_argument("--out", default="BENCH/curation_scaling.json")
+    ap.add_argument("--ops", default=",".join(OPS),
+                    help="comma-separated subset of: " + ",".join(OPS))
+    args = ap.parse_args()
+    ops = [o for o in args.ops.split(",") if o]
+    unknown = set(ops) - set(OPS)
+    if unknown:
+        raise SystemExit(f"unknown ops: {sorted(unknown)}")
+
+    import tempfile
+
+    from bench import _SpinnerPool
+
+    base = tempfile.mkdtemp(prefix="curation_scaling_")
+    corpus_path, n_docs = materialize_corpus(args.replicas, base)
+    ratio = args.n_hi / args.n_lo
+    total = os.cpu_count() or 32
+
+    report: dict = {
+        "methodology": (
+            "identical 64-file parquet corpus at local[{lo}] vs local[{hi}];"
+            " both sessions persistent side by side; clock-equalized"
+            " (nice-19 ALU spinners hold unused cores); chained hi-lo-hi"
+            " sandwich rounds, eff_i = (t_lo_i / min(bracketing hi)) /"
+            " {r:.0f}; headline = MEDIAN round; every timed unit ends in a"
+            " parquet write".format(lo=args.n_lo, hi=args.n_hi, r=ratio)
+        ),
+        "sf_dir": SF_DIR,
+        "replicas": args.replicas,
+        "n_docs": n_docs,
+        "corpus_files": CORPUS_FILES,
+        "ops": {},
+    }
+
+    with_bpe = "bpe_join" in ops
+    spinners = _SpinnerPool(max(0, total - args.n_lo))
+    lo = _OpWorker(args.n_lo, corpus_path, f"{base}/lo", with_bpe=with_bpe)
+    hi = _OpWorker(args.n_hi, corpus_path, f"{base}/hi", with_bpe=with_bpe)
+    try:
+        lo.wait_ready()
+        hi.wait_ready()
+        report["bpe_encode_constant_sec"] = {
+            f"local{args.n_lo}": lo.encode_sec,
+            f"local{args.n_hi}": hi.encode_sec,
+            "note": "vocab-bound iterative encode, corpus-independent"
+                    " (constant prefix at any corpus size); excluded from"
+                    " the scaling ratio",
+        }
+        for op in ops:
+            # untimed primer pair absorbs first-run compile/warmup skew
+            hi.run(op, spinners, total)
+            lo.run(op, spinners, total)
+            t_lo: list[float] = []
+            t_hi: list[float] = []
+            effs: list[float] = []
+            for _ in range(args.rounds):
+                if not t_hi:
+                    t_hi.append(hi.run(op, spinners, total))
+                t_lo.append(lo.run(op, spinners, total))
+                t_hi.append(hi.run(op, spinners, total))
+                effs.append(round(
+                    (t_lo[-1] / min(t_hi[-2], t_hi[-1])) / ratio, 4))
+            s = sorted(effs)
+            n = len(s)
+            med = s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+            report["ops"][op] = {
+                f"times_local{args.n_lo}": t_lo,
+                f"times_local{args.n_hi}": t_hi,
+                f"dps_local{args.n_lo}": round(n_docs / min(t_lo), 1),
+                f"dps_local{args.n_hi}": round(n_docs / min(t_hi), 1),
+                "per_round_efficiency": effs,
+                "efficiency_median_round": round(med, 4),
+            }
+            print(f"{op}: lo={t_lo} hi={t_hi} effs={effs}", flush=True)
+    finally:
+        lo.close()
+        hi.close()
+        spinners.stop_all()
+
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps(report, indent=2) + "\n")
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        raise SystemExit(worker_main(
+            sys.argv[2], sys.argv[3], sys.argv[4],
+            with_bpe=(len(sys.argv) < 6 or sys.argv[5] == "bpe"),
+        ))
+    raise SystemExit(main())

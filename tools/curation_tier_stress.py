@@ -92,7 +92,11 @@ def main() -> int:
                      F.col("text")).alias("text"),
         )
         path = f"{base}/corpus"
-        corpus.write.parquet(path)
+        # 64 files: the sf0.1 documents table is ONE 0.6 MB parquet file,
+        # and the broadcast crossJoin preserves its single partition — an
+        # unrepartitioned write leaves every downstream narrow stage
+        # (tokenize/explode/md5) on one task regardless of master
+        corpus.repartition(64).write.parquet(path)
         d = spark.read.parquet(path)
         report["n_docs"] = d.count()
 
