@@ -421,6 +421,69 @@ def time_queries(sf_dir: str) -> dict[str, float]:
     return times
 
 
+def _curation_scaling_section() -> str:
+    """Render the curation-tier per-operator scaling evidence from the
+    tools/curation_scaling.py JSONs (if present) so the section survives
+    BASELINE.md regeneration.  These are measured in their own windows
+    with the SAME spinner/sandwich/median methodology as the headline
+    pair."""
+    import json as _json
+
+    runs = []
+    for name in ("curation_scaling.json", "curation_scaling_300k.json",
+                 "curation_scaling_1m5.json", "curation_scaling_bpe5m.json"):
+        p = Path("BENCH") / name
+        if p.exists():
+            try:
+                runs.append((name, _json.loads(p.read_text())))
+            except Exception:
+                continue
+    if not runs:
+        return ""
+    lines = [
+        "",
+        "## Curation-tier operator scaling (4 -> 16, same methodology,",
+        "own windows)",
+        "",
+        "Supplementary per-operator evidence for the round-6 curation tier",
+        "(`tools/curation_scaling.py`; corpus materialized in 64 files —",
+        "an earlier draft inherited ONE partition from the 0.6 MB sf0.1",
+        "documents file and read 0.27 'efficiency' at both levels; that",
+        "was the harness, not the operators).  Jobs here are seconds-long,",
+        "so a fixed driver-side cost (AQE stage-boundary re-planning,",
+        "broadcast builds, commit) is a visible Amdahl term that",
+        "production-length jobs amortize — the efficiency CLIMBS with",
+        "corpus size at fixed op, toward the in-box ceiling:",
+        "",
+        "| op | docs | lo best (s) | hi best (s) | docs/s @16 | eff (median round) |",
+        "|---|---|---|---|---|---|",
+    ]
+    for name, d in runs:
+        n = d.get("n_docs", 0)
+        for op, o in d.get("ops", {}).items():
+            lo = min(o.get("times_local4", [float("nan")]))
+            hi = min(o.get("times_local16", [float("nan")]))
+            lines.append(
+                f"| {op} | {n} | {lo:.1f} | {hi:.1f} | "
+                f"{o.get('dps_local16', float('nan')):.0f} | "
+                f"{o.get('efficiency_median_round', float('nan')):.3f} |"
+            )
+    lines += [
+        "",
+        "These ops are hash-and-shuffle shaped (memory-traffic heavy), so",
+        "their single-box ceiling is the measured 4->16 STREAMING ceiling",
+        "(~0.57 in this box's windows), not the ALU ceiling the",
+        "compute-dense extraction kernel enjoys; medians at or above that",
+        "ceiling mean the operators are platform-bound here.  A real",
+        "N -> 4N executor scale-up multiplies memory bandwidth with",
+        "executor count, which this proxy cannot emulate.  The iterative",
+        "BPE vocabulary encode is corpus-INDEPENDENT (vocab-bound) and",
+        "recorded separately in the JSON as `bpe_encode_constant_sec`.",
+        "",
+    ]
+    return "\n".join(lines)
+
+
 def _recorded_best_efficiency() -> float:
     """Best headline efficiency already recorded in BENCH/BASELINE.md."""
     import re
@@ -506,6 +569,7 @@ kernel, balanced span-salted shuffles) is designed for that regime.
 Headline query timings at sf={result['sf']} are in the driver-recorded
 BENCH JSON (`python bench.py` stdout).
 """
+    md += _curation_scaling_section()
     Path("BENCH").mkdir(exist_ok=True)
     Path("BENCH/BASELINE_last_run.md").write_text(md)
     # BASELINE.md records the best measurements across sessions; only

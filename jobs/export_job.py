@@ -1,0 +1,71 @@
+"""spark-submit entry point for the training-data export step.
+
+Takes a curated documents table (e.g. the output of ``jobs/curate_job.py``)
+and materializes it as training shards: a deterministic seeded shuffle
+order, hash-assigned shards, hive-partitioned parquet with every file
+internally in training order, and a ``_manifest`` of per-shard row counts
+(``sampling.shuffle_and_shard`` / ``write_training_shards``) — the last
+pipeline stage before a training run reads the corpus.
+
+Usage::
+
+    python jobs/make_pyfiles.py                      # build dist/engine.zip
+    spark-submit --py-files dist/engine.zip jobs/export_job.py \
+        --input /tmp/curated/data/run-XXXX \
+        --output /tmp/train_shards --n-shards 64 [--salt epoch0]
+
+``--salt`` selects the epoch's order: exporting with a different salt
+re-shuffles deterministically (same corpus, decorrelated order) without
+touching upstream stages.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="documents parquet path")
+    ap.add_argument("--output", required=True, help="shard table dir")
+    ap.add_argument("--n-shards", type=int, default=64)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--salt", default="shuffle",
+                    help="epoch key: a different salt gives a different "
+                         "deterministic order over the same corpus")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from red_seal_ocr_spark.operators.sampling import write_training_shards
+    from red_seal_ocr_spark.session import get_spark
+
+    pre_existing = SparkSession.getActiveSession() is not None
+    spark = get_spark("export-job", master=args.master)
+    t0 = time.time()
+    try:
+        docs = spark.read.parquet(args.input)
+        manifest = write_training_shards(
+            docs, args.output, args.n_shards,
+            id_col=args.id_col, salt=args.salt,
+        )
+        rows = manifest.collect()
+        total = sum(r.n_rows for r in rows)
+        print(f"shards: {len(rows)}  rows: {total}  "
+              f"min/max shard: {min(r.n_rows for r in rows)}/"
+              f"{max(r.n_rows for r in rows)}")
+        print(f"exported in {time.time() - t0:.1f}s -> {args.output}")
+        return 0
+    finally:
+        if not pre_existing:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -284,3 +284,42 @@ def test_expire_snapshots_reclaims_only_unreferenced(spark, tmp_path):
     # idempotent / safe to re-run
     res2 = expire_snapshots(table, keep_last=1)
     assert res2["expired"] == [] and res2["deleted_files"] == 0
+
+
+def test_export_job_end_to_end(tmp_path):
+    """jobs/export_job.py: curated corpus -> hive-partitioned training
+    shards + _manifest; a different --salt re-shuffles deterministically
+    (same membership, different order)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "jobs"))
+    import export_job
+
+    from red_seal_ocr_spark.session import get_spark
+
+    spark = get_spark("export-job-test", master="local[4]", shuffle_partitions=8)
+    src = str(tmp_path / "docs.parquet")
+    spark.range(200).selectExpr(
+        "id AS doc_id", "concat('text ', id) AS text"
+    ).write.parquet(src)
+
+    out0 = str(tmp_path / "shards_epoch0")
+    assert export_job.main(
+        ["--input", src, "--output", out0, "--n-shards", "4"]) == 0
+    back0 = spark.read.parquet(out0)
+    assert back0.count() == 200
+    manifest0 = spark.read.parquet(f"{out0}/_manifest")
+    assert sum(r.n_rows for r in manifest0.collect()) == 200
+
+    out1 = str(tmp_path / "shards_epoch1")
+    assert export_job.main(
+        ["--input", src, "--output", out1,
+         "--n-shards", "4", "--salt", "epoch1"]) == 0
+    # same corpus, decorrelated epoch order: membership identical,
+    # shard assignment different
+    a = {(r.doc_id, r.shard) for r in back0.select("doc_id", "shard").collect()}
+    b = {(r.doc_id, r.shard)
+         for r in spark.read.parquet(out1).select("doc_id", "shard").collect()}
+    assert {x for x, _ in a} == {x for x, _ in b}
+    assert a != b

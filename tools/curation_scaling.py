@@ -204,7 +204,8 @@ class _OpWorker:
 # parent: materialize corpus, sandwich each op
 # --------------------------------------------------------------------------
 
-def materialize_corpus(replicas: int, base: str) -> tuple[str, int]:
+def materialize_corpus(replicas: int, base: str,
+                       plant: bool = True) -> tuple[str, int]:
     from pyspark.sql import functions as F
 
     from red_seal_ocr_spark.session import get_spark
@@ -218,11 +219,19 @@ def materialize_corpus(replicas: int, base: str) -> tuple[str, int]:
             F.col("id").cast("int").alias("rep"))
         new_id = F.concat(F.col("doc_id").cast("string"), F.lit("-r"),
                           F.col("rep").cast("string"))
+        # the plant+unique-marker prefix (the spans-correctness fence)
+        # adds ONE unique token per document — fine for the scoring ops,
+        # but it inflates the BPE vocabulary linearly with corpus size,
+        # which real tokenization never sees (vocab stays ~|language|).
+        # --no-plant restores the bounded-vocab production shape.
+        text = (
+            F.concat(F.lit(PLANT + " m"), new_id, F.lit(" "), F.col("text"))
+            if plant else F.col("text")
+        )
         corpus = docs.crossJoin(F.broadcast(reps)).select(
             new_id.alias("doc_id"),
             "source", "lang",
-            F.concat(F.lit(PLANT + " m"), new_id, F.lit(" "),
-                     F.col("text")).alias("text"),
+            text.alias("text"),
         )
         path = f"{base}/corpus"
         # 64 files: neither local[4] nor local[16] is partition-starved
@@ -243,6 +252,9 @@ def main() -> int:
     ap.add_argument("--out", default="BENCH/curation_scaling.json")
     ap.add_argument("--ops", default=",".join(OPS),
                     help="comma-separated subset of: " + ",".join(OPS))
+    ap.add_argument("--no-plant", action="store_true",
+                    help="omit the per-doc unique plant prefix (bounded-"
+                         "vocabulary production shape for BPE runs)")
     args = ap.parse_args()
     ops = [o for o in args.ops.split(",") if o]
     unknown = set(ops) - set(OPS)
@@ -254,7 +266,9 @@ def main() -> int:
     from bench import _SpinnerPool
 
     base = tempfile.mkdtemp(prefix="curation_scaling_")
-    corpus_path, n_docs = materialize_corpus(args.replicas, base)
+    corpus_path, n_docs = materialize_corpus(
+        args.replicas, base, plant=not args.no_plant)
+    report_plant = not args.no_plant
     ratio = args.n_hi / args.n_lo
     total = os.cpu_count() or 32
 
@@ -270,6 +284,7 @@ def main() -> int:
         "sf_dir": SF_DIR,
         "replicas": args.replicas,
         "n_docs": n_docs,
+        "planted_prefix": report_plant,
         "corpus_files": CORPUS_FILES,
         "ops": {},
     }
