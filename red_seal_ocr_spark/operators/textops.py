@@ -954,3 +954,60 @@ def normalize_text(
         .otherwise((F.col(text_col) != squashed).cast("int"))
         .alias("n_changed"),
     )
+
+
+def chunk_tokens(
+    docs: DataFrame,
+    seq_len: int,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document's token stream into fixed-length training
+    windows — the step between curation and sequence packing: a model
+    with a ``seq_len`` context consumes documents as windows of
+    ``seq_len`` tokens advancing by ``stride`` (``stride < seq_len``
+    overlaps windows, the standard LM-eval sliding window; default
+    ``stride = seq_len`` tiles the document without overlap).
+
+    Output: one row per window — ``(id, chunk_idx, chunk_text,
+    n_tokens)`` with ``chunk_idx`` 0-based in stride order.  The final
+    window may be shorter than ``seq_len`` (``n_tokens`` says so);
+    training callers filter ``n_tokens == seq_len``, eval callers keep
+    the tail.  NULL/blank documents emit no row.
+
+    Scale shape: a pure per-row projection + one explode — ZERO
+    shuffles; tokenization happens once per document and windows are
+    ``slice`` views over the token array, so text bytes are never
+    reshuffled and the op composes with any downstream partitioning.
+    The whitespace tokenization matches ``word_frequencies`` /
+    ``bpe_token_counts`` (the corpus token-count contracts agree); pair
+    with :func:`bpe_token_counts` when windows must count model tokens
+    instead of words.
+    """
+    if seq_len < 1:
+        raise ValueError("seq_len must be >= 1")
+    stride = seq_len if stride is None else stride
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), toks.alias("_toks"))
+        .filter((F.size("_toks") >= 1) & (F.element_at("_toks", 1) != ""))
+    )
+    starts = F.sequence(F.lit(1), F.size("_toks"), F.lit(stride))
+    return (
+        base.select(F.col(id_col), "_toks",
+                    F.posexplode(starts).alias("chunk_idx", "_start"))
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.array_join(
+                F.slice(F.col("_toks"), F.col("_start"), F.lit(seq_len)), " "
+            ).alias("chunk_text"),
+            F.size(
+                F.slice(F.col("_toks"), F.col("_start"), F.lit(seq_len))
+            ).cast("int").alias("n_tokens"),
+        )
+    )

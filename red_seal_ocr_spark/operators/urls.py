@@ -1,0 +1,171 @@
+"""URL canonicalization + URL-keyed dedup — the C4/CCNet front-door
+hygiene pass: crawls re-fetch the same page under cosmetically different
+URLs (tracking params, fragments, case-shifted hosts, default ports,
+trailing slashes), and URL-level dedup removes the bulk of refetch
+duplicates for the cost of a string projection, long before any content
+hashing runs.
+
+Cross-engine discipline (the ``redact_pii`` contract): every regex stays
+inside the Java-regex / RE2 common dialect and every replacement is
+BACKREFERENCE-FREE (Java spells ``$1`` where DuckDB/RE2 spell ``\\1``, so
+replacements that need a capture cannot be shared verbatim).  The q96
+oracle restates the identical step sequence in DuckDB SQL; the local
+gate proves output equality on the synthesized URL corpus.
+
+No reference analog — the reference is a single-image OCR CLI
+(`/root/reference`); this belongs to the training-data tier the engine
+adds on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tracking parameters dropped during canonicalization (marketing /
+# click-id noise; extend per deployment).  Non-capturing group only —
+# see the backreference note in the module docstring.
+TRACKING_PARAMS_RE = "(?:utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref)"
+
+# scheme://host[:port] prefix (group 0 — everything before the first
+# path/query/fragment delimiter)
+_PREFIX_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+
+
+def canonical_url(url_col) -> Column:
+    """Canonical form of a URL as a pure string expression (no UDF, no
+    shuffle; Catalyst folds the whole chain into one projection):
+
+    1. trim surrounding whitespace;
+    2. drop the fragment (``#...`` never reaches the server);
+    3. lowercase the ``scheme://host[:port]`` prefix (scheme and host
+       are case-insensitive; path/query stay case-SENSITIVE);
+    4. drop default ports (``http://...:80``, ``https://...:443``);
+    5. drop tracking query parameters (:data:`TRACKING_PARAMS_RE`) —
+       via the ``?`` -> ``?&`` marking trick so the first parameter
+       needs no backreference — then a now-dangling ``?``;
+    6. drop a trailing ``/`` when the URL has no query (pure-path
+       trailing slashes are overwhelmingly cosmetic; query-bearing URLs
+       are left alone because ``/`` inside them can be meaningful).
+
+    Parameter ORDER is preserved (reordering changes semantics on some
+    endpoints); canonicalization is idempotent — tested property.
+
+    This Column form is for ad-hoc composition; batch pipelines should
+    use :func:`with_canonical_url` — as ONE expression the chain
+    re-inlines its intermediates at every reference and the expanded
+    tree knocks whole-stage codegen out (janino method-size limit).
+    """
+    u = F.trim(url_col if isinstance(url_col, Column) else F.col(url_col))
+    u = F.regexp_replace(u, "#.*", "")
+    pfx = F.regexp_extract(u, _PREFIX_RE, 0)
+    low = F.lower(pfx)
+    low = F.when(
+        low.startswith("http://") & low.endswith(":80"),
+        F.substring(low, 1, F.length(low) - 3),
+    ).when(
+        low.startswith("https://") & low.endswith(":443"),
+        F.substring(low, 1, F.length(low) - 4),
+    ).otherwise(low)
+    u = F.concat(low, F.substring(u, F.length(pfx) + 1, F.length(u)))
+    u = F.regexp_replace(u, r"\?", "?&")
+    u = F.regexp_replace(u, "&" + TRACKING_PARAMS_RE + "=[^&#]*", "")
+    u = F.regexp_replace(u, r"\?&", "?")
+    u = F.regexp_replace(u, r"\?$", "")
+    return F.when(
+        u.endswith("/") & ~u.contains("?"),
+        F.substring(u, 1, F.length(u) - 1),
+    ).otherwise(u)
+
+
+def with_canonical_url(
+    df: DataFrame,
+    url_col: str = "url",
+    out_col: str = "canonical_url",
+) -> DataFrame:
+    """:func:`canonical_url` as STAGED projections — the form the batch
+    path must use.  The single-Column form re-inlines every intermediate
+    at each reference (the trailing-slash CASE alone references the
+    whole upstream chain three times), and the expanded tree blows past
+    janino's method-size limit: whole-stage codegen bails to interpreted
+    eval (observed on the q96 plan).  Naming each step as a column keeps
+    multi-referenced intermediates as attributes — CollapseProject
+    refuses to inline non-cheap aliases referenced more than once, so
+    the plan stays small and codegen stays on.  Same output, same
+    zero-shuffle scale shape."""
+    u_raw = url_col if isinstance(url_col, Column) else F.col(url_col)
+    u1 = F.regexp_replace(F.trim(u_raw), "#.*", "")
+    out = df.withColumn("_url_u1", u1)
+    out = out.withColumn(
+        "_url_pfx", F.regexp_extract(F.col("_url_u1"), _PREFIX_RE, 0))
+    low = F.lower(F.col("_url_pfx"))
+    out = out.withColumn("_url_low", low)
+    low2 = F.when(
+        F.col("_url_low").startswith("http://")
+        & F.col("_url_low").endswith(":80"),
+        F.substring(F.col("_url_low"), 1, F.length(F.col("_url_low")) - 3),
+    ).when(
+        F.col("_url_low").startswith("https://")
+        & F.col("_url_low").endswith(":443"),
+        F.substring(F.col("_url_low"), 1, F.length(F.col("_url_low")) - 4),
+    ).otherwise(F.col("_url_low"))
+    u2 = F.concat(
+        low2,
+        F.substring(
+            F.col("_url_u1"),
+            F.length(F.col("_url_pfx")) + 1,
+            F.length(F.col("_url_u1")),
+        ),
+    )
+    u3 = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(u2, r"\?", "?&"),
+            "&" + TRACKING_PARAMS_RE + "=[^&#]*", ""),
+        r"\?&", "?")
+    out = out.withColumn("_url_u3", F.regexp_replace(u3, r"\?$", ""))
+    final = F.when(
+        F.col("_url_u3").endswith("/") & ~F.col("_url_u3").contains("?"),
+        F.substring(
+            F.col("_url_u3"), 1, F.length(F.col("_url_u3")) - 1),
+    ).otherwise(F.col("_url_u3"))
+    return (
+        out.withColumn(out_col, final)
+        .drop("_url_u1", "_url_pfx", "_url_low", "_url_u3")
+    )
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep-one URL dedup: rows whose canonical URL collides keep only
+    the minimum ``id_col`` owner (the deterministic keep rule every
+    dedup family here uses).  Row-preserving on survivors: output is the
+    input columns + ``canonical_url`` + ``url_dups`` (how many rows
+    collapsed into this survivor — 1 for unique URLs).
+
+    Scale shape: one map-side-combinable ``groupBy(canonical)`` with
+    ``min(id)`` + ``count`` and one equi-join back on ``(canonical,
+    id)`` — no window, no text bytes through the shuffle (only the
+    canonical string and the id move).  Hot URLs (a crawl fetching one
+    page millions of times) pre-reduce map-side exactly like
+    ``repeated_paragraph_dedup``'s hot paragraphs.
+    """
+    with_canon = with_canonical_url(df, url_col)
+    keep = (
+        with_canon.groupBy("canonical_url")
+        .agg(
+            F.min(id_col).alias("_keep_id"),
+            F.count(F.lit(1)).alias("url_dups"),
+        )
+    )
+    return (
+        with_canon.join(
+            keep,
+            (with_canon["canonical_url"] == keep["canonical_url"])
+            & (with_canon[id_col] == keep["_keep_id"]),
+        )
+        .drop(keep["canonical_url"])
+        .drop("_keep_id")
+    )

@@ -2756,3 +2756,132 @@ ORACLE_SQL_2["q95_train_shards"] = """
     )
     ORDER BY shard, shard_pos
 """
+
+
+def q96_url_dedup(spark, sf):
+    """URL canonicalization + keep-one URL dedup over a deterministic
+    synthesized URL corpus: five variants per collision group differing
+    only cosmetically (host case, default port, tracking param,
+    fragment) plus one real-query variant.  The LIVE oracle restates the
+    construction AND the canonicalization step sequence verbatim
+    (backreference-free regex discipline, like the PII tier).
+
+    Plan note: THIS query's fused stage drops out of whole-stage codegen
+    (janino 64 KB) because the 5-branch synthetic URL constructor stacks
+    on top of the canonicalization chain — a harness artifact at gate
+    scale.  The bare operator keeps codegen: `url_dedup` over a plain
+    url column compiles clean (probed, 0 codegen-disabled warnings) —
+    `with_canonical_url`'s staged projections exist exactly so the
+    operator's own chain never re-inlines."""
+    from ..operators.urls import url_dedup
+
+    d = _t(spark, sf, "documents")
+    m = (F.col("doc_id") % 50).cast("string")
+    h = (F.col("doc_id") % 50 % 7).cast("string")
+    v = F.expr("(doc_id div 50) % 5")
+    url = (
+        F.when(v == 0, F.concat(F.lit("http://example"), h, F.lit(".com/p"), m))
+        .when(v == 1, F.concat(F.lit("HTTP://EXAMPLE"), h, F.lit(".COM:80/p"), m))
+        .when(v == 2, F.concat(F.lit("http://example"), h, F.lit(".com/p"), m,
+                               F.lit("?utm_source=feed")))
+        .when(v == 3, F.concat(F.lit("http://example"), h, F.lit(".com/p"), m,
+                               F.lit("#sec")))
+        .otherwise(F.concat(F.lit("http://example"), h, F.lit(".com/p"), m,
+                            F.lit("?a=1&gclid=xyz")))
+    )
+    return (
+        url_dedup(d.select("doc_id", url.alias("url")))
+        .select("doc_id", "canonical_url",
+                F.col("url_dups").cast("int").alias("url_dups"))
+        .orderBy("canonical_url", "doc_id")
+    )
+
+
+SPARK_QUERIES_2["q96_url_dedup"] = q96_url_dedup
+ORACLE_SQL_2["q96_url_dedup"] = """
+    WITH u0 AS (
+        SELECT doc_id,
+               CASE ((doc_id // 50) % 5)
+                 WHEN 0 THEN 'http://example' || (doc_id % 50 % 7) || '.com/p' || (doc_id % 50)
+                 WHEN 1 THEN 'HTTP://EXAMPLE' || (doc_id % 50 % 7) || '.COM:80/p' || (doc_id % 50)
+                 WHEN 2 THEN 'http://example' || (doc_id % 50 % 7) || '.com/p' || (doc_id % 50) || '?utm_source=feed'
+                 WHEN 3 THEN 'http://example' || (doc_id % 50 % 7) || '.com/p' || (doc_id % 50) || '#sec'
+                 ELSE 'http://example' || (doc_id % 50 % 7) || '.com/p' || (doc_id % 50) || '?a=1&gclid=xyz'
+               END AS url
+        FROM documents
+    ),
+    c1 AS (SELECT doc_id, regexp_replace(trim(url), '#.*', '', 'g') AS u FROM u0),
+    c2 AS (SELECT doc_id, u,
+                  regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*') AS pfx
+           FROM c1),
+    c3 AS (SELECT doc_id,
+                  CASE WHEN starts_with(lower(pfx), 'http://')
+                            AND ends_with(lower(pfx), ':80')
+                       THEN substr(lower(pfx), 1, length(pfx) - 3)
+                       WHEN starts_with(lower(pfx), 'https://')
+                            AND ends_with(lower(pfx), ':443')
+                       THEN substr(lower(pfx), 1, length(pfx) - 4)
+                       ELSE lower(pfx) END
+                  || substr(u, length(pfx) + 1) AS u
+           FROM c2),
+    c4 AS (SELECT doc_id,
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(u, '\\?', '?&', 'g'),
+                      '&(?:utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref)=[^&#]*',
+                      '', 'g'),
+                    '\\?&', '?', 'g') AS u
+           FROM c3),
+    c5 AS (SELECT doc_id, regexp_replace(u, '\\?$', '', 'g') AS u FROM c4),
+    c6 AS (SELECT doc_id,
+                  CASE WHEN u LIKE '%/' AND u NOT LIKE '%?%'
+                       THEN substr(u, 1, length(u) - 1) ELSE u END
+                  AS canonical_url
+           FROM c5),
+    keep AS (
+        SELECT canonical_url, MIN(doc_id) AS keep_id,
+               COUNT(*) AS url_dups
+        FROM c6 GROUP BY canonical_url
+    )
+    SELECT c6.doc_id, c6.canonical_url AS canonical_url,
+           CAST(k.url_dups AS INT) AS url_dups
+    FROM c6 JOIN keep k
+      ON c6.canonical_url = k.canonical_url AND c6.doc_id = k.keep_id
+    ORDER BY c6.canonical_url, c6.doc_id
+"""
+
+
+def q97_token_chunks(spark, sf):
+    """Fixed-length training windows with overlap (seq_len 32, stride
+    24) over the whitespace token stream — the chunking step between
+    curation and packing.  Pure projection + explode (zero shuffle);
+    the LIVE oracle states the identical slicing arithmetic."""
+    from ..operators.textops import chunk_tokens
+
+    d = _t(spark, sf, "documents")
+    return (
+        chunk_tokens(d, seq_len=32, stride=24)
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+SPARK_QUERIES_2["q97_token_chunks"] = q97_token_chunks
+ORACLE_SQL_2["q97_token_chunks"] = """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents
+        WHERE text IS NOT NULL
+    ),
+    nz AS (SELECT doc_id, t FROM toks WHERE len(t) >= 1 AND t[1] <> ''),
+    starts AS (
+        SELECT doc_id, t,
+               unnest(generate_series(1, len(t), 24)) AS s
+        FROM nz
+    )
+    SELECT doc_id,
+           CAST((s - 1) // 24 AS INT) AS chunk_idx,
+           array_to_string(list_slice(t, s, s + 31), ' ') AS chunk_text,
+           CAST(len(list_slice(t, s, s + 31)) AS INT) AS n_tokens
+    FROM starts
+    ORDER BY doc_id, chunk_idx
+"""

@@ -1059,3 +1059,114 @@ def test_tokenizer_merges_retrain_replaces_artifact(spark, tmp_path):
                            {"n_merges": 1})
     assert read_tokenizer_merges(spark, t,
                                  expect_params={"n_merges": 1}) == [("x", "y")]
+
+
+# ---------------------------------------------------------------------------
+# token-window chunking + URL canonicalization
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_tokens_semantics(spark):
+    """Known doc, seq_len=3, stride=2: windows [abc][cde][efg][g]."""
+    import pytest
+    from red_seal_ocr_spark.operators.textops import chunk_tokens
+
+    d = spark.createDataFrame(
+        [(1, "A b C d e f G"), (2, None), (3, "   "), (4, "solo")],
+        "doc_id bigint, text string",
+    )
+    rows = sorted(
+        (r.doc_id, r.chunk_idx, r.chunk_text, r.n_tokens)
+        for r in chunk_tokens(d, seq_len=3, stride=2).collect()
+    )
+    assert rows == [
+        (1, 0, "a b c", 3),
+        (1, 1, "c d e", 3),
+        (1, 2, "e f g", 3),
+        (1, 3, "g", 1),
+        (4, 0, "solo", 1),
+    ]
+    with pytest.raises(ValueError):
+        chunk_tokens(d, seq_len=0)
+    with pytest.raises(ValueError):
+        chunk_tokens(d, seq_len=3, stride=0)
+
+
+def test_chunk_tokens_tiling_reconstructs_stream(spark):
+    """Default stride == seq_len tiles: re-joining the chunks in
+    chunk_idx order reproduces the (lowercased) token stream exactly."""
+    from pyspark.sql import functions as F
+
+    from red_seal_ocr_spark.operators.textops import chunk_tokens
+
+    d = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(i + 1))) for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    back = (
+        chunk_tokens(d, seq_len=7)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                ).getField("chunk_text"),
+                " ",
+            ).alias("rejoined"),
+            F.sum("n_tokens").alias("total"),
+        )
+    )
+    joined = back.join(d, "doc_id").collect()
+    assert len(joined) == 40
+    for r in joined:
+        assert r.rejoined == r.text.lower()
+        assert r.total == len(r.text.split())
+
+
+def test_canonical_url_cases_and_idempotence(spark):
+    from pyspark.sql import functions as F
+
+    from red_seal_ocr_spark.operators.urls import canonical_url
+
+    cases = [
+        ("  http://Example.COM/Path#frag  ", "http://example.com/Path"),
+        ("HTTP://HOST.org:80/a", "http://host.org/a"),
+        ("https://Host.org:443/a?x=1", "https://host.org/a?x=1"),
+        ("https://host.org:8443/a", "https://host.org:8443/a"),
+        ("http://h.com/p?utm_source=x&q=2", "http://h.com/p?q=2"),
+        ("http://h.com/p?q=2&utm_campaign=x", "http://h.com/p?q=2"),
+        ("http://h.com/p?utm_a=1&utm_b=2", "http://h.com/p"),
+        ("http://h.com/p?gclid=z", "http://h.com/p"),
+        ("http://h.com/dir/", "http://h.com/dir"),
+        ("http://h.com/", "http://h.com"),
+        ("http://h.com/p?q=1&ref=rss&r=2", "http://h.com/p?q=1&r=2"),
+        # case preserved in path/query; no scheme -> passthrough shape
+        ("http://h.com/CaseSensitive?Q=Up", "http://h.com/CaseSensitive?Q=Up"),
+    ]
+    d = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.c for r in d.select(canonical_url("url").alias("c")).collect()]
+    assert got == [want for _, want in cases]
+    # idempotence: canonicalizing a canonical URL is the identity
+    d2 = spark.createDataFrame([(c,) for c in got], "url string")
+    again = [r.c for r in d2.select(canonical_url("url").alias("c")).collect()]
+    assert again == got
+
+
+def test_url_dedup_keep_min_and_counts(spark):
+    from red_seal_ocr_spark.operators.urls import url_dedup
+
+    d = spark.createDataFrame(
+        [
+            (3, "http://A.com/x"),
+            (1, "HTTP://a.com:80/x#top"),
+            (2, "http://a.com/x?utm_source=t"),
+            (9, "http://b.com/y"),
+        ],
+        "doc_id bigint, url string",
+    )
+    rows = {r.doc_id: (r.canonical_url, r.url_dups)
+            for r in url_dedup(d).collect()}
+    assert rows == {
+        1: ("http://a.com/x", 3),
+        9: ("http://b.com/y", 1),
+    }
