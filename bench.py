@@ -442,8 +442,8 @@ def _curation_scaling_section() -> str:
         return ""
     lines = [
         "",
-        "## Curation-tier operator scaling (4 -> 16, same methodology,",
-        "own windows)",
+        "## Curation-tier operator scaling (N -> 4N pairs, same",
+        "methodology, own windows)",
         "",
         "Supplementary per-operator evidence for the round-6 curation tier",
         "(`tools/curation_scaling.py`; corpus materialized in 64 files —",
@@ -461,11 +461,19 @@ def _curation_scaling_section() -> str:
     for name, d in runs:
         n = d.get("n_docs", 0)
         for op, o in d.get("ops", {}).items():
-            lo = min(o.get("times_local4", [float("nan")]))
-            hi = min(o.get("times_local16", [float("nan")]))
+            # level keys are parameterized by --n-lo/--n-hi: discover
+            # them from the JSON instead of assuming 4/16
+            tkeys = sorted(
+                (int(k[len("times_local"):]) for k in o
+                 if k.startswith("times_local")))
+            if len(tkeys) != 2:
+                continue
+            n_lo, n_hi = tkeys
+            lo = min(o[f"times_local{n_lo}"])
+            hi = min(o[f"times_local{n_hi}"])
             lines.append(
-                f"| {op} | {n} | {lo:.1f} | {hi:.1f} | "
-                f"{o.get('dps_local16', float('nan')):.0f} | "
+                f"| {op} ({n_lo}->{n_hi}) | {n} | {lo:.1f} | {hi:.1f} | "
+                f"{o.get(f'dps_local{n_hi}', float('nan')):.0f} | "
                 f"{o.get('efficiency_median_round', float('nan')):.3f} |"
             )
     lines += [

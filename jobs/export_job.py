@@ -57,9 +57,14 @@ def main(argv: list[str] | None = None) -> int:
         )
         rows = manifest.collect()
         total = sum(r.n_rows for r in rows)
-        print(f"shards: {len(rows)}  rows: {total}  "
-              f"min/max shard: {min(r.n_rows for r in rows)}/"
-              f"{max(r.n_rows for r in rows)}")
+        if rows:
+            print(f"shards: {len(rows)}  rows: {total}  "
+                  f"min/max shard: {min(r.n_rows for r in rows)}/"
+                  f"{max(r.n_rows for r in rows)}")
+        else:
+            # an over-aggressive upstream funnel can legitimately leave 0
+            # docs; the (empty) shard table + manifest are still committed
+            print("shards: 0  rows: 0  (empty input)")
         print(f"exported in {time.time() - t0:.1f}s -> {args.output}")
         return 0
     finally:

@@ -298,14 +298,20 @@ def mix_to_token_budget(
 
     Scale shape: the budget table broadcasts (|strata| rows); one window
     shuffle keyed by the stratum.  A single giant stratum funnels into
-    one task exactly like ``mix_to_target``; ``salt_partitions=n``
-    applies the same provably-identical two-phase construction — phase 1
-    keeps, within each ``(stratum, crc32(id) % n)`` sub-bucket, the rows
-    whose WITHIN-BUCKET running sum is ``<= B_s``.  Every member of the
-    true prefix has within-bucket cum <= global cum <= B_s (sums of
-    non-negative counts over a subset), so phase 1 keeps a superset and
-    the phase-2 global window over survivors (at most ~B_s tokens per
-    sub-bucket) returns the identical prefix.
+    one task; ``salt_partitions=n`` bounds it with a RANGE-bucketed
+    distributed prefix sum (the classic two-pass scan): buckets are
+    contiguous ranges of the hash order (top hex digits of the md5 key),
+    so the exact global running sum decomposes as ``bucket offset +
+    within-bucket running sum``, where the offsets are the exclusive
+    prefix sums of the n per-bucket totals (a tiny broadcast table).
+    Output is BIT-IDENTICAL to the single-phase window by construction —
+    not the rank-quota trick ``mix_to_target`` uses: that argument is
+    sound for COUNT quotas (every true-prefix member survives phase 1
+    and precedes any later row, pushing its recomputed rank past the
+    quota) but NOT for token sums, where a phase-1-dropped heavy row
+    would deflate later survivors' recomputed sums and admit rows past
+    the true boundary.  Hash sub-buckets cannot carry exact prefix
+    sums; contiguous range buckets can.
     """
     from pyspark.sql import Window
 
@@ -329,20 +335,42 @@ def mix_to_token_budget(
         )).cast("bigint"),
     ).otherwise(tok)
     filtered = df.join(F.broadcast(b_df), strata_col)
-    order = [sample_key(F.col(id_col), salt), F.col(id_col)]
+    key = sample_key(F.col(id_col), salt)
+    order = [key, F.col(id_col)]
     frame = Window.unboundedPreceding, Window.currentRow
     if salt_partitions is not None and salt_partitions > 1:
-        bucket = F.pmod(
-            F.crc32(F.col(id_col).cast("string")), F.lit(salt_partitions)
-        )
+        n = salt_partitions
+        # contiguous RANGE buckets of the hash order: the numeric value
+        # of the key's first 4 hex chars is monotone in the key's
+        # lexicographic order, so bucket boundaries respect the global
+        # sort and per-bucket prefix sums compose exactly
+        bval = F.conv(F.substring(key, 1, 4), 16, 10).cast("bigint")
+        stage = filtered.withColumn(
+            "_mix_bucket", F.floor(bval * n / 65536).cast("int"))
         w1 = (
-            Window.partitionBy(F.col(strata_col), bucket)
+            Window.partitionBy(strata_col, "_mix_bucket")
             .orderBy(*order).rowsBetween(*frame)
         )
-        filtered = (
-            filtered.withColumn("_mix_sub_cum", F.sum(checked_tok).over(w1))
-            .filter(F.col("_mix_sub_cum") <= F.col("_mix_budget"))
-            .drop("_mix_sub_cum")
+        stage = stage.withColumn(
+            "_mix_local_cum", F.sum(checked_tok).over(w1))
+        totals = stage.groupBy(strata_col, "_mix_bucket").agg(
+            F.sum(checked_tok).alias("_mix_btot"))
+        woff = (
+            Window.partitionBy(strata_col).orderBy("_mix_bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = totals.select(
+            strata_col, "_mix_bucket",
+            F.coalesce(F.sum("_mix_btot").over(woff), F.lit(0))
+            .alias("_mix_off"),
+        )
+        return (
+            stage.join(F.broadcast(offsets), [strata_col, "_mix_bucket"])
+            .withColumn(
+                "mix_tokens_cum",
+                F.col("_mix_off") + F.col("_mix_local_cum"))
+            .filter(F.col("mix_tokens_cum") <= F.col("_mix_budget"))
+            .drop("_mix_budget", "_mix_bucket", "_mix_local_cum", "_mix_off")
         )
     w = Window.partitionBy(strata_col).orderBy(*order).rowsBetween(*frame)
     return (

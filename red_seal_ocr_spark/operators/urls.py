@@ -41,9 +41,11 @@ def canonical_url(url_col) -> Column:
     3. lowercase the ``scheme://host[:port]`` prefix (scheme and host
        are case-insensitive; path/query stay case-SENSITIVE);
     4. drop default ports (``http://...:80``, ``https://...:443``);
-    5. drop tracking query parameters (:data:`TRACKING_PARAMS_RE`) —
-       via the ``?`` -> ``?&`` marking trick so the first parameter
-       needs no backreference — then a now-dangling ``?``;
+    5. drop tracking query parameters (:data:`TRACKING_PARAMS_RE`):
+       split at the FIRST ``?`` (later ``?``s are query data), prepend
+       ``&`` so the first parameter needs no backreference, remove
+       ``&name=value`` runs, strip leading ``&``s, and drop the ``?``
+       entirely when nothing survives;
     6. drop a trailing ``/`` when the URL has no query (pure-path
        trailing slashes are overwhelmingly cosmetic; query-bearing URLs
        are left alone because ``/`` inside them can be meaningful).
@@ -68,14 +70,25 @@ def canonical_url(url_col) -> Column:
         F.substring(low, 1, F.length(low) - 4),
     ).otherwise(low)
     u = F.concat(low, F.substring(u, F.length(pfx) + 1, F.length(u)))
-    u = F.regexp_replace(u, r"\?", "?&")
-    u = F.regexp_replace(u, "&" + TRACKING_PARAMS_RE + "=[^&#]*", "")
-    u = F.regexp_replace(u, r"\?&", "?")
-    u = F.regexp_replace(u, r"\?$", "")
+    # split at the FIRST '?': later '?'s are query DATA (RFC 3986), so a
+    # global '?'-marking regex would turn a literal '?' inside a removed
+    # tracking value into a fake parameter boundary (review finding —
+    # canonical_url('..?utm_source=a?b') must yield the bare path)
+    pos = F.instr(u, "?")
+    path = F.when(pos == 0, u).otherwise(F.substring(u, 1, pos - 1))
+    qry = F.when(pos == 0, F.lit("")).otherwise(
+        F.substring(u, pos + 1, F.length(u)))
+    q2 = F.regexp_replace(
+        F.concat(F.lit("&"), qry),
+        "&" + TRACKING_PARAMS_RE + "=[^&]*", "")
+    q3 = F.regexp_replace(q2, "^&+", "")
     return F.when(
-        u.endswith("/") & ~u.contains("?"),
-        F.substring(u, 1, F.length(u) - 1),
-    ).otherwise(u)
+        q3 == "",
+        F.when(
+            path.endswith("/"),
+            F.substring(path, 1, F.length(path) - 1),
+        ).otherwise(path),
+    ).otherwise(F.concat(path, F.lit("?"), q3))
 
 
 def with_canonical_url(
@@ -117,20 +130,36 @@ def with_canonical_url(
             F.length(F.col("_url_u1")),
         ),
     )
-    u3 = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(u2, r"\?", "?&"),
-            "&" + TRACKING_PARAMS_RE + "=[^&#]*", ""),
-        r"\?&", "?")
-    out = out.withColumn("_url_u3", F.regexp_replace(u3, r"\?$", ""))
-    final = F.when(
-        F.col("_url_u3").endswith("/") & ~F.col("_url_u3").contains("?"),
+    out = out.withColumn("_url_u2", u2)
+    out = out.withColumn("_url_pos", F.instr(F.col("_url_u2"), "?"))
+    out = out.withColumn(
+        "_url_path",
+        F.when(F.col("_url_pos") == 0, F.col("_url_u2")).otherwise(
+            F.substring(F.col("_url_u2"), 1, F.col("_url_pos") - 1)),
+    )
+    qry = F.when(F.col("_url_pos") == 0, F.lit("")).otherwise(
         F.substring(
-            F.col("_url_u3"), 1, F.length(F.col("_url_u3")) - 1),
-    ).otherwise(F.col("_url_u3"))
+            F.col("_url_u2"),
+            F.col("_url_pos") + 1,
+            F.length(F.col("_url_u2")),
+        ))
+    q2 = F.regexp_replace(
+        F.concat(F.lit("&"), qry),
+        "&" + TRACKING_PARAMS_RE + "=[^&]*", "")
+    out = out.withColumn("_url_q3", F.regexp_replace(q2, "^&+", ""))
+    final = F.when(
+        F.col("_url_q3") == "",
+        F.when(
+            F.col("_url_path").endswith("/"),
+            F.substring(
+                F.col("_url_path"), 1, F.length(F.col("_url_path")) - 1),
+        ).otherwise(F.col("_url_path")),
+    ).otherwise(
+        F.concat(F.col("_url_path"), F.lit("?"), F.col("_url_q3")))
     return (
         out.withColumn(out_col, final)
-        .drop("_url_u1", "_url_pfx", "_url_low", "_url_u3")
+        .drop("_url_u1", "_url_pfx", "_url_low", "_url_u2",
+              "_url_pos", "_url_path", "_url_q3")
     )
 
 

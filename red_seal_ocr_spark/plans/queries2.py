@@ -2824,19 +2824,24 @@ ORACLE_SQL_2["q96_url_dedup"] = """
                        ELSE lower(pfx) END
                   || substr(u, length(pfx) + 1) AS u
            FROM c2),
-    c4 AS (SELECT doc_id,
+    c4 AS (SELECT doc_id, u, instr(u, '?') AS pos FROM c3),
+    c5 AS (SELECT doc_id,
+                  CASE WHEN pos = 0 THEN u
+                       ELSE substr(u, 1, pos - 1) END AS path,
                   regexp_replace(
                     regexp_replace(
-                      regexp_replace(u, '\\?', '?&', 'g'),
-                      '&(?:utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref)=[^&#]*',
+                      '&' || CASE WHEN pos = 0 THEN ''
+                                  ELSE substr(u, pos + 1) END,
+                      '&(?:utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref)=[^&]*',
                       '', 'g'),
-                    '\\?&', '?', 'g') AS u
-           FROM c3),
-    c5 AS (SELECT doc_id, regexp_replace(u, '\\?$', '', 'g') AS u FROM c4),
+                    '^&+', '', 'g') AS q3
+           FROM c4),
     c6 AS (SELECT doc_id,
-                  CASE WHEN u LIKE '%/' AND u NOT LIKE '%?%'
-                       THEN substr(u, 1, length(u) - 1) ELSE u END
-                  AS canonical_url
+                  CASE WHEN q3 = '' THEN
+                         CASE WHEN path LIKE '%/'
+                              THEN substr(path, 1, length(path) - 1)
+                              ELSE path END
+                       ELSE path || '?' || q3 END AS canonical_url
            FROM c5),
     keep AS (
         SELECT canonical_url, MIN(doc_id) AS keep_id,

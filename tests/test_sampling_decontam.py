@@ -511,15 +511,28 @@ def test_mix_to_token_budget_matches_python_prefix(spark):
 
 
 def test_mix_to_token_budget_salted_two_phase_identical(spark):
+    """Range-bucketed distributed prefix sum == single window, on an
+    ADVERSARIAL fixture: token counts up to ~half the budget, so the
+    budget boundary is crossed inside many buckets (the regime where the
+    rank-quota-style hash-bucket trick provably diverges — a dropped
+    heavy row would deflate later survivors' recomputed sums; range
+    buckets carry exact offsets instead)."""
+    from pyspark.sql import functions as F
+
     from red_seal_ocr_spark.operators.sampling import mix_to_token_budget
 
-    budgets = {"src0": 500, "src1": 900}
-    d = _tok_docs(spark)
+    budgets = {"src0": 500, "src1": 900, "src2": 60}
+    d = spark.range(600).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 3).cast("string")).alias("source"),
+        ((F.col("id") * 193) % 260 + 1).cast("bigint").alias("toks"),
+    )
     base = {
         (r.doc_id, r.mix_tokens_cum)
         for r in mix_to_token_budget(d, "source", budgets, "toks").collect()
     }
-    for n in (1, 4, 64):
+    assert base  # budgets admit at least the first-ranked small docs
+    for n in (2, 4, 64):
         salted = {
             (r.doc_id, r.mix_tokens_cum)
             for r in mix_to_token_budget(

@@ -1142,6 +1142,11 @@ def test_canonical_url_cases_and_idempotence(spark):
         ("http://h.com/p?q=1&ref=rss&r=2", "http://h.com/p?q=1&r=2"),
         # case preserved in path/query; no scheme -> passthrough shape
         ("http://h.com/CaseSensitive?Q=Up", "http://h.com/CaseSensitive?Q=Up"),
+        # literal '?' is legal query DATA (RFC 3986): only the FIRST '?'
+        # delimits, so a '?' inside a removed tracking value must vanish
+        # with it and a '?' inside a kept value must survive
+        ("http://h.com/p?utm_source=a?b", "http://h.com/p"),
+        ("http://h.com/p?q=a?b&utm_x=1", "http://h.com/p?q=a?b"),
     ]
     d = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r.c for r in d.select(canonical_url("url").alias("c")).collect()]
