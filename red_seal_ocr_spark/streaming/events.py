@@ -169,6 +169,35 @@ def streaming_exact_dedup(docs: DataFrame, watermark: str = "1 hour") -> DataFra
     )
 
 
+def streaming_url_dedup(docs: DataFrame, url_col: str = "url",
+                        watermark: str = "1 hour") -> DataFrame:
+    """Stateful streaming URL dedup — the streaming twin of
+    ``urls.url_dedup``, and the cheapest dedup a crawl-ingest stream can
+    run (a refetched page is dropped on its URL string before any text
+    ever enters the pipeline): emit only the first occurrence of each
+    CANONICAL url (``urls.with_canonical_url`` semantics — fragments,
+    tracking params, default ports, host case, trailing slashes
+    collapse), state bounded by the event-time watermark via
+    ``dropDuplicatesWithinWatermark``, keyed by the canonical string
+    only — the same state-store shape as ``streaming_exact_dedup`` with
+    URLs instead of fingerprints.
+
+    Input schema: (..., ts, <url_col>).  Output: input rows +
+    ``canonical_url`` minus later duplicates (exactly-once per canonical
+    URL within the watermark).  Batch/streaming keep rules differ by
+    design: the batch op keeps the MIN id of a group, the stream keeps
+    the FIRST ARRIVAL — the only keep rule a stream can implement
+    without holding the group open forever.
+    """
+    from ..operators.urls import with_canonical_url
+
+    return (
+        with_canonical_url(docs, url_col)
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["canonical_url"])
+    )
+
+
 NEAR_DUP_SCHEMA = (
     "doc_id bigint, ts timestamp, band int, bucket bigint, "
     "first_doc_id bigint, first_ts timestamp"

@@ -348,3 +348,43 @@ def test_streaming_nb_one_class_model_scores_nothing(spark, tmp_path):
     stats_dir = str(tmp_path / "nb_one")
     s1 = update_nb_stats(spark, b1, stats_dir, batch_id=0)
     assert score_batch_nb(b1, s1).count() == 0  # prior undefined -> no rows
+
+
+def test_streaming_url_dedup(spark, tmp_path):
+    """Streaming URL dedup keeps one row per CANONICAL url across
+    micro-batches: cosmetic variants (case, default port, tracking
+    param, fragment) collapse onto the first arrival."""
+    from datetime import datetime
+
+    from red_seal_ocr_spark.streaming.events import (
+        run_stream_once,
+        streaming_url_dedup,
+    )
+
+    schema = "doc_id bigint, ts timestamp, url string"
+    t = lambda m: datetime(2026, 1, 1, 10, m)  # noqa: E731
+    rows = [
+        (1, t(0), "http://a.com/x"),
+        (2, t(1), "HTTP://A.com:80/x#top"),        # canonical dup of 1
+        (3, t(2), "http://b.com/y?q=1"),
+        (4, t(3), "http://a.com/x?utm_source=t"),  # dup of 1 again
+        (5, t(4), "http://b.com/y?q=2"),           # different query: kept
+    ]
+    src = str(tmp_path / "url_stream")
+    spark.createDataFrame(rows[:3], schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(rows[3:], schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = run_stream_once(streaming_url_dedup(stream), "url_dedup_sink")
+    got = {r.doc_id: r.canonical_url for r in out.collect()}
+    # one representative per canonical url: {1,2,4} collapse, 3 and 5 stay
+    assert len(got) == 3
+    assert sum(i in got for i in (1, 2, 4)) == 1
+    assert got[3] == "http://b.com/y?q=1"
+    assert got[5] == "http://b.com/y?q=2"
+    assert set(got.values()) == {
+        "http://a.com/x", "http://b.com/y?q=1", "http://b.com/y?q=2"}
