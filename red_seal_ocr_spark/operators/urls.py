@@ -53,42 +53,59 @@ def canonical_url(url_col) -> Column:
     Parameter ORDER is preserved (reordering changes semantics on some
     endpoints); canonicalization is idempotent — tested property.
 
-    This Column form is for ad-hoc composition; batch pipelines should
-    use :func:`with_canonical_url` — as ONE expression the chain
-    re-inlines its intermediates at every reference and the expanded
-    tree knocks whole-stage codegen out (janino method-size limit).
+    EXPRESSION-TREE DISCIPLINE (the scale dial, 4th recurrence): when
+    this chain is used as a groupBy key or join key the optimizer
+    collapses every staged alias back INTO the aggregate/join codegen
+    (and `InferFiltersFromConstraints` pushes an ``isnotnull(<full
+    chain>)`` join-key filter all the way to the scan), so each step's
+    references to its parent MULTIPLY: the old when/substring form hit
+    ~4 × 2 × 7 ≈ 56 inlined copies of the prefix-extract chain → past
+    janino's 64 KB method limit → whole-stage codegen OFF on the q96
+    plan (observed).  Every step below therefore references its parent
+    expression exactly ONCE — leftmost-``?`` split, port-drop and
+    trailing-slash drop as single regexes (bounded lookbehinds, Java
+    regex side only; the cross-engine oracle keeps its equivalent
+    CASE/substr construction since RE2 lacks lookbehind) — so the fully
+    inlined tree is linear in the step count and codegen stays ON even
+    inside ``hashAgg_doAggregateWithKeys``.  The lookbehind bounds
+    (1 000 chars of authority, 60 000 chars of URL) only diverge from
+    the CASE form on degenerate longer inputs, documented here.
     """
     u = F.trim(url_col if isinstance(url_col, Column) else F.col(url_col))
-    u = F.regexp_replace(u, "#.*", "")
-    pfx = F.regexp_extract(u, _PREFIX_RE, 0)
-    low = F.lower(pfx)
-    low = F.when(
-        low.startswith("http://") & low.endswith(":80"),
-        F.substring(low, 1, F.length(low) - 3),
-    ).when(
-        low.startswith("https://") & low.endswith(":443"),
-        F.substring(low, 1, F.length(low) - 4),
-    ).otherwise(low)
-    u = F.concat(low, F.substring(u, F.length(pfx) + 1, F.length(u)))
+    u1 = F.regexp_replace(u, "#.*", "")
+    low = F.lower(F.regexp_extract(u1, _PREFIX_RE, 0))
+    # default-port drop as two anchored lookbehind regexes (ONE parent
+    # reference; ':80$' after a literal '^http://' + port-free tail is
+    # exactly the startswith/endswith CASE — the prefix contains no
+    # path/query chars by _PREFIX_RE construction)
+    low2 = F.regexp_replace(
+        F.regexp_replace(low, "(?<=^http://[^?#]{0,1000}):80$", ""),
+        "(?<=^https://[^?#]{0,1000}):443$", "")
+    # the remainder after the prefix: the SAME anchored regex that
+    # extracted the prefix, as a removal — one reference to u1, no
+    # length() arithmetic (no match → no removal → whole string, exactly
+    # the substring-from-1 behavior of the CASE form)
+    u2 = F.concat(low2, F.regexp_replace(u1, _PREFIX_RE, ""))
     # split at the FIRST '?': later '?'s are query DATA (RFC 3986), so a
     # global '?'-marking regex would turn a literal '?' inside a removed
     # tracking value into a fake parameter boundary (review finding —
-    # canonical_url('..?utm_source=a?b') must yield the bare path)
-    pos = F.instr(u, "?")
-    path = F.when(pos == 0, u).otherwise(F.substring(u, 1, pos - 1))
-    qry = F.when(pos == 0, F.lit("")).otherwise(
-        F.substring(u, pos + 1, F.length(u)))
+    # canonical_url('..?utm_source=a?b') must yield the bare path).
+    # Regex leftmost-match IS the first '?'; (?s) keeps '.' matching
+    # embedded newlines so any query byte sequence splits like instr did.
+    path = F.regexp_replace(u2, "(?s)[?].*$", "")
+    qry = F.regexp_extract(u2, "(?s)[?](.*)$", 1)
     q2 = F.regexp_replace(
         F.concat(F.lit("&"), qry),
         "&" + TRACKING_PARAMS_RE + "=[^&]*", "")
     q3 = F.regexp_replace(q2, "^&+", "")
-    return F.when(
-        q3 == "",
-        F.when(
-            path.endswith("/"),
-            F.substring(path, 1, F.length(path) - 1),
-        ).otherwise(path),
-    ).otherwise(F.concat(path, F.lit("?"), q3))
+    # '?' + q3, collapsing to '' when q3 is empty ('^[?]$' can only
+    # match the empty-q3 case) — ONE reference to q3
+    q4 = F.regexp_replace(F.concat(F.lit("?"), q3), "^[?]$", "")
+    # trailing '/' drops only when the URL has no query: path carries no
+    # '?' (split above), so 'a /$ not preceded by any ?' is exactly the
+    # "q3 empty AND path ends with /" CASE — ONE reference each
+    return F.regexp_replace(
+        F.concat(path, q4), "(?s)(?<![?].{0,60000})/$", "")
 
 
 def with_canonical_url(
@@ -96,70 +113,42 @@ def with_canonical_url(
     url_col: str = "url",
     out_col: str = "canonical_url",
 ) -> DataFrame:
-    """:func:`canonical_url` as STAGED projections — the form the batch
-    path must use.  The single-Column form re-inlines every intermediate
-    at each reference (the trailing-slash CASE alone references the
-    whole upstream chain three times), and the expanded tree blows past
-    janino's method-size limit: whole-stage codegen bails to interpreted
-    eval (observed on the q96 plan).  Naming each step as a column keeps
-    multi-referenced intermediates as attributes — CollapseProject
-    refuses to inline non-cheap aliases referenced more than once, so
-    the plan stays small and codegen stays on.  Same output, same
-    zero-shuffle scale shape."""
+    """:func:`canonical_url` as STAGED projections.  Staging names each
+    step as a column so projection-only plans keep intermediates as
+    attributes (CollapseProject refuses to inline non-cheap aliases
+    referenced more than once).  NOTE staging alone is NOT sufficient
+    when the result feeds a groupBy/join key — the optimizer collapses
+    the whole chain into the aggregate's codegen regardless, so the
+    expression tree itself must stay small; see the tree-discipline note
+    on :func:`canonical_url` (whose slimmed steps this mirrors exactly).
+    Same output, same zero-shuffle scale shape."""
     u_raw = url_col if isinstance(url_col, Column) else F.col(url_col)
-    u1 = F.regexp_replace(F.trim(u_raw), "#.*", "")
-    out = df.withColumn("_url_u1", u1)
+    out = df.withColumn(
+        "_url_u1", F.regexp_replace(F.trim(u_raw), "#.*", ""))
+    low = F.lower(F.regexp_extract(F.col("_url_u1"), _PREFIX_RE, 0))
+    low2 = F.regexp_replace(
+        F.regexp_replace(low, "(?<=^http://[^?#]{0,1000}):80$", ""),
+        "(?<=^https://[^?#]{0,1000}):443$", "")
     out = out.withColumn(
-        "_url_pfx", F.regexp_extract(F.col("_url_u1"), _PREFIX_RE, 0))
-    low = F.lower(F.col("_url_pfx"))
-    out = out.withColumn("_url_low", low)
-    low2 = F.when(
-        F.col("_url_low").startswith("http://")
-        & F.col("_url_low").endswith(":80"),
-        F.substring(F.col("_url_low"), 1, F.length(F.col("_url_low")) - 3),
-    ).when(
-        F.col("_url_low").startswith("https://")
-        & F.col("_url_low").endswith(":443"),
-        F.substring(F.col("_url_low"), 1, F.length(F.col("_url_low")) - 4),
-    ).otherwise(F.col("_url_low"))
-    u2 = F.concat(
-        low2,
-        F.substring(
-            F.col("_url_u1"),
-            F.length(F.col("_url_pfx")) + 1,
-            F.length(F.col("_url_u1")),
-        ),
+        "_url_u2",
+        F.concat(low2, F.regexp_replace(F.col("_url_u1"), _PREFIX_RE, "")),
     )
-    out = out.withColumn("_url_u2", u2)
-    out = out.withColumn("_url_pos", F.instr(F.col("_url_u2"), "?"))
-    out = out.withColumn(
-        "_url_path",
-        F.when(F.col("_url_pos") == 0, F.col("_url_u2")).otherwise(
-            F.substring(F.col("_url_u2"), 1, F.col("_url_pos") - 1)),
-    )
-    qry = F.when(F.col("_url_pos") == 0, F.lit("")).otherwise(
-        F.substring(
-            F.col("_url_u2"),
-            F.col("_url_pos") + 1,
-            F.length(F.col("_url_u2")),
-        ))
     q2 = F.regexp_replace(
-        F.concat(F.lit("&"), qry),
+        F.concat(
+            F.lit("&"),
+            F.regexp_extract(F.col("_url_u2"), "(?s)[?](.*)$", 1),
+        ),
         "&" + TRACKING_PARAMS_RE + "=[^&]*", "")
-    out = out.withColumn("_url_q3", F.regexp_replace(q2, "^&+", ""))
-    final = F.when(
-        F.col("_url_q3") == "",
-        F.when(
-            F.col("_url_path").endswith("/"),
-            F.substring(
-                F.col("_url_path"), 1, F.length(F.col("_url_path")) - 1),
-        ).otherwise(F.col("_url_path")),
-    ).otherwise(
-        F.concat(F.col("_url_path"), F.lit("?"), F.col("_url_q3")))
+    q4 = F.regexp_replace(
+        F.concat(F.lit("?"), F.regexp_replace(q2, "^&+", "")),
+        "^[?]$", "")
+    final = F.regexp_replace(
+        F.concat(
+            F.regexp_replace(F.col("_url_u2"), "(?s)[?].*$", ""), q4),
+        "(?s)(?<![?].{0,60000})/$", "")
     return (
         out.withColumn(out_col, final)
-        .drop("_url_u1", "_url_pfx", "_url_low", "_url_u2",
-              "_url_pos", "_url_path", "_url_q3")
+        .drop("_url_u1", "_url_u2")
     )
 
 
@@ -182,19 +171,23 @@ def url_dedup(
     ``repeated_paragraph_dedup``'s hot paragraphs.
     """
     with_canon = with_canonical_url(df, url_col)
+    # rename the aggregate's key before joining back: both sides derive
+    # from the same lineage, and same-name column refs resolve to a
+    # trivially-true self-equality predicate (Spark warns, and the join
+    # silently keys on _keep_id alone)
     keep = (
         with_canon.groupBy("canonical_url")
         .agg(
             F.min(id_col).alias("_keep_id"),
             F.count(F.lit(1)).alias("url_dups"),
         )
+        .withColumnRenamed("canonical_url", "_keep_canon")
     )
     return (
         with_canon.join(
             keep,
-            (with_canon["canonical_url"] == keep["canonical_url"])
-            & (with_canon[id_col] == keep["_keep_id"]),
+            (F.col("canonical_url") == F.col("_keep_canon"))
+            & (F.col(id_col) == F.col("_keep_id")),
         )
-        .drop(keep["canonical_url"])
-        .drop("_keep_id")
+        .drop("_keep_canon", "_keep_id")
     )

@@ -2766,13 +2766,14 @@ def q96_url_dedup(spark, sf):
     construction AND the canonicalization step sequence verbatim
     (backreference-free regex discipline, like the PII tier).
 
-    Plan note: THIS query's fused stage drops out of whole-stage codegen
-    (janino 64 KB) because the 5-branch synthetic URL constructor stacks
-    on top of the canonicalization chain — a harness artifact at gate
-    scale.  The bare operator keeps codegen: `url_dedup` over a plain
-    url column compiles clean (probed, 0 codegen-disabled warnings) —
-    `with_canonical_url`'s staged projections exist exactly so the
-    operator's own chain never re-inlines."""
+    Plan note: this query once dropped out of whole-stage codegen
+    (janino 64 KB) — the optimizer collapses the staged canonicalization
+    chain into the aggregate/join codegen and multi-referenced steps
+    multiplied the 5-branch synthetic URL constructor ~24×.  Fixed by
+    linearizing the chain itself (every canonicalization step references
+    its parent ONCE — see `canonical_url`'s tree-discipline note); the
+    fused stage now compiles clean even with the constructor stacked
+    under it (probed: 0 codegen ERRORs on this exact plan)."""
     from ..operators.urls import url_dedup
 
     d = _t(spark, sf, "documents")
