@@ -1,0 +1,126 @@
+"""Link-graph analysis — fixed-point integer PageRank over the crawl's
+host/document link graph.
+
+Why this lives in a training-data engine: crawl pipelines rank HOSTS to
+prioritize fetching and to weight quality (CommonCrawl publishes exactly
+this as its harmonic-centrality/PageRank host ranking; CCNet/RefinedWeb
+style curation uses host-level signals as quality priors).  The engine's
+URL tier (`operators/urls.py`) canonicalizes and dedups; this operator
+turns the hyperlink structure into a per-node score that joins back onto
+documents as one more curation signal.
+
+EXACT-ARITHMETIC DISCIPLINE (the q18c/tfidf pattern): float PageRank is
+not reproducible across engines or even across Spark retries — a SUM of
+doubles over shuffled rows depends on reduction order.  This
+implementation is FIXED-POINT INTEGER PageRank: ranks are bigint
+micro-units (``scale`` = 1e6 by default), the damping factor is the
+exact rational ``damping_num/damping_den`` (17/20 = 0.85), and every
+per-edge contribution is one integer floor-division — so per-edge values
+are exact integers and their sum is order-free.  The result is
+bit-identical on any partitioning, any engine, any retry; the DuckDB
+oracle unrolls the identical integer recurrence.
+
+Semantics (per iteration, all integer ops)::
+
+    pr[v] <- scale*(den-num)//den                       -- teleport
+             + SUM over in-edges (u,v,w):
+                 (num * pr[u] * w) // (den * out_w[u])  -- damped share
+
+with ``w`` the edge multiplicity (multi-edges aggregate to weights) and
+``out_w[u]`` the total outgoing weight of ``u``.  Dangling nodes (no
+out-edges) receive rank but emit none — their mass leaks, the standard
+simplification when the ranking (not the stationary distribution) is the
+product.  Floor division leaks < 1 unit per edge per round; with
+``scale`` = 1e6 the quantization is ~1e-6 of a rank unit, far below any
+ranking decision boundary.
+
+Overflow: ``num * pr * w`` must stay under 2^63.  pr is bounded by the
+total injected mass ≤ ``scale * n_nodes``; for 10^9 hosts at scale 1e6
+that is 10^15, times num=17 and edge weight w — callers with extreme
+multi-edge weights (w > ~500) should pre-normalize weights or lower
+``scale``.  Documented, not guessed: the hub-accumulation property test
+pins the bound arithmetic.
+
+Scale shape: per iteration ONE equi-join (edges ⋈ ranks on src — edges
+are hash-partitioned on src once and reused every round) and ONE
+map-side-combinable groupBy(dst) SUM.  Rank frames are node-sized (two
+bigints), never document-sized; text never enters the loop.  Lineage is
+truncated per round with ``localCheckpoint`` (the `duplicate_clusters`
+idiom) so n_iter=50 doesn't build a 100-join plan.
+
+No reference analog — the reference is a single-image OCR CLI
+(`/root/reference`); this belongs to the training-data tier the engine
+adds on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 5,
+    scale: int = 1_000_000,
+    damping_num: int = 17,
+    damping_den: int = 20,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Fixed-point integer PageRank (see module docstring for the exact
+    recurrence).  Input: an edge list ``(src_col, dst_col)`` — repeated
+    rows are multi-edges and aggregate to integer weights.  Output:
+    ``(node, pr)`` with ``pr`` in ``scale`` micro-units, bigint,
+    bit-deterministic under any partitioning.
+
+    ``partitions`` sizes the loop's shuffles (rank/edge frames are tiny
+    relative to a corpus — same dial as ``duplicate_clusters``).
+    """
+    if n_iter < 0:
+        raise ValueError(f"n_iter must be >= 0, got {n_iter}")
+    src, dst = F.col(src_col), F.col(dst_col)
+    w_edges = (
+        edges.select(src.alias("src"), dst.alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    out_w = w_edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    # one edge frame carrying its source's out-weight, partitioned by the
+    # loop's join key ONCE — every iteration's join reuses this exchange
+    ej = w_edges.join(out_w, "src")
+    ej = (
+        ej.repartition(partitions, "src") if partitions
+        else ej.repartition("src")
+    )
+    ej = ej.localCheckpoint(eager=True)
+    nodes = (
+        w_edges.select(F.col("src").alias("node"))
+        .unionByName(w_edges.select(F.col("dst").alias("node")))
+        .distinct()
+    ).localCheckpoint(eager=True)
+    teleport = F.lit(scale * (damping_den - damping_num) // damping_den)
+    ranks = nodes.select("node", F.lit(scale).cast("long").alias("pr"))
+    for _ in range(n_iter):
+        contribs = (
+            ej.join(ranks, ej.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(
+                    f"({damping_num}L * pr * w) div ({damping_den}L * out_w)"
+                ).alias("c"),
+            )
+        )
+        sums = contribs.groupBy("node").agg(F.sum("c").alias("in_mass"))
+        ranks = (
+            nodes.join(sums, "node", "left")
+            .select(
+                "node",
+                (teleport + F.coalesce("in_mass", F.lit(0)))
+                .cast("long")
+                .alias("pr"),
+            )
+            .localCheckpoint(eager=True)  # truncate lineage per round
+        )
+    return ranks

@@ -2891,3 +2891,65 @@ ORACLE_SQL_2["q97_token_chunks"] = """
     FROM starts
     ORDER BY doc_id, chunk_idx
 """
+
+
+def q98_pagerank_hosts(spark, sf):
+    """Fixed-point integer PageRank over a deterministic synthetic host
+    link graph (two arithmetic out-links per document over 53 hosts,
+    multi-edges included).  Integer micro-unit ranks are ORDER-FREE
+    (every per-edge contribution is one exact floor division), so the
+    LIVE oracle unrolls the identical recurrence in DuckDB and the
+    match is bit-exact — float PageRank could never cross-engine-hash."""
+    from ..operators.graph import pagerank
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    e1 = d.select(
+        (F.col("doc_id") % 53).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 53).alias("dst"),
+    )
+    e2 = d.select(
+        (F.col("doc_id") % 53).alias("src"),
+        ((F.col("doc_id") * 11 + 5) % 53).alias("dst"),
+    )
+    return (
+        pagerank(e1.unionByName(e2), n_iter=5, partitions=8)
+        .orderBy("node")
+    )
+
+
+def _pagerank_oracle_sql(n_iter: int = 5) -> str:
+    """Unroll the integer PageRank recurrence as chained CTEs (the BPE
+    bounded-round unroll precedent).  SUM() OVER/GROUP BY widens to
+    HUGEINT in DuckDB -> CAST back to BIGINT (the q94 dtype gotcha)."""
+    ctes = [
+        """e AS (
+        SELECT doc_id % 53 AS src, (doc_id * 7 + 3) % 53 AS dst FROM documents
+        UNION ALL
+        SELECT doc_id % 53 AS src, (doc_id * 11 + 5) % 53 AS dst FROM documents
+    )""",
+        "we AS (SELECT src, dst, COUNT(*) AS w FROM e GROUP BY src, dst)",
+        "ow AS (SELECT src, SUM(w) AS out_w FROM we GROUP BY src)",
+        ("ej AS (SELECT we.src, we.dst, we.w, ow.out_w "
+         "FROM we JOIN ow ON we.src = ow.src)"),
+        ("nodes AS (SELECT DISTINCT src AS node FROM we "
+         "UNION SELECT DISTINCT dst FROM we)"),
+        "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes)",
+    ]
+    for k in range(1, n_iter + 1):
+        ctes.append(
+            f"""r{k} AS (
+        SELECT n.node,
+               CAST(150000 + COALESCE(SUM(
+                   (17 * r.pr * ej.w) // (20 * ej.out_w)), 0) AS BIGINT)
+                 AS pr
+        FROM nodes n
+        LEFT JOIN (ej JOIN r{k - 1} r ON r.node = ej.src)
+               ON ej.dst = n.node
+        GROUP BY n.node
+    )""")
+    return ("WITH " + ",\n    ".join(ctes)
+            + f"\n    SELECT node, pr FROM r{n_iter} ORDER BY node")
+
+
+SPARK_QUERIES_2["q98_pagerank_hosts"] = q98_pagerank_hosts
+ORACLE_SQL_2["q98_pagerank_hosts"] = _pagerank_oracle_sql(5)

@@ -1,0 +1,99 @@
+"""Fixed-point integer PageRank — exactness, determinism, and structure
+properties against an independent pure-Python mirror."""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+from pyspark.sql import functions as F
+
+from red_seal_ocr_spark.operators.graph import pagerank
+
+
+def mirror_pagerank(edge_list, n_iter=5, scale=1_000_000, num=17, den=20):
+    """Dict-based mirror of the exact integer recurrence (independent of
+    Spark: plain Python ints, explicit loops)."""
+    w = Counter(edge_list)
+    out_w = Counter()
+    for (s, _d), ww in w.items():
+        out_w[s] += ww
+    nodes = {s for s, _ in w} | {d for _, d in w}
+    teleport = scale * (den - num) // den
+    pr = {v: scale for v in nodes}
+    for _ in range(n_iter):
+        in_mass = defaultdict(int)
+        for (s, d), ww in w.items():
+            in_mass[d] += (num * pr[s] * ww) // (den * out_w[s])
+        pr = {v: teleport + in_mass[v] for v in nodes}
+    return pr
+
+
+def _run(spark, edge_list, **kw):
+    df = spark.createDataFrame(edge_list, "src bigint, dst bigint")
+    return {r.node: r.pr for r in pagerank(df, **kw).collect()}
+
+
+EDGES = [
+    (1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (4, 3),  # multi-edge 4->3
+    (5, 1),  # 5 has no in-edges
+    (2, 6),  # 6 is dangling (no out-edges)
+]
+
+
+def test_pagerank_matches_integer_mirror_exactly(spark):
+    got = _run(spark, EDGES, n_iter=5)
+    want = mirror_pagerank(EDGES, n_iter=5)
+    assert got == want  # bit-exact, not approximate
+
+
+def test_pagerank_deterministic_under_partitioning(spark):
+    df1 = spark.createDataFrame(EDGES, "src bigint, dst bigint").coalesce(1)
+    df7 = spark.createDataFrame(
+        EDGES, "src bigint, dst bigint").repartition(7)
+    r1 = {r.node: r.pr for r in pagerank(df1, n_iter=4).collect()}
+    r7 = {r.node: r.pr for r in pagerank(df7, n_iter=4, partitions=3).collect()}
+    assert r1 == r7  # integer sums are order-free
+
+
+def test_pagerank_structure_properties(spark):
+    got = _run(spark, EDGES, n_iter=5)
+    # nodes with no in-edges settle at exactly the teleport constant
+    assert got[4] == 150_000 and got[5] == 150_000
+    # dangling node 6 receives mass but emits none; mirror agrees
+    assert got[6] == mirror_pagerank(EDGES, n_iter=5)[6]
+    # node 1 receives node 3's ENTIRE damped mass (outdeg(3)=1) and
+    # outranks 3, whose many in-links (1, 2, 4x2) arrive mass-split
+    assert got[1] == max(got.values()) and got[3] > got[2]
+    # every rank >= teleport (teleport is a floor by construction)
+    assert all(v >= 150_000 for v in got.values())
+
+
+def test_pagerank_zero_iterations_and_validation(spark):
+    got = _run(spark, EDGES, n_iter=0)
+    assert set(got.values()) == {1_000_000}
+    df = spark.createDataFrame(EDGES, "src bigint, dst bigint")
+    try:
+        pagerank(df, n_iter=-1)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
+def test_pagerank_mass_bound(spark):
+    """Total rank never exceeds injected mass (floors only leak mass
+    out; dangling nodes drop it) — the overflow-bound premise in the
+    module docstring."""
+    got = _run(spark, EDGES, n_iter=8)
+    n = len({s for s, _ in EDGES} | {d for _, d in EDGES})
+    assert sum(got.values()) <= n * 1_000_000
+
+
+def test_pagerank_custom_columns(spark):
+    df = spark.createDataFrame(
+        [(10, 20), (20, 10)], "u bigint, v bigint")
+    got = {r.node: r.pr for r in
+           pagerank(df, n_iter=3, src_col="u", dst_col="v").collect()}
+    want = mirror_pagerank([(10, 20), (20, 10)], n_iter=3)
+    assert got == want
+    # symmetric 2-cycle: equal ranks
+    assert got[10] == got[20]
