@@ -191,3 +191,77 @@ def url_dedup(
         )
         .drop("_keep_canon", "_keep_id")
     )
+
+
+def host_of(url_col) -> Column:
+    """Lowercased host of a URL: the authority component minus userinfo
+    (``user:pass@`` — unencoded ``@`` cannot appear inside userinfo, so
+    the leftmost match is exact) and minus any trailing ``:port``.
+    Relative URLs (no ``scheme://``) yield ``''``.  Pure string
+    expression, linear tree (one parent reference per step — the
+    :func:`canonical_url` discipline)."""
+    u = F.trim(url_col if isinstance(url_col, Column) else F.col(url_col))
+    auth = F.regexp_extract(
+        u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    return F.lower(
+        F.regexp_replace(
+            F.regexp_replace(auth, "^[^@]*@", ""), ":[0-9]*$", ""))
+
+
+def filter_blocked_hosts(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+    mode: str = "drop",
+) -> DataFrame:
+    """Domain-blocklist URL filtering — the C4/CCNet front-door hygiene
+    pass that removes documents fetched from known-bad hosts.  A row is
+    blocked when its URL's host EQUALS a blocklist domain or is a
+    SUBDOMAIN of one (``a.b.example.com`` matches ``example.com`` —
+    label-boundary parent matching, never substring matching, so
+    ``notexample.com`` does NOT match ``example.com``).
+
+    ``mode='drop'`` removes blocked rows; ``mode='flag'`` keeps every
+    row and adds boolean ``blocked`` + the extracted ``host`` instead.
+
+    Scale shape: the naive predicate ``host LIKE '%.'||domain`` is a
+    theta-join — a broadcast NESTED LOOP over |docs| × |blocklist| that
+    dies at web scale.  Instead: (1) project DISTINCT hosts (host
+    strings are tiny vs documents, and the per-host verdict is computed
+    once however many docs share the host), (2) EXPLODE each host into
+    its ≤k parent suffixes (k = label count, ~5 for real hosts), (3)
+    LEFT SEMI equi-join the normalized blocklist on the suffix — a pure
+    hash join (blocklist broadcasts when small, shuffles when not —
+    never cartesian), (4) join the per-host verdict back to the
+    documents on the host string (broadcast/AQE; text bytes never
+    shuffle).  The equivalent DuckDB oracle states the ends_with
+    predicate directly — same verdicts, different join strategy.
+    """
+    if mode not in ("drop", "flag"):
+        raise ValueError(f"mode must be 'drop' or 'flag', got {mode!r}")
+    bl = blocklist.select(
+        F.lower(F.trim(F.col(domain_col))).alias("_bl_domain")).distinct()
+    with_host = df.withColumn("host", host_of(url_col))
+    hosts = with_host.select("host").distinct()
+    labels = F.split(F.col("host"), "[.]")
+    sufs = F.transform(
+        F.sequence(F.lit(1), F.size(labels)),
+        lambda i: F.array_join(
+            F.slice(labels, i, F.size(labels) - i + 1), "."),
+    )
+    blocked_hosts = (
+        hosts.select("host", F.explode(sufs).alias("_suf"))
+        .join(bl, F.col("_suf") == F.col("_bl_domain"), "left_semi")
+        .select("host")
+        .distinct()
+        .withColumn("_blocked", F.lit(True))
+    )
+    flagged = (
+        with_host.join(blocked_hosts, "host", "left")
+        .withColumn("blocked", F.coalesce("_blocked", F.lit(False)))
+        .drop("_blocked")
+    )
+    if mode == "flag":
+        return flagged
+    return flagged.filter(~F.col("blocked")).drop("blocked", "host")

@@ -2953,3 +2953,62 @@ def _pagerank_oracle_sql(n_iter: int = 5) -> str:
 
 SPARK_QUERIES_2["q98_pagerank_hosts"] = q98_pagerank_hosts
 ORACLE_SQL_2["q98_pagerank_hosts"] = _pagerank_oracle_sql(5)
+
+
+def q99_blocked_hosts(spark, sf):
+    """Domain-blocklist verdicts over a synthesized URL corpus: exact
+    hosts, subdomains (must match), and prefix-similar hosts (must NOT
+    match — label-boundary semantics).  Spark side is the scale-correct
+    suffix-explode equi-join; the LIVE oracle states the equivalent
+    ends_with predicate directly — same verdicts, different join
+    strategy (the naive theta-join is fine at oracle scale and
+    deliberately NOT what the operator does)."""
+    from ..operators.urls import filter_blocked_hosts
+
+    d = _t(spark, sf, "documents")
+    m = (F.col("doc_id") % 11).cast("string")
+    v = F.col("doc_id") % 4
+    url = (
+        F.when(v == 0, F.concat(F.lit("http://site"), m, F.lit(".com/p")))
+        .when(v == 1, F.concat(F.lit("http://sub.site"), m, F.lit(".com/p")))
+        .when(v == 2, F.concat(F.lit("http://site"), m, F.lit(".org/p")))
+        .otherwise(F.concat(F.lit("http://xsite"), m, F.lit(".com/p")))
+    )
+    bl = spark.createDataFrame(
+        [("site3.com",), ("site7.com",), ("site5.org",)], "domain string")
+    return (
+        filter_blocked_hosts(
+            d.select("doc_id", url.alias("url")), bl, mode="flag")
+        .select("doc_id", "host", "blocked")
+        .orderBy("doc_id")
+    )
+
+
+SPARK_QUERIES_2["q99_blocked_hosts"] = q99_blocked_hosts
+ORACLE_SQL_2["q99_blocked_hosts"] = """
+    WITH u AS (
+        SELECT doc_id,
+               CASE doc_id % 4
+                 WHEN 0 THEN 'http://site' || (doc_id % 11) || '.com/p'
+                 WHEN 1 THEN 'http://sub.site' || (doc_id % 11) || '.com/p'
+                 WHEN 2 THEN 'http://site' || (doc_id % 11) || '.org/p'
+                 ELSE 'http://xsite' || (doc_id % 11) || '.com/p'
+               END AS url
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               lower(regexp_replace(regexp_replace(
+                   regexp_extract(trim(url),
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+                   '^[^@]*@', ''), ':[0-9]*$', '')) AS host
+        FROM u
+    ),
+    bl AS (SELECT unnest(['site3.com', 'site7.com', 'site5.org']) AS domain)
+    SELECT doc_id, host,
+           EXISTS (SELECT 1 FROM bl
+                   WHERE h.host = bl.domain
+                      OR ends_with(h.host, '.' || bl.domain)) AS blocked
+    FROM h
+    ORDER BY doc_id
+"""

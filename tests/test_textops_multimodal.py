@@ -1175,3 +1175,58 @@ def test_url_dedup_keep_min_and_counts(spark):
         1: ("http://a.com/x", 3),
         9: ("http://b.com/y", 1),
     }
+
+
+def test_host_of_cases(spark):
+    from red_seal_ocr_spark.operators.urls import host_of
+
+    cases = [
+        ("http://Example.COM/p", "example.com"),
+        ("https://a.B.c.org:8443/x?y#z", "a.b.c.org"),
+        ("http://user:pw@Host.net:80/", "host.net"),
+        ("  http://x.io  ", "x.io"),
+        ("relative/path", ""),          # no scheme -> no host
+        ("ftp://files.example.com/a", "files.example.com"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.h for r in df.select(host_of("url").alias("h")).collect()]
+    assert got == [w for _, w in cases]
+
+
+def test_filter_blocked_hosts_suffix_semantics(spark):
+    from red_seal_ocr_spark.operators.urls import filter_blocked_hosts
+
+    rows = [
+        (1, "http://spam.example.com/a"),   # subdomain of blocked
+        (2, "http://example.com/b"),        # exact blocked
+        (3, "http://notexample.com/c"),     # substring but NOT suffix
+        (4, "http://good.org/d"),           # clean
+        (5, "http://deep.a.b.bad.net/e"),   # deep subdomain of blocked
+        (6, "http://bad.net.evil.io/f"),    # blocked domain as PREFIX only
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, url string")
+    bl = spark.createDataFrame(
+        [("Example.COM",), ("bad.net",)], "domain string")
+    kept = sorted(r.doc_id for r in
+                  filter_blocked_hosts(docs, bl).collect())
+    assert kept == [3, 4, 6]
+    flagged = {r.doc_id: r.blocked for r in
+               filter_blocked_hosts(docs, bl, mode="flag").collect()}
+    assert flagged == {1: True, 2: True, 3: False,
+                       4: False, 5: True, 6: False}
+    # drop mode preserves the input schema exactly
+    assert filter_blocked_hosts(docs, bl).columns == ["doc_id", "url"]
+
+
+def test_filter_blocked_hosts_validation_and_empty(spark):
+    from red_seal_ocr_spark.operators.urls import filter_blocked_hosts
+
+    docs = spark.createDataFrame(
+        [(1, "http://x.com/a")], "doc_id bigint, url string")
+    bl = spark.createDataFrame([], "domain string")
+    assert filter_blocked_hosts(docs, bl).count() == 1  # empty blocklist
+    try:
+        filter_blocked_hosts(docs, bl, mode="bogus")
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
