@@ -3012,3 +3012,26 @@ ORACLE_SQL_2["q99_blocked_hosts"] = """
     FROM h
     ORDER BY doc_id
 """
+
+
+def q9a_compression_ratio(spark, sf):
+    """Deflate compression-ratio quality signal per document (zlib in a
+    pandas UDF — the sanctioned Python tier; generated oracle pins the
+    Spark plumbing, the kernel itself is pinned by its zlib unit test).
+    Integer ratio_milli keeps the comparison order-free exact."""
+    from ..operators.textops import compression_ratio
+
+    d = _t(spark, sf, "documents")
+    return (
+        compression_ratio(d)
+        .select(
+            "doc_id",
+            F.col("n_bytes").cast("long").alias("n_bytes"),
+            "comp_len",
+            "ratio_milli",
+        )
+        .orderBy("doc_id")
+    )
+
+
+SPARK_QUERIES_2["q9a_compression_ratio"] = q9a_compression_ratio

@@ -1230,3 +1230,30 @@ def test_filter_blocked_hosts_validation_and_empty(spark):
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_compression_ratio_matches_zlib_and_guards(spark):
+    import zlib
+
+    from red_seal_ocr_spark.operators.textops import compression_ratio
+
+    rows = [
+        (1, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),   # compressible
+        (2, "The quick brown fox jumps over the lazy dog."),
+        (3, ""),        # empty -> NULL signal
+        (4, None),      # NULL -> NULL signal
+        (5, "héllo wörld ünïcode"),  # multibyte utf-8
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: (r.n_bytes, r.comp_len, r.ratio_milli)
+           for r in compression_ratio(df).collect()}
+    import zlib as _z
+    assert got[3] == (0, len(_z.compress(b"", 6)), None)  # empty: true len, NULL ratio
+    assert got[4] == (None, None, None)
+    for i, t in rows:
+        if t:
+            b = t.encode("utf-8")
+            cl = len(zlib.compress(b, 6))
+            assert got[i] == (len(b), cl, 1000 * cl // len(b))
+    # the signal separates repetition from prose
+    assert got[1][2] < got[2][2]

@@ -710,6 +710,32 @@ def main() -> int:
           f"jpeg={mix.count('jpeg')} prog={mix.count('jpeg_progressive')} "
           f"bmp={mix.count('bmp')}")
 
+    # ---- q9a: compression-ratio quality signal ------------------------------
+    # Same-zlib mirror (the q27/q50 precedent: the per-item kernel is the
+    # engine's own sanctioned Python tier, pinned by its unit test; this
+    # fixture pins the SPARK side - schema, Arrow plumbing, projection,
+    # integer quantization).
+    import zlib
+
+    all_docs = con.execute(
+        f"SELECT doc_id, text FROM '{sf}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    rows = []
+    for did, text in all_docs:
+        if text is None:
+            rows.append((did, None, None, None))
+            continue
+        b = text.encode("utf-8")
+        cl = len(zlib.compress(b, 6))
+        rows.append((did, len(b), cl, (1000 * cl) // len(b) if b else None))
+    oracles["q9a_compression_ratio"] = values_sql(
+        rows, [("doc_id", "BIGINT"), ("n_bytes", "BIGINT"),
+               ("comp_len", "BIGINT"), ("ratio_milli", "INT")]
+    )
+    print(f"q9a: {len(rows)} docs, ratio_milli range "
+          f"{min(r[3] for r in rows if r[3] is not None)}-"
+          f"{max(r[3] for r in rows if r[3] is not None)}")
+
     # ---- emit ---------------------------------------------------------------
     out_path = REPO / "red_seal_ocr_spark" / "plans" / "generated_oracles.py"
     body = (
