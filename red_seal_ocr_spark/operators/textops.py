@@ -1060,3 +1060,150 @@ def compression_ratio(
         "ratio_milli",
         F.expr("CAST(_num div n_bytes AS INT)"),
     ).drop("_num")
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    n_buckets: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    lambda_bps: int = 7000,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score each
+    document with the corpus-trained LM (:func:`bigram_surprisal` here,
+    KenLM in CCNet), then split each LANGUAGE into ``n_buckets``
+    equal-count buckets of ascending surprisal — CCNet keeps head+middle
+    and drops tail as its main quality gate.  Output adds ``bucket``
+    (1-based ntile) and ``bucket_label`` (head/middle/tail for the
+    default 3; the bucket number as text otherwise).
+
+    Determinism: the surprisal is already an exact integer
+    (milli-nats, the q21d float discipline), and the ntile ORDER BY
+    breaks ties on ``id_col`` — so bucket assignment is bit-stable
+    across engines and retries.
+
+    Scale shape: ntile is one window = one hash-partition-by-language +
+    per-partition sort over (surprisal, id) PAIRS — language skew is
+    real (one language can be half the crawl), so at the 100 TB tier the
+    production variant computes bucket THRESHOLDS on a per-language
+    sample (CCNet itself does exactly this) and assigns by broadcast
+    threshold comparison: one projection, no global sort.  The exact
+    ntile here is the semantics oracle that variant is validated
+    against; rows carry only (id, lang, two ints) through the sort —
+    text never enters the window.
+    """
+    from pyspark.sql import Window
+
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    s = bigram_surprisal(docs, id_col=id_col, text_col=text_col,
+                         lambda_bps=lambda_bps)
+    joined = docs.select(F.col(id_col), F.col(lang_col)).join(s, id_col)
+    w = Window.partitionBy(lang_col).orderBy("bi_surprisal_milli", id_col)
+    b = joined.withColumn("bucket", F.ntile(n_buckets).over(w))
+    if n_buckets == 3:
+        label = (
+            F.when(F.col("bucket") == 1, F.lit("head"))
+            .when(F.col("bucket") == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+        )
+    else:
+        label = F.col("bucket").cast("string")
+    return b.withColumn("bucket_label", label)
+
+
+# Gopher rule-based quality filters (Rae et al. 2021, table A1) — the
+# stop set and thresholds are the published ones.
+GOPHER_STOP_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """The Gopher rule-based quality battery (Rae et al. 2021 §A1.1,
+    the filter set FineWeb/Dolma/RefinedWeb all descend from), one
+    boolean per rule plus the conjunction:
+
+    - ``ok_word_count``: 50 ≤ words ≤ 100 000;
+    - ``ok_mean_len``: mean word length in [3, 10] characters;
+    - ``ok_symbol_ratio``: (# + ... + …) symbols ≤ 0.1 per word;
+    - ``ok_bullets``: ≤ 90% of non-blank lines start with a bullet;
+    - ``ok_ellipsis``: ≤ 30% of non-blank lines end with an ellipsis;
+    - ``ok_alpha``: ≥ 80% of words contain a letter;
+    - ``ok_stops``: ≥ 2 distinct Gopher stop words present;
+    - ``gopher_pass``: all of the above.
+
+    INTEGER DISCIPLINE: every ratio threshold is an integer
+    cross-multiplication (``10*symbols ≤ words``, ``3*words ≤ chars ≤
+    10*words``, …) — no float division anywhere, so the flags are exact
+    and the oracle is LIVE SQL.  Tokenization is the engine-wide
+    :func:`nonblank_tokens`; '...' counting is leftmost
+    non-overlapping ``replace`` length-delta (the exact cross-engine
+    contract the BPE fuse established).
+
+    Zero-shuffle row-preserving projection; token and line arrays are
+    staged as named columns so multi-referenced intermediates
+    materialize once (the codegen discipline).  NULL text fails
+    ``ok_word_count`` and therefore ``gopher_pass`` — a missing page is
+    not quality data.
+    """
+    t = F.col(text_col)
+    out = docs.withColumn("_gq_toks", nonblank_tokens(t))
+    out = out.withColumn(
+        "_gq_lines",
+        F.filter(F.split(F.coalesce(t, F.lit("")), "\n"),
+                 lambda line: F.trim(line) != F.lit("")),
+    )
+    toks, lines = F.col("_gq_toks"), F.col("_gq_lines")
+    n_words = F.coalesce(F.size(toks), F.lit(0))
+    n_lines = F.size(lines)
+    sum_chars = F.aggregate(
+        toks, F.lit(0), lambda acc, w: acc + F.length(w))
+    hashes = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    dots = F.floor(
+        (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+    ).cast("int")
+    hellip = F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit("")))
+    symbols = F.coalesce(hashes + dots + hellip, F.lit(0))
+    bullet_lines = F.size(F.filter(
+        lines, lambda line: F.ltrim(line).rlike(r"^[•\-\*‣▪]")))
+    ellipsis_lines = F.size(F.filter(
+        lines, lambda line: F.rtrim(line).rlike(r"(\.\.\.|…)$")))
+    alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
+    n_stops = sum(
+        F.array_contains(toks, w).cast("int") for w in GOPHER_STOP_WORDS
+    )
+    ok_word_count = (n_words >= min_words) & (n_words <= max_words)
+    ok_mean_len = ((F.lit(3) * n_words <= sum_chars)
+                   & (sum_chars <= F.lit(10) * n_words) & (n_words > 0))
+    ok_symbol_ratio = F.lit(10) * symbols <= n_words
+    ok_bullets = F.lit(10) * bullet_lines <= F.lit(9) * n_lines
+    ok_ellipsis = F.lit(10) * ellipsis_lines <= F.lit(3) * n_lines
+    ok_alpha = F.lit(10) * alpha_words >= F.lit(8) * n_words
+    ok_stops = F.coalesce(n_stops, F.lit(0)) >= 2
+    flags = {
+        "ok_word_count": ok_word_count,
+        "ok_mean_len": ok_mean_len,
+        "ok_symbol_ratio": ok_symbol_ratio,
+        "ok_bullets": ok_bullets,
+        "ok_ellipsis": ok_ellipsis,
+        "ok_alpha": ok_alpha,
+        "ok_stops": ok_stops,
+    }
+    out = out.select(
+        "*",
+        n_words.alias("n_words"),
+        *[F.coalesce(c, F.lit(False)).alias(n) for n, c in flags.items()],
+    )
+    passed = None
+    for n in flags:
+        passed = F.col(n) if passed is None else passed & F.col(n)
+    return (
+        out.withColumn("gopher_pass", passed)
+        .drop("_gq_toks", "_gq_lines")
+    )

@@ -3035,3 +3035,187 @@ def q9a_compression_ratio(spark, sf):
 
 
 SPARK_QUERIES_2["q9a_compression_ratio"] = q9a_compression_ratio
+
+
+def q9b_perplexity_buckets(spark, sf):
+    """CCNet head/middle/tail perplexity bucketing per language: exact
+    integer surprisal (q21d discipline) + ntile ordered by (surprisal,
+    doc_id) makes the assignment bit-stable cross-engine; LIVE oracle =
+    the q21d recurrence + the same NTILE window."""
+    from ..operators.textops import perplexity_buckets
+
+    d = _t(spark, sf, "documents")
+    return (
+        perplexity_buckets(d)
+        .select("doc_id", "lang", "bi_surprisal_milli",
+                "bucket", "bucket_label")
+        .orderBy("doc_id")
+    )
+
+
+SPARK_QUERIES_2["q9b_perplexity_buckets"] = q9b_perplexity_buckets
+ORACLE_SQL_2["q9b_perplexity_buckets"] = """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    uni AS (
+      SELECT w, COUNT(*) AS cw
+      FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+    ),
+    tot AS (SELECT SUM(cw) AS tt FROM uni),
+    big AS (
+      SELECT doc_id, t[i] AS a, t[i + 1] AS b
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+            FROM toks WHERE len(t) >= 2)
+    ),
+    bc AS (SELECT a, b, COUNT(*) AS cab FROM big GROUP BY a, b),
+    sp AS (
+      SELECT big.doc_id,
+             SUM(-ln(0.7 * (CAST(cab AS DOUBLE) / CAST(ua.cw AS DOUBLE))
+                     + 0.3 * (CAST(ub.cw AS DOUBLE) / CAST(tt AS DOUBLE)))) AS s_bi,
+             COUNT(*) AS n_bi
+      FROM big
+      JOIN bc USING (a, b)
+      JOIN uni ua ON ua.w = big.a
+      JOIN uni ub ON ub.w = big.b
+      CROSS JOIN tot
+      GROUP BY big.doc_id
+    ),
+    fst AS (
+      SELECT toks.doc_id,
+             -ln(CAST(cw AS DOUBLE) / CAST(tt AS DOUBLE)) AS s_first
+      FROM toks JOIN uni ON uni.w = t[1] CROSS JOIN tot
+    ),
+    milli AS (
+      SELECT fst.doc_id,
+             CAST(ROUND((s_first + COALESCE(s_bi, 0.0))
+                        / (COALESCE(n_bi, 0) + 1) * 1000.0) AS BIGINT)
+                 AS bi_surprisal_milli
+      FROM fst LEFT JOIN sp USING (doc_id)
+    ),
+    bucketed AS (
+      SELECT d.doc_id, d.lang, m.bi_surprisal_milli,
+             CAST(NTILE(3) OVER (PARTITION BY d.lang
+                                 ORDER BY m.bi_surprisal_milli, d.doc_id)
+                  AS INT) AS bucket
+      FROM milli m JOIN documents d ON d.doc_id = m.doc_id
+    )
+    SELECT doc_id, lang, bi_surprisal_milli, bucket,
+           CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket_label
+    FROM bucketed
+    ORDER BY doc_id
+"""
+
+
+def q9c_gopher_flags(spark, sf):
+    """Gopher rule-based quality battery (Rae et al. §A1.1): per-rule
+    booleans + conjunction, every ratio an integer cross-multiplication
+    so the LIVE oracle restates the identical arithmetic.  The raw
+    sf corpus never trips the stop-word/bullet/symbol rules (OLAP
+    keyword soup), so the gate corpus appends deterministic per-variant
+    suffixes — stop words, a bullet list, symbol runs — making every
+    flag column carry both values (a constant column is weak gate
+    evidence).  NULL-text branches are pinned by the unit test."""
+    from ..operators.textops import gopher_quality_flags
+
+    d = _t(spark, sf, "documents")
+    v = F.col("doc_id") % 4
+    bullets = "\n" + "\n".join(["- item"] * 10)
+    text2 = (
+        F.when(v == 0, F.concat(
+            F.col("text"),
+            F.lit(" and that have with to be of the")))
+        .when(v == 1, F.concat(F.col("text"), F.lit(bullets)))
+        .when(v == 2, F.concat(F.col("text"), F.lit(" #### ... …")))
+        .otherwise(F.col("text"))
+    )
+    return (
+        gopher_quality_flags(d.select("doc_id", text2.alias("text")))
+        .select("doc_id", "n_words", "ok_word_count", "ok_mean_len",
+                "ok_symbol_ratio", "ok_bullets", "ok_ellipsis",
+                "ok_alpha", "ok_stops", "gopher_pass")
+        .orderBy("doc_id")
+    )
+
+
+SPARK_QUERIES_2["q9c_gopher_flags"] = q9c_gopher_flags
+ORACLE_SQL_2["q9c_gopher_flags"] = """
+    WITH u AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN text || ' and that have with to be of the'
+               WHEN 1 THEN text || chr(10) ||
+                    '- item' || chr(10) || '- item' || chr(10) ||
+                    '- item' || chr(10) || '- item' || chr(10) ||
+                    '- item' || chr(10) || '- item' || chr(10) ||
+                    '- item' || chr(10) || '- item' || chr(10) ||
+                    '- item' || chr(10) || '- item'
+               WHEN 2 THEN text || ' #### ... …'
+               ELSE text
+             END AS text
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, text,
+             list_filter(
+               string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'),
+               x -> x <> '') AS toks,
+             list_filter(string_split(coalesce(text, ''), chr(10)),
+                         l -> trim(l) <> '') AS lines
+      FROM u
+    ),
+    m AS (
+      SELECT doc_id, text, toks, lines,
+             len(toks) AS n_words,
+             len(lines) AS n_lines,
+             CAST(list_sum(list_transform(toks, w -> length(w)))
+                  AS BIGINT) AS sum_chars,
+             length(coalesce(text, ''))
+               - length(replace(coalesce(text, ''), '#', ''))
+               + (length(coalesce(text, ''))
+                  - length(replace(coalesce(text, ''), '...', ''))) // 3
+               + length(coalesce(text, ''))
+               - length(replace(coalesce(text, ''), '…', '')) AS symbols,
+             len(list_filter(lines,
+                 l -> regexp_matches(ltrim(l), '^[•\\-\\*‣▪]')))
+               AS bullet_lines,
+             len(list_filter(lines,
+                 l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))
+               AS ellipsis_lines,
+             len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
+               AS alpha_words,
+             (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(toks, 'be') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(toks, 'that') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(toks, 'have') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(toks, 'with') THEN 1 ELSE 0 END)
+               AS n_stops
+      FROM base
+    ),
+    f AS (
+      SELECT doc_id, CAST(n_words AS INT) AS n_words,
+             (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+             (3 * n_words <= coalesce(sum_chars, 0)
+              AND coalesce(sum_chars, 0) <= 10 * n_words
+              AND n_words > 0) AS ok_mean_len,
+             (10 * symbols <= n_words) AS ok_symbol_ratio,
+             (10 * bullet_lines <= 9 * n_lines) AS ok_bullets,
+             (10 * ellipsis_lines <= 3 * n_lines) AS ok_ellipsis,
+             (CASE WHEN text IS NULL THEN FALSE
+                   ELSE 10 * alpha_words >= 8 * n_words END) AS ok_alpha,
+             (n_stops >= 2) AS ok_stops
+      FROM m
+    )
+    SELECT doc_id, n_words, ok_word_count, ok_mean_len, ok_symbol_ratio,
+           ok_bullets, ok_ellipsis, ok_alpha, ok_stops,
+           (ok_word_count AND ok_mean_len AND ok_symbol_ratio
+            AND ok_bullets AND ok_ellipsis AND ok_alpha AND ok_stops)
+             AS gopher_pass
+    FROM f
+    ORDER BY doc_id
+"""

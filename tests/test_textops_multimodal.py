@@ -1257,3 +1257,92 @@ def test_compression_ratio_matches_zlib_and_guards(spark):
             assert got[i] == (len(b), cl, 1000 * cl // len(b))
     # the signal separates repetition from prose
     assert got[1][2] < got[2][2]
+
+
+def test_perplexity_buckets_semantics(spark):
+    from red_seal_ocr_spark.operators.textops import (
+        bigram_surprisal,
+        perplexity_buckets,
+    )
+
+    rows = [(i, f"w{i % 7} common common w{i % 5} tok{i}", "en" if i % 2 else "zh")
+            for i in range(24)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    got = perplexity_buckets(df).collect()
+    assert len(got) == 24
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        # equal-count ntile: 12 docs per lang -> 4/4/4
+        from collections import Counter
+        assert Counter(r.bucket for r in rs) == {1: 4, 2: 4, 3: 4}
+        # ascending surprisal across buckets: max(head) <= min(tail)
+        head = [r.bi_surprisal_milli for r in rs if r.bucket_label == "head"]
+        tail = [r.bi_surprisal_milli for r in rs if r.bucket_label == "tail"]
+        assert max(head) <= min(tail)
+    # bucket assignment is a deterministic function of (surprisal, id)
+    again = perplexity_buckets(df.repartition(7)).collect()
+    assert {(r.doc_id, r.bucket) for r in again} == {
+        (r.doc_id, r.bucket) for r in got}
+    # n_buckets=1 puts everything in one bucket with text labels
+    one = perplexity_buckets(df, n_buckets=1).collect()
+    assert {r.bucket_label for r in one} == {"1"}
+    try:
+        perplexity_buckets(df, n_buckets=0)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
+def test_gopher_quality_flags_rules(spark):
+    from red_seal_ocr_spark.operators.textops import gopher_quality_flags
+
+    good = ("the data and pipeline have to be filtered with care because "
+            "that process keeps only text of reasonable shape and size " * 3)
+    bullets = "\n".join(f"- item {i}" for i in range(20))
+    dots = " ".join(["word..."] * 60)
+    nonalpha = " ".join(["12345"] * 60)
+    short = "too short"
+    nostops = " ".join(f"tok{i}" for i in range(60))
+    rows = [(1, good), (2, bullets), (3, dots), (4, nonalpha),
+            (5, short), (6, nostops), (7, None), (8, "")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
+
+    assert got[1].gopher_pass
+    assert not got[2].ok_bullets and not got[2].gopher_pass
+    assert not got[3].ok_symbol_ratio and not got[3].gopher_pass
+    assert not got[4].ok_alpha and not got[4].gopher_pass
+    assert not got[5].ok_word_count
+    assert not got[6].ok_stops
+    # NULL / empty text: no flag is NULL, pass is False
+    for i in (7, 8):
+        r = got[i]
+        assert r.gopher_pass is False and r.n_words == 0
+        assert all(isinstance(getattr(r, c), bool) for c in
+                   ("ok_word_count", "ok_mean_len", "ok_symbol_ratio",
+                    "ok_bullets", "ok_ellipsis", "ok_alpha", "ok_stops"))
+    # row-preserving: input columns survive
+    assert set(df.columns) <= set(gopher_quality_flags(df).columns)
+
+
+def test_gopher_quality_flags_boundaries(spark):
+    from red_seal_ocr_spark.operators.textops import gopher_quality_flags
+
+    # exactly 50 stop-heavy words of mean length in range -> pass
+    w50 = "the and have with that " * 10
+    # 49 words -> word-count fails
+    w49 = "the and have with that " * 9 + "the and have with"
+    df = spark.createDataFrame(
+        [(1, w50.strip()), (2, w49.strip())], "doc_id bigint, text string")
+    got = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
+    assert got[1].n_words == 50 and got[1].ok_word_count
+    assert got[2].n_words == 49 and not got[2].ok_word_count
+    # 30% ellipsis boundary: 3 of 10 lines -> ok, 4 of 10 -> fail
+    ell_ok = "\n".join(["line one..."] * 3 + ["plain line"] * 7)
+    ell_bad = "\n".join(["line one..."] * 4 + ["plain line"] * 6)
+    df2 = spark.createDataFrame(
+        [(1, ell_ok), (2, ell_bad)], "doc_id bigint, text string")
+    got2 = {r.doc_id: r for r in gopher_quality_flags(df2).collect()}
+    assert got2[1].ok_ellipsis and not got2[2].ok_ellipsis
