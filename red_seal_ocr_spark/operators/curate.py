@@ -38,6 +38,7 @@ def curate_documents(
     cache_intermediates: bool = True,
     site_template_col: str | None = None,
     max_surprisal_milli: int | None = None,
+    require_gopher_pass: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns ``(kept_docs, funnel)``.
 
@@ -68,6 +69,14 @@ def curate_documents(
     the rare-token-soup tail.  Docs the scorer emits no row for (NULL
     text) pass through; the predicate only removes scored outliers.
     Default off for the same oracle-pinning reason.
+
+    ``require_gopher_pass`` (opt-in) engages the Gopher rule battery
+    (:func:`textops.gopher_quality_flags`) as stage 2c — the published
+    Rae et al. filter set on top of the engine's composite
+    ``quality_pct`` gate.  Pure row-local integer predicates (zero
+    shuffle); the flag columns are dropped after filtering so the
+    downstream schema is unchanged.  Default off: q35 pins the
+    flag-free funnel.
     """
     if site_template_col is not None:
         from .html_extract import site_template_strip
@@ -110,6 +119,24 @@ def curate_documents(
         if cache_intermediates:
             stage2 = stage2.cache()
         lm_stage = stage2
+
+    gopher_stage = None
+    if require_gopher_pass:
+        from .textops import gopher_quality_flags
+
+        flag_cols = [
+            "n_words", "ok_word_count", "ok_mean_len", "ok_symbol_ratio",
+            "ok_bullets", "ok_ellipsis", "ok_alpha", "ok_stops",
+            "gopher_pass",
+        ]
+        stage2 = (
+            gopher_quality_flags(stage2, id_col=id_col, text_col=text_col)
+            .filter(F.col("gopher_pass"))
+            .drop(*flag_cols)
+        )
+        if cache_intermediates:
+            stage2 = stage2.cache()
+        gopher_stage = stage2
 
     # exact dedup: drop all but the min-id member of each fingerprint group
     exact_losers = (
@@ -163,6 +190,11 @@ def curate_documents(
         funnel = funnel.unionByName(
             lm_stage.agg(F.count(F.lit(1)).alias("docs"))
             .select(F.lit("2b_lm_surprisal").alias("stage"), "docs")
+        )
+    if gopher_stage is not None:
+        funnel = funnel.unionByName(
+            gopher_stage.agg(F.count(F.lit(1)).alias("docs"))
+            .select(F.lit("2c_gopher").alias("stage"), "docs")
         )
     return kept, funnel
 

@@ -1297,3 +1297,30 @@ def test_strip_duplicated_spans_preserves_null_text(spark):
     assert out[2].n_removed_tokens == 0
     assert out[1].text == "alpha beta gamma"
     assert out[1].n_removed_tokens == 0
+
+
+def test_curate_with_gopher_stage(spark):
+    from red_seal_ocr_spark.operators.curate import curate_documents
+
+    # stop-word-rich prose long enough to pass every Gopher rule
+    good = ("the data and pipeline have to be filtered with care because "
+            "that process keeps only text of reasonable shape and size " * 3)
+    rows = [(i, good + f" unique{i} extra{i}") for i in range(10)]
+    rows.append((98, "- a\n" * 30))        # bullet wall: fails ok_bullets
+    rows.append((99, " ".join(["word"] * 10)))  # 10 words: fails word count
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    kept_off, funnel_off = curate_documents(
+        d, min_quality_pct=0, near_dup_jaccard_pct=101)
+    assert "2c_gopher" not in {r.stage for r in funnel_off.collect()}
+    assert {98, 99} <= {r.doc_id for r in kept_off.collect()}  # default off
+
+    kept_on, funnel_on = curate_documents(
+        d, min_quality_pct=0, near_dup_jaccard_pct=101,
+        require_gopher_pass=True)
+    f = {r.stage: r.docs for r in funnel_on.collect()}
+    kept_ids = {r.doc_id for r in kept_on.collect()}
+    assert f["2c_gopher"] == f["2_quality"] - 2
+    assert not ({98, 99} & kept_ids) and len(kept_ids) == 10
+    # downstream schema unchanged: no flag columns leak out
+    assert "gopher_pass" not in kept_on.columns
