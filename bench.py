@@ -431,7 +431,8 @@ def _curation_scaling_section() -> str:
 
     runs = []
     for name in ("curation_scaling.json", "curation_scaling_300k.json",
-                 "curation_scaling_1m5.json", "curation_scaling_bpe5m.json"):
+                 "curation_scaling_1m5.json", "curation_scaling_bpe5m.json",
+                 "curation_scaling_graph.json"):
         p = Path("BENCH") / name
         if p.exists():
             try:

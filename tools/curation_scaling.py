@@ -27,6 +27,11 @@ Ops measured (each a corpus-scale job over the replicated corpus):
 - ``nb``        nb_log_odds_scores     (Naive-Bayes quality scores)
 - ``dsir``      dsir_importance_weights
 - ``bigram_lm`` bigram_surprisal       (CCNet-grade LM filter)
+- ``pagerank``  fixed-point integer PageRank over a synthetic link
+  graph derived from the corpus (20 out-links per doc over a 200k-node
+  host space, n_iter=5 — per iteration one src-keyed join + one
+  groupBy(dst) SUM, the iterative-graph shuffle shape none of the other
+  ops exercise)
 - ``bpe_join``  the corpus-scale half of bpe_token_counts (explode +
   equi-join on the word key + per-doc sum) against a pre-encoded
   vocabulary.  The OTHER half — the iterative vocabulary encode — is
@@ -60,7 +65,7 @@ os.environ.setdefault("OMP_NUM_THREADS", "1")
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 PLANT = "planted shared passage alpha beta gamma delta epsilon zeta eta theta"
 CORPUS_FILES = 64
-OPS = ("spans", "nb", "dsir", "bigram_lm", "bpe_join")
+OPS = ("spans", "nb", "dsir", "bigram_lm", "bpe_join", "pagerank")
 
 
 # --------------------------------------------------------------------------
@@ -131,7 +136,20 @@ def worker_main(master: str, corpus_path: str, out_base: str,
                 .write.mode("overwrite").parquet(out)
             )
 
+        from red_seal_ocr_spark.operators.graph import pagerank
+
+        def run_pagerank(out: str) -> None:
+            j = F.explode(F.sequence(F.lit(0), F.lit(19))).alias("j")
+            edges = d.select("doc_id", j).select(
+                ((F.col("doc_id") * 20 + F.col("j")) % 200000).alias("src"),
+                ((F.col("doc_id") * 37 + F.col("j") * 11 + 3) % 200000)
+                .alias("dst"),
+            )
+            pagerank(edges, n_iter=5, partitions=CORPUS_FILES).write.mode(
+                "overwrite").parquet(out)
+
         jobs = {
+            "pagerank": run_pagerank,
             "spans": lambda out: duplicated_ngram_spans(d, n=8, min_docs=2)
             .write.mode("overwrite").parquet(out),
             "nb": lambda out: nb_log_odds_scores(labeled)
