@@ -124,16 +124,11 @@ def curate_documents(
     if require_gopher_pass:
         from .textops import gopher_quality_flags
 
-        flag_cols = [
-            "n_words", "ok_word_count", "ok_mean_len", "ok_symbol_ratio",
-            "ok_bullets", "ok_ellipsis", "ok_alpha", "ok_stops",
-            "gopher_pass",
-        ]
-        stage2 = (
-            gopher_quality_flags(stage2, id_col=id_col, text_col=text_col)
-            .filter(F.col("gopher_pass"))
-            .drop(*flag_cols)
-        )
+        flagged = gopher_quality_flags(stage2, text_col=text_col)
+        # derive the added columns instead of hardcoding the flag list —
+        # a new rule column must not silently leak into kept_docs
+        added = [c for c in flagged.columns if c not in stage2.columns]
+        stage2 = flagged.filter(F.col("gopher_pass")).drop(*added)
         if cache_intermediates:
             stage2 = stage2.cache()
         gopher_stage = stage2

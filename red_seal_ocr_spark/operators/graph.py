@@ -68,6 +68,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     partitions: int | None = None,
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """Fixed-point integer PageRank (see module docstring for the exact
     recurrence).  Input: an edge list ``(src_col, dst_col)`` — repeated
@@ -77,24 +78,40 @@ def pagerank(
 
     ``partitions`` sizes the loop's shuffles (rank/edge frames are tiny
     relative to a corpus — same dial as ``duplicate_clusters``).
+
+    ``checkpoint_every``: lineage is truncated via ``localCheckpoint``
+    only every K rounds, NOT every round — a fixed small ``n_iter``
+    then runs as ONE lazy job at action time instead of n_iter
+    sequential driver-materialized jobs (each eager checkpoint costs a
+    driver roundtrip + a blocking materialization; at 5 iterations the
+    per-round version was fixed-cost-bound, 0.35 scaling efficiency on
+    the 3M-edge stress vs the other curation ops' 0.5-0.9).  Setup does
+    exactly ONE aggregation pass over the raw edges: the weighted edge
+    table is checkpointed first and out-weights / the loop's join frame
+    / the node set all derive from that materialized frame.
     """
     if n_iter < 0:
         raise ValueError(f"n_iter must be >= 0, got {n_iter}")
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}")
     src, dst = F.col(src_col), F.col(dst_col)
     w_edges = (
         edges.select(src.alias("src"), dst.alias("dst"))
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
-    )
+    ).localCheckpoint(eager=True)  # the ONE pass over raw edges
     out_w = w_edges.groupBy("src").agg(F.sum("w").alias("out_w"))
     # one edge frame carrying its source's out-weight, partitioned by the
-    # loop's join key ONCE — every iteration's join reuses this exchange
+    # loop's join key ONCE — every iteration's join reuses this layout
     ej = w_edges.join(out_w, "src")
     ej = (
         ej.repartition(partitions, "src") if partitions
         else ej.repartition("src")
     )
     ej = ej.localCheckpoint(eager=True)
+    # node-sized and referenced every round: materialize once (derived
+    # from the checkpointed w_edges, not from the raw edge list)
     nodes = (
         w_edges.select(F.col("src").alias("node"))
         .unionByName(w_edges.select(F.col("dst").alias("node")))
@@ -102,7 +119,7 @@ def pagerank(
     ).localCheckpoint(eager=True)
     teleport = F.lit(scale * (damping_den - damping_num) // damping_den)
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("pr"))
-    for _ in range(n_iter):
+    for k in range(n_iter):
         contribs = (
             ej.join(ranks, ej.src == ranks.node)
             .select(
@@ -121,6 +138,7 @@ def pagerank(
                 .cast("long")
                 .alias("pr"),
             )
-            .localCheckpoint(eager=True)  # truncate lineage per round
         )
+        if (k + 1) % checkpoint_every == 0 and (k + 1) < n_iter:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks

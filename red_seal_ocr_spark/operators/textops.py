@@ -1083,6 +1083,13 @@ def perplexity_buckets(
     breaks ties on ``id_col`` — so bucket assignment is bit-stable
     across engines and retries.
 
+    NOT row-preserving: docs the scorer emits no row for (NULL text)
+    have no defined perplexity and therefore no bucket — they are
+    ABSENT from the output (inner join on the score), exactly like
+    ``bigram_surprisal`` itself.  Callers that must pass unscoreable
+    docs through should left-join this output back to their doc set
+    (the ``curate_documents`` LM-stage pattern).
+
     Scale shape: ntile is one window = one hash-partition-by-language +
     per-partition sort over (surprisal, id) PAIRS — language skew is
     real (one language can be half the crawl), so at the 100 TB tier the
@@ -1120,7 +1127,6 @@ GOPHER_STOP_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 def gopher_quality_flags(
     docs: DataFrame,
-    id_col: str = "doc_id",
     text_col: str = "text",
     min_words: int = 50,
     max_words: int = 100_000,
@@ -1165,9 +1171,10 @@ def gopher_quality_flags(
     sum_chars = F.aggregate(
         toks, F.lit(0), lambda acc, w: acc + F.length(w))
     hashes = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
-    dots = F.floor(
-        (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
-    ).cast("int")
+    # leftmost non-overlapping '...' runs, counted WITHOUT any division
+    # (regexp_count and replace-length-delta//3 agree; the oracle states
+    # the replace form) — keeps the no-float-arithmetic claim literal
+    dots = F.regexp_count(t, F.lit(r"\.\.\."))
     hellip = F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit("")))
     symbols = F.coalesce(hashes + dots + hellip, F.lit(0))
     bullet_lines = F.size(F.filter(

@@ -72,7 +72,7 @@ def canonical_url(url_col) -> Column:
     the CASE form on degenerate longer inputs, documented here.
     """
     u = F.trim(url_col if isinstance(url_col, Column) else F.col(url_col))
-    u1 = F.regexp_replace(u, "#.*", "")
+    u1 = F.regexp_replace(u, "(?s)#.*", "")
     low = F.lower(F.regexp_extract(u1, _PREFIX_RE, 0))
     # default-port drop as two anchored lookbehind regexes (ONE parent
     # reference; ':80$' after a literal '^http://' + port-free tail is
@@ -124,7 +124,7 @@ def with_canonical_url(
     Same output, same zero-shuffle scale shape."""
     u_raw = url_col if isinstance(url_col, Column) else F.col(url_col)
     out = df.withColumn(
-        "_url_u1", F.regexp_replace(F.trim(u_raw), "#.*", ""))
+        "_url_u1", F.regexp_replace(F.trim(u_raw), "(?s)#.*", ""))
     low = F.lower(F.regexp_extract(F.col("_url_u1"), _PREFIX_RE, 0))
     low2 = F.regexp_replace(
         F.regexp_replace(low, "(?<=^http://[^?#]{0,1000}):80$", ""),
@@ -222,8 +222,11 @@ def filter_blocked_hosts(
     label-boundary parent matching, never substring matching, so
     ``notexample.com`` does NOT match ``example.com``).
 
-    ``mode='drop'`` removes blocked rows; ``mode='flag'`` keeps every
-    row and adds boolean ``blocked`` + the extracted ``host`` instead.
+    ``mode='drop'`` removes blocked rows and returns EXACTLY the input
+    schema; ``mode='flag'`` keeps every row and adds boolean ``blocked``
+    + the extracted ``host``.  Because flag mode ADDS those two columns,
+    inputs already carrying either name are rejected (silently
+    overwriting a caller's column was the review finding).
 
     Scale shape: the naive predicate ``host LIKE '%.'||domain`` is a
     theta-join — a broadcast NESTED LOOP over |docs| × |blocklist| that
@@ -240,6 +243,12 @@ def filter_blocked_hosts(
     """
     if mode not in ("drop", "flag"):
         raise ValueError(f"mode must be 'drop' or 'flag', got {mode!r}")
+    clash = {"host", "blocked"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input already has column(s) {sorted(clash)}; "
+            "filter_blocked_hosts adds 'host' and 'blocked' and will not "
+            "silently overwrite them — rename or drop the input columns")
     bl = blocklist.select(
         F.lower(F.trim(F.col(domain_col))).alias("_bl_domain")).distinct()
     with_host = df.withColumn("host", host_of(url_col))

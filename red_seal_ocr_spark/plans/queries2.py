@@ -2811,7 +2811,7 @@ ORACLE_SQL_2["q96_url_dedup"] = """
                END AS url
         FROM documents
     ),
-    c1 AS (SELECT doc_id, regexp_replace(trim(url), '#.*', '', 'g') AS u FROM u0),
+    c1 AS (SELECT doc_id, regexp_replace(trim(url), '(?s)#.*', '', 'g') AS u FROM u0),
     c2 AS (SELECT doc_id, u,
                   regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*') AS pfx
            FROM c1),

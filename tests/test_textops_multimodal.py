@@ -1346,3 +1346,32 @@ def test_gopher_quality_flags_boundaries(spark):
         [(1, ell_ok), (2, ell_bad)], "doc_id bigint, text string")
     got2 = {r.doc_id: r for r in gopher_quality_flags(df2).collect()}
     assert got2[1].ok_ellipsis and not got2[2].ok_ellipsis
+
+
+def test_canonical_url_newline_fragment(spark):
+    """Fragment drop is newline-safe: '#.*' must consume embedded
+    newlines like the '?'-split regexes do (review finding)."""
+    from red_seal_ocr_spark.operators.urls import (
+        canonical_url,
+        with_canonical_url,
+    )
+
+    df = spark.createDataFrame(
+        [("http://a.com/p#frag\nrest/",)], "url string")
+    one = df.select(canonical_url("url").alias("c")).first().c
+    two = with_canonical_url(df).first().canonical_url
+    assert one == two == "http://a.com/p"
+
+
+def test_filter_blocked_hosts_rejects_colliding_columns(spark):
+    from red_seal_ocr_spark.operators.urls import filter_blocked_hosts
+
+    docs = spark.createDataFrame(
+        [(1, "http://x.com/a", "prior")],
+        "doc_id bigint, url string, host string")
+    bl = spark.createDataFrame([("x.com",)], "domain string")
+    try:
+        filter_blocked_hosts(docs, bl)
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "host" in str(e)

@@ -139,10 +139,14 @@ def worker_main(master: str, corpus_path: str, out_base: str,
         from red_seal_ocr_spark.operators.graph import pagerank
 
         def run_pagerank(out: str) -> None:
+            # corpus doc_id is a STRING ('3105-r12'): hash to a bounded
+            # long first (pmod keeps h*37 far from bigint overflow under
+            # ANSI arithmetic)
             j = F.explode(F.sequence(F.lit(0), F.lit(19))).alias("j")
-            edges = d.select("doc_id", j).select(
-                ((F.col("doc_id") * 20 + F.col("j")) % 200000).alias("src"),
-                ((F.col("doc_id") * 37 + F.col("j") * 11 + 3) % 200000)
+            h = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(1_000_000_000))
+            edges = d.select(h.alias("h"), j).select(
+                ((F.col("h") * 20 + F.col("j")) % 200000).alias("src"),
+                ((F.col("h") * 37 + F.col("j") * 11 + 3) % 200000)
                 .alias("dst"),
             )
             pagerank(edges, n_iter=5, partitions=CORPUS_FILES).write.mode(
