@@ -142,3 +142,57 @@ def pagerank(
         if (k + 1) % checkpoint_every == 0 and (k + 1) < n_iter:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def inlink_anchor_stats(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    anchor_col: str = "anchor",
+) -> DataFrame:
+    """Per-target in-link statistics + dominant anchor text — the other
+    half of the link-graph signal tier: anchor text pointing AT a page
+    is a high-precision description of it (classic web-IR feature, and a
+    quality/topical prior in crawl curation alongside :func:`pagerank`).
+
+    Output per ``node`` (the link target): ``n_inlinks`` (total in-edge
+    count), ``n_sources`` (distinct linking sources), ``top_anchor`` /
+    ``top_anchor_count`` (the most frequent anchor string; ties break to
+    the lexicographically SMALLEST anchor, so the result is
+    deterministic under any partitioning).
+
+    Scale shape: two map-side-combinable aggregations and one equi-join
+    back — no window, no self-join.  The top-anchor pick is a single
+    ``min(struct(-count, anchor))`` aggregate (min of negated count =
+    max count, then min anchor on ties) instead of a per-target sort;
+    anchor strings shuffle once, keyed by (dst, anchor), so a viral
+    anchor pre-reduces map-side exactly like hot paragraphs in
+    ``repeated_paragraph_dedup``.
+    """
+    src, dst = F.col(src_col), F.col(dst_col)
+    anc = F.col(anchor_col)
+    e = edges.select(src.alias("src"), dst.alias("dst"),
+                     anc.alias("anchor"))
+    totals = e.groupBy("dst").agg(
+        F.count(F.lit(1)).alias("n_inlinks"),
+        F.countDistinct("src").alias("n_sources"),
+    )
+    top = (
+        e.groupBy("dst", "anchor")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("dst")
+        .agg(F.min(F.struct((-F.col("c")).alias("nc"),
+                            F.col("anchor"))).alias("t"))
+        .select(
+            "dst",
+            F.col("t.anchor").alias("top_anchor"),
+            (-F.col("t.nc")).alias("top_anchor_count"),
+        )
+    )
+    return (
+        totals.join(top, "dst")
+        .select(
+            F.col("dst").alias("node"),
+            "n_inlinks", "n_sources", "top_anchor", "top_anchor_count",
+        )
+    )

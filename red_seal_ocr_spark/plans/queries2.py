@@ -3219,3 +3219,55 @@ ORACLE_SQL_2["q9c_gopher_flags"] = """
     FROM f
     ORDER BY doc_id
 """
+
+
+def q9d_inlink_anchors(spark, sf):
+    """Per-target in-link stats + dominant anchor text over a
+    deterministic synthetic (src, dst, anchor) edge list; LIVE oracle
+    restates the aggregation with a ROW_NUMBER pick using the identical
+    (count DESC, anchor ASC) tie rule."""
+    from ..operators.graph import inlink_anchor_stats
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    edges = d.select(
+        (F.col("doc_id") % 97).alias("src"),
+        F.expr("(doc_id * 13 + (doc_id % 31)) % 97").alias("dst"),
+        F.concat(F.lit("anchor-"),
+                 (F.col("doc_id") % 7).cast("string")).alias("anchor"),
+    )
+    return (
+        inlink_anchor_stats(edges)
+        .select("node", "n_inlinks", "n_sources",
+                "top_anchor", "top_anchor_count")
+        .orderBy("node")
+    )
+
+
+SPARK_QUERIES_2["q9d_inlink_anchors"] = q9d_inlink_anchors
+ORACLE_SQL_2["q9d_inlink_anchors"] = """
+    WITH e AS (
+        SELECT doc_id % 97 AS src,
+               (doc_id * 13 + doc_id % 31) % 97 AS dst,
+               'anchor-' || (doc_id % 7) AS anchor
+        FROM documents
+    ),
+    totals AS (
+        SELECT dst, COUNT(*) AS n_inlinks,
+               COUNT(DISTINCT src) AS n_sources
+        FROM e GROUP BY dst
+    ),
+    per_anchor AS (
+        SELECT dst, anchor, COUNT(*) AS c
+        FROM e GROUP BY dst, anchor
+    ),
+    top AS (
+        SELECT dst, anchor AS top_anchor, c AS top_anchor_count
+        FROM per_anchor
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY dst ORDER BY c DESC, anchor ASC) = 1
+    )
+    SELECT t.dst AS node, t.n_inlinks, t.n_sources,
+           p.top_anchor, p.top_anchor_count
+    FROM totals t JOIN top p ON t.dst = p.dst
+    ORDER BY node
+"""

@@ -97,3 +97,26 @@ def test_pagerank_custom_columns(spark):
     assert got == want
     # symmetric 2-cycle: equal ranks
     assert got[10] == got[20]
+
+
+def test_inlink_anchor_stats(spark):
+    from red_seal_ocr_spark.operators.graph import inlink_anchor_stats
+
+    rows = [
+        (1, 10, "news"), (2, 10, "news"), (3, 10, "blog"),
+        (1, 10, "blog"),                      # src 1 links 10 twice
+        (1, 20, "bbb"), (2, 20, "aaa"),       # tie: count 1 each -> 'aaa'
+        (5, 30, "solo"),
+    ]
+    df = spark.createDataFrame(rows, "src bigint, dst bigint, anchor string")
+    got = {r.node: (r.n_inlinks, r.n_sources, r.top_anchor,
+                    r.top_anchor_count)
+           for r in inlink_anchor_stats(df).collect()}
+    assert got[10] == (4, 3, "blog", 2)   # news 2, blog 2 -> lex tie-break
+    assert got[20] == (2, 2, "aaa", 1)    # lexicographic tie-break
+    assert got[30] == (1, 1, "solo", 1)
+    # determinism under partitioning
+    again = {r.node: (r.n_inlinks, r.n_sources, r.top_anchor,
+                      r.top_anchor_count)
+             for r in inlink_anchor_stats(df.repartition(5)).collect()}
+    assert again == got
