@@ -375,3 +375,68 @@ def expire_snapshots(table_dir: str, keep_last: int = 2,
                 "kept": sorted(kept_ids)}
     finally:
         os.rmdir(lock)
+
+
+def snapshot_diff(spark, table_dir: str, from_snapshot_id: int | None,
+                  to_snapshot_id: int | None, id_col: str = "doc_id") -> dict:
+    """Changelog between two snapshots (Iceberg's changelog-scan shape):
+    what a downstream consumer must reprocess after the table moved.
+
+    Returns a dict with two tiers:
+
+    - ``files_added`` / ``files_removed``: pure MANIFEST set difference —
+      zero data reads, O(|files|) driver work at any table size.
+    - ``rows_added`` / ``rows_removed``: lazy DataFrames of ``id_col``
+      values present in exactly one snapshot.  Computed by reading ONLY
+      the differing files and anti-joining ids across the two sides —
+      files common to both snapshots carry identical rows (snapshots are
+      immutable manifests over immutable files), so unchanged data is
+      never scanned.  A compaction REWRITE therefore shows file churn
+      but empty row diffs, which is the test-pinned property.  Either
+      side may be None (``rows_added=None`` means no rows were added).
+
+    ``from_snapshot_id=None`` diffs from the empty table (everything in
+    ``to`` is an add); ``to_snapshot_id=None`` means the CURRENT
+    snapshot.
+    """
+    from pyspark.sql import functions as F
+
+    def _files(snap_id, side):
+        if snap_id is None:
+            if side == "from":
+                return []
+            snap = current_snapshot(table_dir)
+        else:
+            snap = read_snapshot(table_dir, snap_id)
+            if snap is None:
+                raise ValueError(f"no snapshot {snap_id} in {table_dir}")
+        return [] if snap is None else snap["data_files"]
+
+    f_from = set(_files(from_snapshot_id, "from"))
+    f_to = set(_files(to_snapshot_id, "to"))
+    added_files = sorted(f_to - f_from)
+    removed_files = sorted(f_from - f_to)
+
+    def _ids(files):
+        if not files:
+            return None
+        return spark.read.parquet(*files).select(F.col(id_col))
+
+    to_only, from_only = _ids(added_files), _ids(removed_files)
+    rows_added = rows_removed = None
+    if to_only is not None:
+        rows_added = (
+            to_only.join(from_only, id_col, "left_anti").distinct()
+            if from_only is not None else to_only.distinct()
+        )
+    if from_only is not None:
+        rows_removed = (
+            from_only.join(to_only, id_col, "left_anti").distinct()
+            if to_only is not None else from_only.distinct()
+        )
+    return {
+        "files_added": added_files,
+        "files_removed": removed_files,
+        "rows_added": rows_added,
+        "rows_removed": rows_removed,
+    }

@@ -323,3 +323,50 @@ def test_export_job_end_to_end(tmp_path):
          for r in spark.read.parquet(out1).select("doc_id", "shard").collect()}
     assert {x for x, _ in a} == {x for x, _ in b}
     assert a != b
+
+
+def test_snapshot_diff_changelog(spark, tmp_path):
+    """snapshot_diff: manifest-level file churn + row-level adds/removes
+    computed from ONLY the differing files.  Key property: a compaction
+    REWRITE shows file churn but EMPTY row diffs."""
+    from red_seal_ocr_spark.sources.snapshot import (
+        compact_table,
+        current_snapshot,
+        snapshot_diff,
+    )
+
+    table = str(tmp_path / "out")
+    docs = documents_df(spark, N)
+    media = media_df(spark, N)
+    run_extract(spark, docs.filter(f"doc_id < 'doc-{N//2:08d}'"), media,
+                table, run_id="a")
+    s1 = current_snapshot(table)["snapshot_id"]
+    run_extract(spark, docs, media, table, run_id="b")
+    s2 = current_snapshot(table)["snapshot_id"]
+
+    # empty -> s1: everything is an add
+    d0 = snapshot_diff(spark, table, None, s1)
+    assert d0["rows_removed"] is None and not d0["files_removed"]
+    assert d0["rows_added"].count() == N // 2
+
+    # s1 -> s2: run b appended exactly the second half
+    d1 = snapshot_diff(spark, table, s1, s2)
+    assert d1["files_added"] and not d1["files_removed"]
+    added = {r.doc_id for r in d1["rows_added"].collect()}
+    assert len(added) == N - N // 2
+    assert d1["rows_removed"] is None
+
+    # compaction rewrite: file churn, zero row change
+    compact_table(spark, table, target_file_bytes=1 << 30)
+    s3 = current_snapshot(table)["snapshot_id"]
+    d2 = snapshot_diff(spark, table, s2, s3)
+    assert d2["files_added"] and d2["files_removed"]
+    assert d2["rows_added"].count() == 0
+    assert d2["rows_removed"].count() == 0
+
+    # unknown snapshot -> loud error
+    try:
+        snapshot_diff(spark, table, 999, None)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
