@@ -2917,10 +2917,12 @@ def q98_pagerank_hosts(spark, sf):
     )
 
 
-def _pagerank_oracle_sql(n_iter: int = 5) -> str:
-    """Unroll the integer PageRank recurrence as chained CTEs (the BPE
-    bounded-round unroll precedent).  SUM() OVER/GROUP BY widens to
-    HUGEINT in DuckDB -> CAST back to BIGINT (the q94 dtype gotcha)."""
+def _pagerank_ctes(n_iter: int = 5) -> tuple[list, str]:
+    """The integer PageRank recurrence as a chained-CTE list (the BPE
+    bounded-round unroll precedent), returned as (cte_list,
+    final_rank_table) so composite oracles (q9e) can reuse the exact
+    fragments.  SUM() OVER/GROUP BY widens to HUGEINT in DuckDB -> CAST
+    back to BIGINT (the q94 dtype gotcha)."""
     ctes = [
         """e AS (
         SELECT doc_id % 53 AS src, (doc_id * 7 + 3) % 53 AS dst FROM documents
@@ -2947,8 +2949,13 @@ def _pagerank_oracle_sql(n_iter: int = 5) -> str:
                ON ej.dst = n.node
         GROUP BY n.node
     )""")
+    return ctes, f"r{n_iter}"
+
+
+def _pagerank_oracle_sql(n_iter: int = 5) -> str:
+    ctes, final = _pagerank_ctes(n_iter)
     return ("WITH " + ",\n    ".join(ctes)
-            + f"\n    SELECT node, pr FROM r{n_iter} ORDER BY node")
+            + f"\n    SELECT node, pr FROM {final} ORDER BY node")
 
 
 SPARK_QUERIES_2["q98_pagerank_hosts"] = q98_pagerank_hosts
@@ -3271,3 +3278,71 @@ ORACLE_SQL_2["q9d_inlink_anchors"] = """
     FROM totals t JOIN top p ON t.dst = p.dst
     ORDER BY node
 """
+
+
+def q9e_host_reputation(spark, sf):
+    """Host reputation composite — the RefinedWeb-style host prior:
+    STRUCTURAL score (fixed-point integer PageRank over the q98 link
+    graph) joined with a CONTENT score (per-host Gopher word-count
+    pass rate, integer percent) on the shared host universe.  Both
+    inputs are exact integers, so the composite live-oracles bit-exact;
+    the oracle reuses the q98 recurrence CTEs verbatim."""
+    from ..operators.graph import pagerank
+    from ..operators.textops import gopher_quality_flags
+
+    d = _t(spark, sf, "documents")
+    flags = gopher_quality_flags(d).withColumn(
+        "host", F.col("doc_id") % 53)
+    content = flags.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("ok_word_count").cast("long")).alias("n_ok"),
+    )
+    ids = d.select("doc_id")
+    e1 = ids.select(
+        (F.col("doc_id") % 53).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 53).alias("dst"),
+    )
+    e2 = ids.select(
+        (F.col("doc_id") % 53).alias("src"),
+        ((F.col("doc_id") * 11 + 5) % 53).alias("dst"),
+    )
+    ranks = pagerank(e1.unionByName(e2), n_iter=5, partitions=8)
+    return (
+        content.join(ranks, content.host == ranks.node)
+        .select(
+            "host",
+            F.col("n_docs").cast("int").alias("n_docs"),
+            F.expr("CAST((100 * n_ok) div n_docs AS INT)").alias("ok_pct"),
+            "pr",
+        )
+        .orderBy("host")
+    )
+
+
+def _q9e_oracle_sql() -> str:
+    ctes, final = _pagerank_ctes(5)
+    ctes = ctes + [
+        """flags AS (
+        SELECT doc_id % 53 AS host,
+               (len(list_filter(
+                   string_split_regex(lower(trim(coalesce(text, ''))),
+                                      '\\s+'), x -> x <> ''))
+                BETWEEN 50 AND 100000) AS ok
+        FROM documents
+    )""",
+        """content AS (
+        SELECT host, COUNT(*) AS n_docs,
+               SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS n_ok
+        FROM flags GROUP BY host
+    )""",
+    ]
+    return ("WITH " + ",\n    ".join(ctes) + f"""
+    SELECT c.host, CAST(c.n_docs AS INT) AS n_docs,
+           CAST((100 * c.n_ok) // c.n_docs AS INT) AS ok_pct,
+           r.pr
+    FROM content c JOIN {final} r ON c.host = r.node
+    ORDER BY c.host""")
+
+
+SPARK_QUERIES_2["q9e_host_reputation"] = q9e_host_reputation
+ORACLE_SQL_2["q9e_host_reputation"] = _q9e_oracle_sql()
