@@ -1,0 +1,76 @@
+"""spark-submit entry point for the link-graph ranking step.
+
+Reads an edge list parquet (``src``, ``dst`` and optionally repeated
+rows as multi-edges) and writes the fixed-point integer PageRank table
+(``operators/graph.py::pagerank``) — the host-prioritization /
+quality-prior signal the curation tier joins back onto documents
+(q9e's composite).  Ranks are bigint micro-units, bit-identical across
+partitionings, retries, and cluster sizes (order-free integer sums), so
+re-running the job over the same edges always reproduces the same
+table.
+
+Usage::
+
+    python jobs/make_pyfiles.py                      # build dist/engine.zip
+    spark-submit --py-files dist/engine.zip jobs/rank_job.py \
+        --edges /tmp/edges --output /tmp/host_ranks \
+        [--n-iter 10] [--partitions 256] [--src-col src] [--dst-col dst]
+
+``--partitions`` sizes the loop's shuffles to the GRAPH (node/edge
+frames are tiny relative to a document corpus — the
+``duplicate_clusters`` dial); leave unset to inherit the session
+default.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--edges", required=True, help="edge-list parquet path")
+    ap.add_argument("--output", required=True, help="rank table output path")
+    ap.add_argument("--n-iter", type=int, default=10)
+    ap.add_argument("--scale", type=int, default=1_000_000)
+    ap.add_argument("--src-col", default="src")
+    ap.add_argument("--dst-col", default="dst")
+    ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from red_seal_ocr_spark.operators.graph import pagerank
+    from red_seal_ocr_spark.session import get_spark
+
+    pre_existing = SparkSession.getActiveSession() is not None
+    spark = get_spark("rank-job", master=args.master)
+    t0 = time.time()
+    try:
+        edges = spark.read.parquet(args.edges)
+        ranks = pagerank(
+            edges, n_iter=args.n_iter, scale=args.scale,
+            src_col=args.src_col, dst_col=args.dst_col,
+            partitions=args.partitions,
+        )
+        ranks.write.mode("overwrite").parquet(args.output)
+        out = spark.read.parquet(args.output)
+        n = out.count()
+        # limit(3) of an empty table is just [] — no unguarded min/max
+        top = out.orderBy(out.pr.desc()).limit(3).collect()
+        print(f"nodes: {n}  top: {[(r.node, r.pr) for r in top]}")
+        print(f"ranked in {time.time() - t0:.1f}s -> {args.output}")
+        return 0
+    finally:
+        if not pre_existing:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
