@@ -370,3 +370,27 @@ def test_snapshot_diff_changelog(spark, tmp_path):
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_rank_job_end_to_end(spark, tmp_path):
+    """jobs/rank_job.py: edge parquet -> deterministic integer rank
+    table, rerun-identical (order-free integer sums)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "jobs"))
+    import rank_job
+
+    edges = str(tmp_path / "edges")
+    out = str(tmp_path / "ranks")
+    spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3)], "src bigint, dst bigint"
+    ).write.parquet(edges)
+    assert rank_job.main(["--edges", edges, "--output", out,
+                          "--n-iter", "5"]) == 0
+    first = {r.node: r.pr for r in spark.read.parquet(out).collect()}
+    assert set(first) == {1, 2, 3} and all(v >= 150_000 for v in first.values())
+    # rerun reproduces the table bit-for-bit
+    assert rank_job.main(["--edges", edges, "--output", out,
+                          "--n-iter", "5"]) == 0
+    assert {r.node: r.pr for r in spark.read.parquet(out).collect()} == first
