@@ -378,7 +378,8 @@ def expire_snapshots(table_dir: str, keep_last: int = 2,
 
 
 def snapshot_diff(spark, table_dir: str, from_snapshot_id: int | None,
-                  to_snapshot_id: int | None, id_col: str = "doc_id") -> dict:
+                  to_snapshot_id: int | None, id_col: str = "doc_id",
+                  detect_changes: bool = False) -> dict:
     """Changelog between two snapshots (Iceberg's changelog-scan shape):
     what a downstream consumer must reprocess after the table moved.
 
@@ -398,6 +399,14 @@ def snapshot_diff(spark, table_dir: str, from_snapshot_id: int | None,
     ``from_snapshot_id=None`` diffs from the empty table (everything in
     ``to`` is an add); ``to_snapshot_id=None`` means the CURRENT
     snapshot.
+
+    An id present in BOTH differing sides is counted as neither added
+    nor removed — correct for this table's append-once-per-id model
+    (the resume anti-join guarantees it), but a REWRITE snapshot may
+    republish an id with different content.  ``detect_changes=True``
+    adds ``rows_changed``: ids on both sides whose full-row hash
+    (xxhash64 over every column, null-safe) differs — still reading
+    only the differing files.
     """
     from pyspark.sql import functions as F
 
@@ -417,12 +426,13 @@ def snapshot_diff(spark, table_dir: str, from_snapshot_id: int | None,
     added_files = sorted(f_to - f_from)
     removed_files = sorted(f_from - f_to)
 
-    def _ids(files):
-        if not files:
-            return None
-        return spark.read.parquet(*files).select(F.col(id_col))
+    def _side(files):
+        return spark.read.parquet(*files) if files else None
 
-    to_only, from_only = _ids(added_files), _ids(removed_files)
+    to_side, from_side = _side(added_files), _side(removed_files)
+    to_only = None if to_side is None else to_side.select(F.col(id_col))
+    from_only = (
+        None if from_side is None else from_side.select(F.col(id_col)))
     rows_added = rows_removed = None
     if to_only is not None:
         rows_added = (
@@ -434,9 +444,28 @@ def snapshot_diff(spark, table_dir: str, from_snapshot_id: int | None,
             from_only.join(to_only, id_col, "left_anti").distinct()
             if to_only is not None else from_only.distinct()
         )
-    return {
+    out = {
         "files_added": added_files,
         "files_removed": removed_files,
         "rows_added": rows_added,
         "rows_removed": rows_removed,
     }
+    if detect_changes:
+        rows_changed = None
+        if to_side is not None and from_side is not None:
+            def _hashes(df):
+                # one hash-set per id: robust to multi-row ids and to
+                # row order inside files
+                h = df.select(
+                    F.col(id_col),
+                    F.xxhash64(*sorted(df.columns)).alias("_h"))
+                return h.groupBy(id_col).agg(
+                    F.sort_array(F.collect_list("_h")).alias("_hs"))
+            a, b = _hashes(to_side), _hashes(from_side)
+            rows_changed = (
+                a.join(b.withColumnRenamed("_hs", "_hs_from"), id_col)
+                .filter(F.col("_hs") != F.col("_hs_from"))
+                .select(F.col(id_col))
+            )
+        out["rows_changed"] = rows_changed
+    return out

@@ -394,3 +394,40 @@ def test_rank_job_end_to_end(spark, tmp_path):
     assert rank_job.main(["--edges", edges, "--output", out,
                           "--n-iter", "5"]) == 0
     assert {r.node: r.pr for r in spark.read.parquet(out).collect()} == first
+
+
+def test_snapshot_diff_detect_changes(spark, tmp_path):
+    """detect_changes: an id republished with DIFFERENT content by a
+    rewrite snapshot surfaces in rows_changed; identical republication
+    (compaction) does not."""
+    from red_seal_ocr_spark.sources.snapshot import (
+        commit_snapshot,
+        current_snapshot,
+        snapshot_diff,
+    )
+
+    table = str(tmp_path / "t")
+
+    def write_run(run_id, rows):
+        p = f"{table}/data/{run_id}"
+        spark.createDataFrame(rows, "doc_id bigint, text string")\
+            .coalesce(1).write.parquet(p)
+        import glob
+        return sorted(glob.glob(f"{p}/*.parquet"))
+
+    f1 = write_run("r1", [(1, "alpha"), (2, "beta")])
+    commit_snapshot(table, f1, [], "r1")
+    s1 = current_snapshot(table)["snapshot_id"]
+
+    # rewrite: id 1 unchanged, id 2 edited, id 3 added, in NEW files
+    f2 = write_run("r2", [(1, "alpha"), (2, "beta EDITED"), (3, "gamma")])
+    commit_snapshot(table, f2, [], "r2", replace=True)
+    s2 = current_snapshot(table)["snapshot_id"]
+
+    d = snapshot_diff(spark, table, s1, s2, detect_changes=True)
+    assert {r.doc_id for r in d["rows_added"].collect()} == {3}
+    assert d["rows_removed"].count() == 0
+    assert {r.doc_id for r in d["rows_changed"].collect()} == {2}
+
+    # default path has no rows_changed key (opt-in)
+    assert "rows_changed" not in snapshot_diff(spark, table, s1, s2)
