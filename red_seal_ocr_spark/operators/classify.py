@@ -53,18 +53,31 @@ def nb_log_odds_scores(
     Output: ``(id, n_tokens:int, nb_milli:bigint)``.
     """
     lbl = F.col(label_col).cast("boolean")
-    exploded = docs.select(
-        F.col(id_col), lbl.alias("y"), F.explode(_toks(text_col)).alias("term")
+    # ONE tokenize+explode pass (guide section 2.4): aggregate the term
+    # stream to (doc, term) once — y rides the key, functionally
+    # determined by the doc — and derive the per-class term counts FROM
+    # that frame instead of re-exploding the corpus for them.  Counts
+    # are exact integers, so the model is bit-identical to the
+    # two-pass form; the scoring expression below is shared verbatim
+    # with nb_score_with_model via _score_doc_terms.
+    doc_terms_y = (
+        docs.select(
+            F.col(id_col), lbl.alias("y"), F.explode(_toks(text_col)).alias("term")
+        )
+        .groupBy(id_col, "y", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
-    term_counts = exploded.groupBy("term").agg(
-        F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("c_pos"),
-        F.sum(F.when(F.col("y"), 0).otherwise(1)).alias("c_neg"),
+    term_counts = doc_terms_y.groupBy("term").agg(
+        F.sum(F.when(F.col("y"), F.col("tf")).otherwise(0)).alias("c_pos"),
+        F.sum(F.when(F.col("y"), 0).otherwise(F.col("tf"))).alias("c_neg"),
     )
     doc_counts = docs.agg(
         F.sum(F.when(lbl, 1).otherwise(0)).alias("d_pos"),
         F.sum(F.when(lbl, 0).otherwise(1)).alias("d_neg"),
     )
-    return nb_score_with_model(docs, term_counts, doc_counts, id_col, text_col)
+    return _score_doc_terms(
+        doc_terms_y.drop("y"), term_counts, doc_counts, id_col
+    )
 
 
 def nb_score_with_model(
@@ -90,6 +103,25 @@ def nb_score_with_model(
     join's NULL -> (0+1)-count fallback, so scoring a NEWER batch
     against an older model is well-defined.
     """
+    doc_terms = (
+        docs.select(F.col(id_col), F.explode(_toks(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return _score_doc_terms(doc_terms, term_counts, doc_counts, id_col)
+
+
+def _score_doc_terms(
+    doc_terms: DataFrame,
+    term_counts: DataFrame,
+    doc_counts: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Shared NB scoring over a pre-aggregated ``(id, term, tf)`` frame —
+    the one scoring expression behind both the self-train path (which
+    derives ``doc_terms`` AND the model from a single explode pass) and
+    :func:`nb_score_with_model` (which re-derives it from raw docs
+    against an external model)."""
     totals = term_counts.agg(
         F.sum("c_pos").alias("n_pos"),
         F.sum("c_neg").alias("n_neg"),
@@ -98,11 +130,6 @@ def nb_score_with_model(
     dc = doc_counts.filter((F.col("d_pos") > 0) & (F.col("d_neg") > 0))
     weights = term_counts.select(
         "term", F.col("c_pos").alias("cp"), F.col("c_neg").alias("cn")
-    )
-    doc_terms = (
-        docs.select(F.col(id_col), F.explode(_toks(text_col)).alias("term"))
-        .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
     )
     return (
         doc_terms.join(F.broadcast(weights), on="term", how="left")
@@ -195,9 +222,20 @@ def dsir_importance_weights(
         tgt.alias("y"),
         F.explode(_hashed_features(text_col, bucket_hex_chars)).alias("bucket"),
     )
-    bucket_counts = exploded.groupBy("bucket").agg(
-        F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("c_tgt"),
-        F.count(F.lit(1)).alias("c_raw"),
+    # ONE pass over the feature stream: aggregate to (doc, bucket) first
+    # (y is functionally determined by the doc, so adding it to the key
+    # changes no group), then derive the bucket distribution FROM that
+    # frame.  The old shape aggregated `exploded` twice under two
+    # different keys — two full tokenize+md5 passes over the corpus with
+    # no exchange reuse (guide section 2.4); now the second aggregate
+    # reads the first one's (small) output.  Counts are exact integers
+    # either way, so weights are bit-identical.
+    doc_feats_y = exploded.groupBy(id_col, "y", "bucket").agg(
+        F.count(F.lit(1)).alias("nf")
+    )
+    bucket_counts = doc_feats_y.groupBy("bucket").agg(
+        F.sum(F.when(F.col("y"), F.col("nf")).otherwise(0)).alias("c_tgt"),
+        F.sum("nf").alias("c_raw"),
     )
     totals = bucket_counts.agg(
         F.sum("c_tgt").alias("n_tgt"), F.sum("c_raw").alias("n_raw")
@@ -209,9 +247,7 @@ def dsir_importance_weights(
             / ((F.col("c_raw") + 1) * (F.col("n_tgt") + n_buckets)).cast("double")
         ).alias("w"),
     )
-    doc_feats = exploded.groupBy(id_col, "bucket").agg(
-        F.count(F.lit(1)).alias("nf")
-    )
+    doc_feats = doc_feats_y.drop("y")
     return (
         doc_feats.join(F.broadcast(weights), on="bucket")
         .groupBy(id_col)

@@ -840,7 +840,15 @@ def duplicated_ngram_spans(
     - the islands merge is a per-document window (shuffle keyed by
       ``id_col`` — uniform), never a global sort.
     """
-    grams = positioned_grams(docs, id_col, text_col, n)
+    # hash-partition the gram stream ONCE on the gram key: the df
+    # aggregate and the join-back both consume the same exchange (the
+    # second consumer is a ReusedExchange), so the tokenize+zip+md5
+    # subtree — the expensive part — runs a single time instead of once
+    # per consumer (guide section 2.4).  The aggregate loses map-side
+    # partial reduction, but its input is already one row per gram
+    # INSTANCE (countDistinct buffers them all anyway), so nothing
+    # combinable was given up.
+    grams = positioned_grams(docs, id_col, text_col, n).repartition(F.col("g"))
     df_filter = F.col("df") >= min_docs
     if max_docs is not None:
         df_filter = df_filter & (F.col("df") <= max_docs)

@@ -666,7 +666,11 @@ def tfidf_similarity_pairs(
         F.explode(nonblank_tokens(text_col)).alias("term"),
     )
     tf = tok.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_tbl = tok.groupBy("term").agg(F.countDistinct("_id").alias("df"))
+    # document frequency derives FROM the tf frame — its rows are already
+    # one per (doc, term), so df is a plain count per term and the
+    # tokenize+explode pass runs once instead of twice (guide 2.4); the
+    # counts are identical integers to the old countDistinct form
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if max_df is not None:
         df_tbl = df_tbl.filter(F.col("df") <= max_df)
     n_docs = docs.agg(F.count(F.lit(1)).alias("nn"))

@@ -859,6 +859,15 @@ def bigram_surprisal(
         1,
         F.greatest(F.size(F.col("t")) - 1, F.lit(0)),
     )
+    # Shape note (r07, measured): the pair stream feeds two consumers
+    # (the bigram count table and the scoring join).  A single-pass
+    # variant — pre-aggregate to (doc, a, b, tf), derive `bc` from it,
+    # weight by tf — was tried and REVERTED: it adds a full pair-stream
+    # exchange to the critical path, and recomputing the cheap
+    # tokenize+explode is faster than shuffling its output (9.5 s vs
+    # 5.5 s at sf1.0 local[32]); at cluster scale the same trade holds —
+    # shuffle bytes are the scarce resource (guide 2.3), the explode is
+    # ALU-cheap, and `bc` pre-reduces map-side before its exchange.
     big = base.select(F.col(id_col), F.explode(pairs_arr).alias("p")).select(
         F.col(id_col), F.col("p.a").alias("a"), F.col("p.b").alias("b")
     )
@@ -947,11 +956,17 @@ def normalize_text(
         "",
     )
     squashed = F.trim(F.regexp_replace(stripped, r"\s+", " "))
-    return docs.select(
+    # stage the normalized column FIRST and have n_changed reference it
+    # by name: inlining `squashed` twice into one projection plants two
+    # copies of the regex chain in the plan (guide section 4.4's
+    # duplicated-expression shape, minus the UDF — the ArrowEvalPython
+    # node itself is deduplicated by extraction, the JVM regex work is
+    # not)
+    staged = docs.select("*", squashed.alias(out_col))
+    return staged.select(
         "*",
-        squashed.alias(out_col),
         F.when(F.col(text_col).isNull(), F.lit(0))
-        .otherwise((F.col(text_col) != squashed).cast("int"))
+        .otherwise((F.col(text_col) != F.col(out_col)).cast("int"))
         .alias("n_changed"),
     )
 

@@ -170,11 +170,30 @@ def url_dedup(
     page millions of times) pre-reduce map-side exactly like
     ``repeated_paragraph_dedup``'s hot paragraphs.
     """
-    with_canon = with_canonical_url(df, url_col)
-    # rename the aggregate's key before joining back: both sides derive
-    # from the same lineage, and same-name column refs resolve to a
-    # trivially-true self-equality predicate (Spark warns, and the join
-    # silently keys on _keep_id alone)
+    # NULL-url rows (canonical_url(NULL) is NULL) are split out FIRST and
+    # unioned back as their own survivors with url_dups = 1: a URL-less
+    # document is not a duplicate of other URL-less documents, and the
+    # old null-unsafe join silently deleted the whole NULL group
+    # (ADVICE r06).  The split is a cheap filter on the raw url column,
+    # before any canonicalization work.
+    nulls = df.filter(F.col(url_col).isNull()).select(
+        "*",
+        F.lit(None).cast("string").alias("canonical_url"),
+        F.lit(1).cast("bigint").alias("url_dups"),
+    )
+    # Shape note (r07, measured): forcing the canonicalized rows through
+    # one hash exchange so both consumers reuse it was tried and
+    # REVERTED — the full-row shuffle on the critical path cost more
+    # than recomputing the regex chain in each branch (5.0 s vs 2.7 s at
+    # sf1.0 local[32]); the keep-aggregate pre-reduces map-side, which
+    # the repartitioned form gave up.  Rename the aggregate's key before
+    # joining back: both sides derive from the same lineage, and
+    # same-name column refs resolve to a trivially-true self-equality
+    # predicate (Spark warns, and the join silently keys on _keep_id
+    # alone).
+    with_canon = with_canonical_url(
+        df.filter(F.col(url_col).isNotNull()), url_col
+    )
     keep = (
         with_canon.groupBy("canonical_url")
         .agg(
@@ -183,7 +202,7 @@ def url_dedup(
         )
         .withColumnRenamed("canonical_url", "_keep_canon")
     )
-    return (
+    deduped = (
         with_canon.join(
             keep,
             (F.col("canonical_url") == F.col("_keep_canon"))
@@ -191,6 +210,7 @@ def url_dedup(
         )
         .drop("_keep_canon", "_keep_id")
     )
+    return deduped.unionByName(nulls)
 
 
 def host_of(url_col) -> Column:

@@ -14,8 +14,20 @@ from pyspark.sql import functions as F
 from ..operators.textops import LANG_MARKERS, language_id, quality_score
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+def _t(spark: SparkSession, sf_dir: str, name: str,
+       spread: bool = True) -> DataFrame:
+    # shares the scale-adaptive scan spread with queries.py (see the
+    # _SPREAD_TABLES note there): single-row-group driver files
+    # otherwise single-thread every expensive row-local stage.
+    # ``spread=False`` opts out call sites that filter to a few hundred
+    # rows immediately (the extra exchange is pure overhead there).
+    from .queries import _SPREAD_TABLES, _spread
+
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    if spread and name in _SPREAD_TABLES:
+        df = _spread(spark, df, path, _SPREAD_TABLES[name])
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -138,7 +150,7 @@ def q23_minhash_lsh(spark, sf):
     xxhash64 permutation family has no DuckDB equivalent)."""
     from ..operators.dedup import minhash_lsh_candidates
 
-    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    d = _t(spark, sf, "documents", spread=False).filter(F.col("doc_id") < 200)
     return minhash_lsh_candidates(d).orderBy("a_id", "b_id")
 
 
@@ -146,7 +158,7 @@ def q24_simhash(spark, sf):
     """SimHash values + band buckets (rows-only; deterministic)."""
     from ..operators.dedup import simhash64
 
-    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    d = _t(spark, sf, "documents", spread=False).filter(F.col("doc_id") < 100)
     return d.select("doc_id", simhash64("text").alias("simhash")).orderBy("doc_id")
 
 
@@ -154,7 +166,7 @@ def q25_winnowing(spark, sf):
     """Winnowing fingerprint counts per doc (rows-only; deterministic)."""
     from ..operators.textops import winnowing_fingerprints
 
-    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    d = _t(spark, sf, "documents", spread=False).filter(F.col("doc_id") < 100)
     return winnowing_fingerprints(d).select(
         "doc_id", F.size("fingerprints").alias("n_fingerprints")
     ).orderBy("doc_id")
@@ -229,7 +241,7 @@ def q35_curate_funnel(spark, sf):
     (rows-only; deterministic)."""
     from ..operators.curate import curate_documents
 
-    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 150)
+    d = _t(spark, sf, "documents", spread=False).filter(F.col("doc_id") < 150)
     _, funnel = curate_documents(d, min_quality_pct=30, near_dup_jaccard_pct=80)
     return funnel.orderBy("stage")
 
@@ -608,7 +620,7 @@ def q41_exact_dedup_groups(spark, sf):
     documents table unioned with a re-keyed copy of itself)."""
     from ..operators.dedup import exact_dedup
 
-    d = _t(spark, sf, "documents").select("doc_id", "text").filter(F.col("doc_id") < 100)
+    d = _t(spark, sf, "documents", spread=False).select("doc_id", "text").filter(F.col("doc_id") < 100)
     doubled = d.unionByName(
         d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
     )
@@ -645,7 +657,7 @@ def q42_html_strip(spark, sf):
     entity decode + whitespace squash, fully SQL-mirrored."""
     from ..operators.html_extract import strip_tags_col
 
-    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    d = _t(spark, sf, "documents", spread=False).filter(F.col("doc_id") < 200)
     html = F.concat(
         F.lit("<html><body><nav><a href='/'>Home &amp; more</a></nav><p>"),
         F.col("text"),
@@ -669,7 +681,7 @@ def q43_main_content(spark, sf):
     emits exact-match flags vs the known article text."""
     from ..operators.html_extract import extract_main_content, synth_html_page
 
-    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    d = _t(spark, sf, "documents", spread=False).filter(F.col("doc_id") < 100)
 
     def build(batches):
         import pandas as pd
@@ -775,7 +787,7 @@ def q45_embedding_near_dups(spark, sf):
     an independent IEEE-fold float mirror (tools/gen_oracles.py)."""
     from ..operators.similarity import embedding_near_dups
 
-    e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 150)
+    e = _t(spark, sf, "embeddings", spread=False).filter(F.col("vec_id") < 150)
     base = e.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
@@ -824,7 +836,7 @@ def q76_stratified_sample(spark, sf):
     mirrors the md5-threshold predicate verbatim."""
     from ..operators.sampling import stratified_hash_sample
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=False)
     rates = {"src0": 10_000, "src1": 5_000, "src2": 2_500, "src3": 0}
     kept = stratified_hash_sample(d, "doc_id", "source", rates, default_bps=1_000)
     return (
@@ -860,7 +872,7 @@ def q47_decontamination(spark, sf):
     Fully live DuckDB oracle (md5 shingle keys mirror verbatim)."""
     from ..operators.decontam import contamination_pairs
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=False)
     train = d.filter(F.col("doc_id") < 150)
     bench = (
         d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 130))
@@ -1094,7 +1106,7 @@ def q16b_sequence_packing(spark, sf):
     counts — fully independent of the Python fill loop."""
     from ..operators.packing import pack_sequences, packing_stats
 
-    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    d = _t(spark, sf, "documents", spread=False).filter(F.col("doc_id") < 300)
     packed = pack_sequences(d, budget=512, shards=4)
     return packing_stats(packed, budget=512)
 
@@ -1154,7 +1166,7 @@ def q33b_leakage_safe_split(spark, sf):
     the construction verbatim in SQL."""
     from ..operators.sampling import leakage_safe_split
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=False)
     s = leakage_safe_split(d, {"train": 8000, "val": 1000, "test": 1000})
     per_split = s.groupBy("split").agg(
         F.count("*").alias("n_docs"),
@@ -1229,7 +1241,7 @@ def q22b_repetition_filter(spark, sf):
     bigrams) — independent of the Spark expression/explode construction."""
     from ..operators.textops import repetition_scores
 
-    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    d = _t(spark, sf, "documents", spread=False).filter(F.col("doc_id") < 200)
     return repetition_scores(d).orderBy("doc_id")
 
 
@@ -1282,7 +1294,7 @@ def q45b_near_dups_gemm(spark, sf):
     generation is checked in the same float regime, not assumed."""
     from ..operators.similarity import embedding_near_dups
 
-    e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 150)
+    e = _t(spark, sf, "embeddings", spread=False).filter(F.col("vec_id") < 150)
     base = e.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
@@ -1429,7 +1441,7 @@ def q23b_lsh_capped(spark, sf):
 
     hot_text = ("subscribe to our newsletter terms of service privacy policy "
                 "all rights reserved cookie settings contact us")
-    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200).select(
+    d = _t(spark, sf, "documents", spread=False).filter(F.col("doc_id") < 200).select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
     hot = spark.range(30).select(
@@ -1506,7 +1518,7 @@ def q42b_site_template(spark, sf):
     generation step."""
     from ..operators.html_extract import site_template_strip
 
-    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 150)
+    d = _t(spark, sf, "documents", spread=False).filter(F.col("doc_id") < 150)
     return site_template_strip(d).orderBy("doc_id")
 
 
@@ -1561,7 +1573,7 @@ def q15b_paragraph_dedup(spark, sf):
     aggregate + ordered string_agg)."""
     from ..operators.textops import repeated_paragraph_dedup
 
-    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 150).select(
+    d = _t(spark, sf, "documents", spread=False).filter(F.col("doc_id") < 150).select(
         "doc_id", "text"
     )
     return (
@@ -1621,7 +1633,7 @@ def q23c_incremental_lsh(spark, sf):
     (tools/gen_oracles.py)."""
     from ..operators.dedup import incremental_lsh_candidates
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=False)
     corpus = d.filter(F.col("doc_id") < 150)
     new = d.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 200))
     return incremental_lsh_candidates(new, corpus).orderBy("a_id", "b_id")
@@ -1639,7 +1651,7 @@ def q21b_pii_redaction(spark, sf):
     classes + bounded repeats + word boundaries only)."""
     from ..operators.textops import redact_pii
 
-    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    d = _t(spark, sf, "documents", spread=False).filter(F.col("doc_id") < 200)
     aug = d.select(
         "doc_id",
         F.concat(
@@ -1774,7 +1786,7 @@ def _q19_pair_graph(spark, sf):
     definition, so the two gates' premise ("identical graph, two
     algorithms, identical oracle") is enforced by construction rather
     than by keeping two copies in sync."""
-    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 60)
+    d = _t(spark, sf, "documents", spread=False).filter(F.col("doc_id") < 60)
     toks = F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
     t = d.select("doc_id", "lang", toks.alias("toks"))
     a = t.select(F.col("doc_id").alias("a_id"), F.col("lang").alias("a_lang"),
@@ -1972,7 +1984,7 @@ def q21c_lm_surprisal(spark, sf):
     SQL; milli-nat rounding keeps the comparison integer."""
     from ..operators.textops import unigram_surprisal
 
-    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    d = _t(spark, sf, "documents", spread=False).filter(F.col("doc_id") < 100)
     return unigram_surprisal(d).orderBy("doc_id")
 
 
@@ -2011,7 +2023,7 @@ def q44b_host_cap(spark, sf):
     engines."""
     from ..operators.sampling import cap_per_host
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=False)
     return (
         cap_per_host(d, host_col="source", max_per_host=8)
         .select("doc_id", "source", F.col("host_rank").cast("int").alias("host_rank"))
@@ -2044,7 +2056,7 @@ def q33c_domain_mix(spark, sf):
     verbatim."""
     from ..operators.sampling import mix_to_target
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=False)
     return (
         mix_to_target(
             d,
@@ -2311,7 +2323,7 @@ def q16d_bpe_encode(spark, sf):
         word_frequencies,
     )
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=False)
     wf = word_frequencies(d)
     vocab_chars = wf.select(F.split("word", "").alias("symbols"), "freq")
     merges = (
@@ -2427,7 +2439,11 @@ def q21d_bigram_lm(spark, sf):
     probed in pytest."""
     from ..operators.textops import bigram_surprisal
 
-    d = _t(spark, sf, "documents")
+    # spread=False (measured): bigram_surprisal's plan replicates the
+    # cheap tokenize subtree ~8x; adding the re-spread exchange under
+    # every copy costs more in shuffle-read + stage overhead than the
+    # parallel scan gains (4.2 s vs 5.8 s at sf1.0 local[32])
+    d = _t(spark, sf, "documents", spread=False)
     return bigram_surprisal(d).orderBy("doc_id")
 
 
@@ -2484,7 +2500,7 @@ def q45c_semantic_dedup(spark, sf):
     row-preserving (vec_id, list_id, keep)."""
     from ..operators.similarity import semantic_dedup
 
-    e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 150)
+    e = _t(spark, sf, "embeddings", spread=False).filter(F.col("vec_id") < 150)
     base = e.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
@@ -2572,7 +2588,7 @@ def q18c_tfidf_pairs(spark, sf):
     engine-exactness discipline."""
     from ..operators.similarity import tfidf_similarity_pairs
 
-    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 120)
+    d = _t(spark, sf, "documents", spread=False).filter(F.col("doc_id") < 120)
     return (
         tfidf_similarity_pairs(d, min_cos_bps=8500)
         .orderBy("a_id", "b_id")
@@ -2674,7 +2690,7 @@ def q94_token_mix(spark, sf):
     verbatim."""
     from ..operators.sampling import mix_to_token_budget
 
-    d = _t(spark, sf, "documents").withColumn(
+    d = _t(spark, sf, "documents", spread=False).withColumn(
         "toks",
         F.when(F.col("text").isNull(), F.lit(0)).otherwise(
             F.size(F.split(F.trim(F.col("text")), r"\s+"))
@@ -2732,7 +2748,7 @@ def q95_train_shards(spark, sf):
     — the LIVE oracle states the identical expressions."""
     from ..operators.sampling import shuffle_and_shard
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=False)
     return (
         shuffle_and_shard(d, n_shards=8)
         .select("doc_id", "shard", "shard_pos")
@@ -2776,7 +2792,7 @@ def q96_url_dedup(spark, sf):
     under it (probed: 0 codegen ERRORs on this exact plan)."""
     from ..operators.urls import url_dedup
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=False)
     m = (F.col("doc_id") % 50).cast("string")
     h = (F.col("doc_id") % 50 % 7).cast("string")
     v = F.expr("(doc_id div 50) % 5")
@@ -2902,7 +2918,7 @@ def q98_pagerank_hosts(spark, sf):
     match is bit-exact — float PageRank could never cross-engine-hash."""
     from ..operators.graph import pagerank
 
-    d = _t(spark, sf, "documents").select("doc_id")
+    d = _t(spark, sf, "documents", spread=False).select("doc_id")
     e1 = d.select(
         (F.col("doc_id") % 53).alias("src"),
         ((F.col("doc_id") * 7 + 3) % 53).alias("dst"),
@@ -2972,7 +2988,7 @@ def q99_blocked_hosts(spark, sf):
     deliberately NOT what the operator does)."""
     from ..operators.urls import filter_blocked_hosts
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=False)
     m = (F.col("doc_id") % 11).cast("string")
     v = F.col("doc_id") % 4
     url = (
@@ -3028,7 +3044,7 @@ def q9a_compression_ratio(spark, sf):
     Integer ratio_milli keeps the comparison order-free exact."""
     from ..operators.textops import compression_ratio
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=False)
     return (
         compression_ratio(d)
         .select(
@@ -3051,7 +3067,8 @@ def q9b_perplexity_buckets(spark, sf):
     the q21d recurrence + the same NTILE window."""
     from ..operators.textops import perplexity_buckets
 
-    d = _t(spark, sf, "documents")
+    # spread=False: same multi-branch bigram subtree as q21d (see there)
+    d = _t(spark, sf, "documents", spread=False)
     return (
         perplexity_buckets(d)
         .select("doc_id", "lang", "bi_surprisal_milli",
@@ -3235,7 +3252,7 @@ def q9d_inlink_anchors(spark, sf):
     (count DESC, anchor ASC) tie rule."""
     from ..operators.graph import inlink_anchor_stats
 
-    d = _t(spark, sf, "documents").select("doc_id")
+    d = _t(spark, sf, "documents", spread=False).select("doc_id")
     edges = d.select(
         (F.col("doc_id") % 97).alias("src"),
         F.expr("(doc_id * 13 + (doc_id % 31)) % 97").alias("dst"),
@@ -3290,7 +3307,7 @@ def q9e_host_reputation(spark, sf):
     from ..operators.graph import pagerank
     from ..operators.textops import gopher_quality_flags
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=False)
     flags = gopher_quality_flags(d).withColumn(
         "host", F.col("doc_id") % 53)
     content = flags.groupBy("host").agg(

@@ -1177,6 +1177,30 @@ def test_url_dedup_keep_min_and_counts(spark):
     }
 
 
+def test_url_dedup_preserves_null_urls(spark):
+    """ADVICE r06: NULL-url rows must pass through as their own
+    survivors (url_dups=1, canonical NULL), never collapse into one
+    NULL group or vanish through the null-unsafe join-back."""
+    from red_seal_ocr_spark.operators.urls import url_dedup
+
+    d = spark.createDataFrame(
+        [
+            (1, "http://a.com/x"),
+            (2, "HTTP://A.com:80/x"),
+            (3, None),
+            (4, None),
+        ],
+        "doc_id bigint, url string",
+    )
+    rows = {r.doc_id: (r.canonical_url, r.url_dups)
+            for r in url_dedup(d).collect()}
+    assert rows == {
+        1: ("http://a.com/x", 2),
+        3: (None, 1),
+        4: (None, 1),
+    }
+
+
 def test_host_of_cases(spark):
     from red_seal_ocr_spark.operators.urls import host_of
 

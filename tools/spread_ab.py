@@ -1,0 +1,56 @@
+"""Within-session A/B of the scan re-spread per query (r07 tuning).
+
+Runs each query alternately with the spread enabled and disabled (by
+monkeypatching queries._SPREAD_TABLES) in ONE warm session, so hypervisor
+drift between sessions cannot masquerade as a spread effect.  Interleaved
+A/B/A/B with a warmup per variant; reports min per variant.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf1.0"
+NAMES = sys.argv[2].split(",") if len(sys.argv) > 2 else []
+
+from red_seal_ocr_spark.plans import queries as qmod  # noqa: E402
+from red_seal_ocr_spark.plans.queries import SPARK_QUERIES  # noqa: E402
+from red_seal_ocr_spark.session import get_spark  # noqa: E402
+
+FULL = {"documents": "doc_id", "embeddings": "vec_id"}
+
+
+def main() -> int:
+    spark = get_spark("spread-ab", master="local[32]")
+    out = {}
+    try:
+        for name in NAMES:
+            fn = SPARK_QUERIES[name]
+            times = {"on": [], "off": []}
+            for variant in ("on", "off", "on", "off", "on", "off"):
+                qmod._SPREAD_TABLES = FULL if variant == "on" else {}
+                spark.sparkContext.setJobDescription(f"{name}:{variant}")
+                t0 = time.time()
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                times[variant].append(round(time.time() - t0, 3))
+            # first pair is warmup; min over the rest
+            on, off = min(times["on"][1:]), min(times["off"][1:])
+            out[name] = {"on": on, "off": off, "delta": round(on - off, 3),
+                         "all_on": times["on"], "all_off": times["off"]}
+            print(f"{name}: on={on} off={off} delta={on-off:+.3f}", flush=True)
+    finally:
+        qmod._SPREAD_TABLES = FULL
+        spark.stop()
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
