@@ -69,6 +69,15 @@ def _hyperplanes(dim: int, n_bits: int, seed: int) -> list[list[float]]:
     return rng.standard_normal((n_bits, dim)).tolist()
 
 
+# Column-EXPRESSION memo for lsh_signature (NOT data caching: unresolved
+# Catalyst expression trees are immutable and plan-agnostic, so one
+# constructed Column is reusable across any number of DataFrames).
+# Building the 32x64 plan-literal signature costs ~1.2 s of py4j calls
+# per call site (measured r07); the recall queries build it for both the
+# query and candidate branches on every invocation.
+_SIG_EXPR_CACHE: dict = {}
+
+
 def lsh_signature(vec_col, planes: list[list[float]], bits_per_band: int = 4):
     """Sign-bit signature as an array<int> of band values.
 
@@ -84,6 +93,13 @@ def lsh_signature(vec_col, planes: list[list[float]], bits_per_band: int = 4):
     """
     if len(planes) % bits_per_band:
         raise ValueError("n_bits must be divisible by bits_per_band")
+    cache_key = (
+        str(vec_col), bits_per_band,
+        hash(tuple(v for p in planes for v in p)),
+    )
+    cached = _SIG_EXPR_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
     # UNROLLED per plane: one zip_with + aggregate against a LITERAL array
     # per plane keeps every lambda single-level and the banding free of
     # lambda-var array indexing (the idiom that cost dedup._shingles 5x).
@@ -95,7 +111,19 @@ def lsh_signature(vec_col, planes: list[list[float]], bits_per_band: int = 4):
     # because its left-fold float order is what the q45/q26 IEEE-fold
     # oracle mirrors pin bit-for-bit.
     def bit(plane):
-        lit = F.array(*[F.lit(float(v)) for v in plane])
+        # ONE parsed SQL literal per plane instead of one py4j F.lit()
+        # call per ELEMENT: the unrolled form spent ~1.9 s of pure
+        # DataFrame-BUILD time per signature site (2 sites in the
+        # LSH-vs-exact recall queries) shipping 2,048 literals over
+        # py4j one call at a time (measured r07; execution was only
+        # ~1.6 s).  repr() is shortest-round-trip exact and Spark's
+        # double-literal parser is correctly rounded, so the parsed
+        # Literal values — and therefore every downstream fold — are
+        # bit-identical to the F.lit form (asserted in
+        # test_dedup_similarity).
+        lit = F.expr(
+            "array(" + ",".join(f"{v!r}D" for v in plane) + ")"
+        )
         dot = F.aggregate(
             F.zip_with(vec_col, lit, lambda x, y: x * y),
             F.lit(0.0),
@@ -112,7 +140,9 @@ def lsh_signature(vec_col, planes: list[list[float]], bits_per_band: int = 4):
         for r in range(1, bits_per_band):
             val = val + chunk[r] * F.lit(1 << r)
         bands.append(val)
-    return F.array(*bands)
+    out = F.array(*bands)
+    _SIG_EXPR_CACHE[cache_key] = out
+    return out
 
 
 def broadcast_hyperplanes(spark, planes: list[list[float]]):
@@ -491,6 +521,20 @@ def quantized_topk(
     """
     from pyspark.sql import Window
 
+    # zero-norm (all-zero) vectors have no cosine and are excluded.  The
+    # exclusion must happen HERE, on the raw vector with a short-circuit
+    # `exists`, not as a post-join `n2 > 0` filter: the optimizer pushes
+    # any norm filter down through the projections to the scan by alias
+    # substitution, where it re-evaluates the full interpreted
+    # quantize+fold chain once per row in the (single-task) scan stage —
+    # measured 4 s of the old 6 s at sf1.0 (guide 1.2: fix the plan
+    # shape, then the per-task work).  `exists(x != 0)` tests the
+    # identical condition (a nonzero element <=> amax > 0 <=> n2 > 0 for
+    # the NaN-free float vectors this operator is defined over) and
+    # inspects ~1 element per row.
+    emb = emb.filter(
+        F.exists(F.col(vec_col), lambda x: x != F.lit(0.0))
+    )
     q8 = quantize_embeddings(emb, id_col, vec_col)
     norm2 = F.aggregate(
         "codes", F.lit(0).cast("bigint"),
@@ -505,13 +549,14 @@ def quantized_topk(
         F.zip_with("qc", "cc", lambda x, y: (x * y).cast("bigint")),
         F.lit(0).cast("bigint"), lambda acc, x: acc + x,
     )
+    # stream the CANDIDATE side and broadcast the tiny query side: the
+    # planner's size estimate otherwise broadcasts the candidates and
+    # streams the n_queries rows, so every pair's integer dot fold runs
+    # in as many tasks as the query side has partitions (1-2) — guide
+    # 3.1: pick the build side deliberately
     pairs = (
-        a.filter(F.col("query_id") < n_queries)
-        .crossJoin(b)
+        b.crossJoin(F.broadcast(a.filter(F.col("query_id") < n_queries)))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        # zero-norm (all-zero) vectors have no cosine: exclude them
-        # rather than divide by zero (ANSI mode errors on it)
-        .filter((F.col("qn") > 0) & (F.col("cn") > 0))
         .select(
             "query_id", "neighbor_id",
             dot.alias("dot_int"),

@@ -22,7 +22,11 @@ MEDIA_SCHEMA = "media_ref string, content binary"
 def documents_df(spark, n_docs: int, seed: int = 42, partitions: int | None = None):
     """Interleaved documents table (exactly input_hint) from spark.range."""
     if partitions is None:
-        partitions = max(8, spark.sparkContext.defaultParallelism * 4)
+        # adaptive to the INPUT size: a gate-scale table (24 docs) gets
+        # 24 single-doc partitions instead of 4x-cores mostly-EMPTY ones
+        # (each empty mapInPandas partition still pays a Python worker
+        # round-trip); large n_docs keeps the 4x-cores scan parallelism
+        partitions = max(8, min(n_docs, spark.sparkContext.defaultParallelism * 4))
 
     def gen(batches):
         import pandas as pd
@@ -44,7 +48,11 @@ def media_df(spark, n_docs: int, seed: int = 42, partitions: int | None = None,
     (~2%) are skipped here exactly like FIXTURES.md specifies.
     """
     if partitions is None:
-        partitions = max(8, spark.sparkContext.defaultParallelism * 4)
+        # adaptive to the INPUT size: a gate-scale table (24 docs) gets
+        # 24 single-doc partitions instead of 4x-cores mostly-EMPTY ones
+        # (each empty mapInPandas partition still pays a Python worker
+        # round-trip); large n_docs keeps the 4x-cores scan parallelism
+        partitions = max(8, min(n_docs, spark.sparkContext.defaultParallelism * 4))
 
     def gen(batches):
         import pandas as pd
