@@ -80,7 +80,7 @@ def main() -> int:
     finally:
         spark.stop()
     result = {"sf_dir": args.sf_dir, "cpus": CPUS,
-              "queries_min": {n: min(s) for n, s in times.items()},
+              "queries_min": {n: min(s) for n, s in times.items() if s},
               "queries_samples": times}
     line = json.dumps(result)
     if args.out:

@@ -221,25 +221,46 @@ def rgb_red_mask(
     cand &= np.greater_equal(r8, b8, out=_scratch_bool("c4", n).reshape(shape))
     out = np.zeros(shape, dtype=bool)
     idx = np.flatnonzero(cand)
-    if idx.size:
+    if idx.size > 0.2 * n:
+        # DENSE path: seal-crop calls run this mask over regions that are
+        # mostly red (candidate density near 1), where the sparse
+        # gather/scatter below costs more than straight full-frame
+        # arithmetic.  Expressions are verbatim copies of the sparse path
+        # (same dtype promotions), so per-candidate values are
+        # bit-identical; h is zeroed outside candidates BEFORE the int
+        # cast so no overflow-undefined lanes exist (their out lanes are
+        # masked by `cand` anyway).
+        r = r8.astype(np.float32)
+        g = g8.astype(np.float32)
+        b = b8.astype(np.float32)
+        # S/V re-check is omitted: cand <=> min(g,b) < LUT2U[r] is exactly
+        # delta >= min_delta[r] <=> floor(255*delta/r + 0.5) >= sat_min
+        # (s monotone in delta, v == r on candidates) — the screen IS the
+        # saturation test, by _max_min_lut construction; pinned by the
+        # formula-golden and fuzz suites
+        delta = r - np.minimum(mn_gb, r8).astype(np.float32)
+        safe = np.maximum(delta, 1e-9)
+        h = 60.0 * (g - b) / safe  # the v == r branch, always taken
+        h = np.where(h < 0, h + 360.0, h) / 2.0
+        h = np.where(cand, h, 0.0)
+        h8 = np.floor(h + 0.5).astype(np.int32) % 180
+        in_h = ((h8 >= band1[0]) & (h8 <= band1[1])) | ((h8 >= band2[0]) & (h8 <= band2[1]))
+        np.logical_and(cand, in_h, out=out)
+    elif idx.size:
         pos = np.unravel_index(idx, shape)
         r = r8[pos].astype(np.float32)
         g = g8[pos].astype(np.float32)
         b = b8[pos].astype(np.float32)
-        v = r  # candidates all have V == R
+        # S/V re-check omitted — see the dense-path note (the candidate
+        # screen is exactly the saturation/value test by LUT construction)
         delta = r - np.minimum(mn_gb[pos], r8[pos]).astype(np.float32)
-        s_ok = np.floor(255.0 * delta / np.maximum(v, 1e-9) + 0.5) >= sat_min
         safe = np.maximum(delta, 1e-9)
-        h = np.where(
-            v == r,
-            60.0 * (g - b) / safe,
-            np.where(v == g, 120.0 + 60.0 * (b - r) / safe, 240.0 + 60.0 * (r - g) / safe),
-        )
+        h = 60.0 * (g - b) / safe  # candidates all have V == R
         h = np.where(h < 0, h + 360.0, h) / 2.0
         h8 = np.floor(h + 0.5).astype(np.int32) % 180
         in_h = ((h8 >= band1[0]) & (h8 <= band1[1])) | ((h8 >= band2[0]) & (h8 <= band2[1]))
         # delta == 0 pixels have H=0: consistent with rgb_to_hsv_cv
-        out[pos] = s_ok & in_h
+        out[pos] = in_h
     return out
 
 
@@ -742,6 +763,12 @@ def enhance_red_pass2(img: np.ndarray, mask: np.ndarray, cfg) -> np.ndarray:
     return out
 
 
+# per-sector channel source among (0=c, 1=x, 2=z) for hsv_to_rgb_cv
+_HSV_SECTOR_R = np.array([0, 1, 2, 2, 1, 0])
+_HSV_SECTOR_G = np.array([1, 0, 0, 1, 2, 2])
+_HSV_SECTOR_B = np.array([2, 2, 1, 0, 0, 1])
+
+
 def hsv_to_rgb_cv(hsv: np.ndarray) -> np.ndarray:
     """HSV uint8 (cv2 ranges) -> RGB uint8 (inverse of rgb_to_hsv_cv)."""
     h = hsv[..., 0].astype(np.float64) * 2.0
@@ -753,11 +780,13 @@ def hsv_to_rgb_cv(hsv: np.ndarray) -> np.ndarray:
     m = v - c
     z = np.zeros_like(c)
     sector = np.floor(hp).astype(np.int64) % 6
-    r = np.select([sector == 0, sector == 1, sector == 2, sector == 3, sector == 4, sector == 5],
-                  [c, x, z, z, x, c])
-    g = np.select([sector == 0, sector == 1, sector == 2, sector == 3, sector == 4, sector == 5],
-                  [x, c, c, x, z, z])
-    b = np.select([sector == 0, sector == 1, sector == 2, sector == 3, sector == 4, sector == 5],
-                  [z, z, x, c, c, x])
+    # one gather per channel from the stacked (c, x, z) planes instead of
+    # six boolean np.select passes per channel (18 full-frame scans —
+    # measured ~12% of the whole kernel); np.choose picks the IDENTICAL
+    # element each np.select matched, so values are bit-equal
+    cxz = (c, x, z)
+    r = np.choose(_HSV_SECTOR_R[sector], cxz)
+    g = np.choose(_HSV_SECTOR_G[sector], cxz)
+    b = np.choose(_HSV_SECTOR_B[sector], cxz)
     out = np.stack([r + m, g + m, b + m], axis=-1)
     return np.clip(np.rint(out), 0, 255).astype(np.uint8)

@@ -43,8 +43,10 @@ def nb_log_odds_scores(
 
     With Laplace(+1) smoothing, per-term weight is a single log of an
     exact integer rational — ``ln((c_pos+1)(N_neg+V) / ((c_neg+1)(N_pos+V)))``
-    — so both engines round the identical quotient before the one
-    transcendental call (the q21c float-determinism discipline).  The
+    — so both engines feed the identical double quotient to the one
+    transcendental call (the q21c float-determinism discipline; ``ln``
+    itself is correctly-rounded only per-libm, so cross-engine equality
+    is gate-verified rather than guaranteed — ADVICE r06).  The
     document score is ``ln(D_pos/D_neg) + sum tf * weight`` in milli-nats.
 
     Scoring semantics, not cleanup: NULL-text docs emit no row (same

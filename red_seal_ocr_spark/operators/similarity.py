@@ -688,13 +688,18 @@ def tfidf_similarity_pairs(
     pairs meet ONLY through terms they share, so the join is an
     equi-join on the term key and the all-pairs crossJoin never exists.
 
-    Engine-exactness by construction (the q18b int8-ANN discipline):
-    IDF is quantized to integer milli-nats once per term (the only
-    transcendental), weights ``tf * idf_milli`` are exact integers, so
-    dots and squared norms are order-free integer sums; the final
+    Engine-exactness discipline (the q18b int8-ANN shape), with one
+    honest caveat (ADVICE r06): IDF is quantized to integer milli-nats
+    once per term — both engines feed the IDENTICAL double quotient to
+    one ``ln`` and round the result, but ``ln`` itself is not guaranteed
+    correctly rounded across libm implementations, so a boundary
+    quotient could in principle round differently (gate-verified
+    identical on the fixture corpora).  Downstream of that rounding
+    everything IS order-free exact: weights ``tf * idf_milli`` are
+    integers, dots and squared norms are integer sums (retry-stable
+    where a float SUM over shuffled rows would not be), and the final
     ``dot / (sqrt(na2) * sqrt(nb2))`` divides exactly-representable
-    doubles — bit-identical across engines AND across Spark retries
-    (a float SUM over shuffled rows would be neither).
+    doubles.
 
     ``max_df`` is the inverted-index skew dial: a stop-term present in
     df docs fans out df^2 pair rows; dropping high-df terms before the

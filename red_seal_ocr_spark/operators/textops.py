@@ -801,21 +801,30 @@ def bpe_token_counts(
     non-blank tokens emit no row (left-join to preserve, as with
     ``unigram_surprisal``)."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    stream = (
+    # ONE corpus explode: reduce the token stream to (doc, word, tf)
+    # first, derive the vocabulary from that frame, and weight the final
+    # per-doc sums by tf — exact integer counts, identical to joining
+    # the raw stream, minus a full tokenize+explode pass (the old shape
+    # exploded the corpus once for the vocabulary and again for the
+    # join-back; guide 2.4)
+    doc_words = (
         docs.select(F.col(id_col), F.explode(toks).alias("word"))
         .filter(F.col("word") != "")
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
-    vocab = stream.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    vocab = doc_words.groupBy("word").agg(F.sum("tf").alias("freq"))
     enc = bpe_encode_words(
         vocab.select("word", "freq", F.split("word", "").alias("symbols")),
         merges,
     ).select("word", F.size("symbols").alias("word_tokens"))
     return (
-        stream.join(enc, "word")
+        doc_words.join(enc, "word")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).cast("int").alias("n_words"),
-            F.sum("word_tokens").cast("int").alias("n_bpe_tokens"),
+            F.sum("tf").cast("int").alias("n_words"),
+            F.sum(F.col("tf") * F.col("word_tokens")).cast("int")
+            .alias("n_bpe_tokens"),
         )
     )
 

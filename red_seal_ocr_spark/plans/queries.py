@@ -49,15 +49,36 @@ from pyspark.sql import functions as F
 _SPREAD_TABLES = {"documents": "doc_id", "embeddings": "vec_id"}
 _SPREAD_CACHE: dict[str, int] = {}
 
+# Below this input size the re-spread exchange costs more than the
+# parallelism buys (measured by interleaved A/B: at the 0.6 MB sf0.1
+# documents file the spread was +0.5..+2.1 s on the same queries where
+# the 5.9 MB sf1.0 file made it -1..-10 s) — the exchange's fixed cost
+# is flat while the single-task first-stage work it parallelizes scales
+# with bytes.  Size-gating keeps the decision input-adaptive at every
+# scale: tiny inputs stay single-stage, mid-size single-file inputs
+# spread, production inputs already split and skip the branch on the
+# partition-count test alone.
+_SPREAD_MIN_BYTES = 4 << 20
+
 
 def _spread(spark: SparkSession, df: DataFrame, path: str,
             key: str) -> DataFrame:
+    import os as _os
+
     target = 2 * spark.sparkContext.defaultParallelism
     parts = _SPREAD_CACHE.get(path)
     if parts is None:
         parts = df.rdd.getNumPartitions()
         _SPREAD_CACHE[path] = parts
-    return df.repartition(target, F.col(key)) if parts < target else df
+    if parts >= target:
+        return df
+    try:
+        size = _os.path.getsize(path.removeprefix("file:"))
+    except OSError:
+        size = None  # non-local path: partition-count test already ran
+    if size is not None and size < _SPREAD_MIN_BYTES:
+        return df
+    return df.repartition(target, F.col(key))
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str,

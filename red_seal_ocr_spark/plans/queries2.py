@@ -312,7 +312,15 @@ def q71_date_parts(spark, sf):
 
 def q31_json_extract(spark, sf):
     """JSON prop extraction from the events props column."""
-    e = _t(spark, sf, "events")
+    from .queries import _spread
+
+    # per-query events re-spread: the JSON parse is the one events first
+    # stage heavy enough to beat the exchange cost (2.4 -> 1.0 s at
+    # sf1.0, identical rows — avg over ints is an exact long sum);
+    # events stays out of the global spread set because every other
+    # events query measured the exchange as pure overhead
+    e = _spread(spark, _t(spark, sf, "events"),
+                f"{sf}/events.parquet", "user_id")
     k = F.get_json_object("props", "$.k").cast("int")
     return (
         e.select("event_type", k.alias("k"))

@@ -188,14 +188,24 @@ def streaming_url_dedup(docs: DataFrame, url_col: str = "url",
     design: the batch op keeps the MIN id of a group, the stream keeps
     the FIRST ARRIVAL — the only keep rule a stream can implement
     without holding the group open forever.
+
+    NULL-url rows pass through UNCONDITIONALLY (ADVICE r06, mirroring
+    the batch fix): canonical_url(NULL) is NULL, a valid dedup key for
+    ``dropDuplicatesWithinWatermark``, so without the split every
+    URL-less document in the watermark would silently collapse into one
+    kept row.
     """
     from ..operators.urls import with_canonical_url
 
-    return (
-        with_canonical_url(docs, url_col)
+    nulls = docs.filter(F.col(url_col).isNull()).select(
+        "*", F.lit(None).cast("string").alias("canonical_url")
+    )
+    deduped = (
+        with_canonical_url(docs.filter(F.col(url_col).isNotNull()), url_col)
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["canonical_url"])
     )
+    return deduped.unionByName(nulls)
 
 
 NEAR_DUP_SCHEMA = (

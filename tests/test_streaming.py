@@ -388,3 +388,37 @@ def test_streaming_url_dedup(spark, tmp_path):
     assert got[5] == "http://b.com/y?q=2"
     assert set(got.values()) == {
         "http://a.com/x", "http://b.com/y?q=1", "http://b.com/y?q=2"}
+
+
+def test_streaming_url_dedup_preserves_null_urls(spark, tmp_path):
+    """ADVICE r06: distinct URL-less documents must all pass through —
+    NULL is a valid dedup key for dropDuplicatesWithinWatermark, so
+    without the pass-through split they would collapse to one row."""
+    from datetime import datetime
+
+    from red_seal_ocr_spark.streaming.events import (
+        run_stream_once,
+        streaming_url_dedup,
+    )
+
+    schema = "doc_id bigint, ts timestamp, url string"
+    t = lambda m: datetime(2026, 1, 1, 10, m)  # noqa: E731
+    rows = [
+        (1, t(0), "http://a.com/x"),
+        (2, t(1), None),
+        (3, t(2), None),
+        (4, t(3), "HTTP://A.com:80/x"),   # canonical dup of 1
+    ]
+    src = str(tmp_path / "url_stream_null")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = run_stream_once(streaming_url_dedup(stream), "url_dedup_null_sink")
+    got = {r.doc_id: r.canonical_url for r in out.collect()}
+    assert 2 in got and 3 in got          # both NULL-url docs kept
+    assert got[2] is None and got[3] is None
+    assert sum(i in got for i in (1, 4)) == 1
+    assert len(got) == 3
