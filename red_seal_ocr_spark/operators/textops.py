@@ -881,19 +881,31 @@ def bigram_surprisal(
         F.col(id_col), F.col("p.a").alias("a"), F.col("p.b").alias("b")
     )
     bc = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab"))
-    scored_pairs = (
-        big.join(F.broadcast(bc), ["a", "b"])
+    # fold the count towers into ONE vocabulary-sized weight table: the
+    # per-bigram surprisal is a pure function of (cab, ca, cb, tt), so
+    # computing it once per DISTINCT bigram and broadcasting the result
+    # gives the instance stream a single broadcast join instead of
+    # three, and evaluates ln once per vocabulary row instead of once
+    # per corpus instance — the per-instance w values (and therefore the
+    # per-doc sums) are the identical doubles
+    bigram_w = (
+        bc
         .join(F.broadcast(uni.select(F.col("w").alias("a"), F.col("cw").alias("ca"))), "a")
         .join(F.broadcast(uni.select(F.col("w").alias("b"), F.col("cw").alias("cb"))), "b")
         .crossJoin(F.broadcast(total))
+        .select(
+            "a", "b",
+            (-F.log(
+                F.lit(lam) * (F.col("cab").cast("double") / F.col("ca").cast("double"))
+                + F.lit(1.0 - lam) * (F.col("cb").cast("double") / F.col("tt").cast("double"))
+            )).alias("w_bi"),
+        )
+    )
+    scored_pairs = (
+        big.join(F.broadcast(bigram_w), ["a", "b"])
         .groupBy(id_col)
         .agg(
-            F.sum(
-                -F.log(
-                    F.lit(lam) * (F.col("cab").cast("double") / F.col("ca").cast("double"))
-                    + F.lit(1.0 - lam) * (F.col("cb").cast("double") / F.col("tt").cast("double"))
-                )
-            ).alias("s_bi"),
+            F.sum("w_bi").alias("s_bi"),
             F.count(F.lit(1)).alias("n_bi"),
         )
     )
